@@ -1,0 +1,286 @@
+"""Top-level JSON-LD API (mirrors /root/reference/lib/jsonld.js surface).
+
+Synchronous, no remote I/O: remote contexts/documents must be preloaded via
+``documents={url: parsed_json}`` (the injectable documentLoader surface of
+the reference, lib/jsonld.js:865-877).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .core import canonize as _canonize
+from .core import compact as _compact_mod
+from .core import context as _ctx
+from .core import expand as _expand_mod
+from .core import flatten as _flatten_mod
+from .core import from_rdf as _from_rdf_mod
+from .core import frame as _frame_mod
+from .core import nodemap as _nodemap
+from .core import nquads as _nq
+from .core import to_rdf as _to_rdf_mod
+from .core.errors import JsonLdError
+from .core.types import is_keyword
+from .core.util import IdentifierIssuer, as_array, deep_clone, relabel_blank_nodes
+
+
+def _setup_options(options: dict | None) -> dict:
+    opts = dict(options or {})
+    opts.setdefault("base", "")
+    opts.setdefault("processingMode", "json-ld-1.1")
+    if "contextResolver" not in opts:
+        opts["contextResolver"] = _ctx.ContextResolver(
+            documents=opts.get("documents"))
+    return opts
+
+
+def _initial_ctx(options: dict) -> _ctx.ActiveContext:
+    return _ctx.ActiveContext(options)
+
+
+def expand(input_: Any, options: dict | None = None) -> list:
+    """Expand a JSON-LD document (lib/jsonld.js:268-354)."""
+    options = _setup_options(options)
+    doc = deep_clone(input_)
+    active_ctx = _initial_ctx(options)
+    if options.get("expandContext") is not None:
+        ec = deep_clone(options["expandContext"])
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active_ctx = _ctx.process_context(active_ctx, ec, options)
+
+    expanded = _expand_mod.expand(active_ctx, doc, None, options)
+
+    # optimize away @graph with no other properties
+    if isinstance(expanded, dict) and "@graph" in expanded and \
+            len(expanded) == 1:
+        expanded = expanded["@graph"]
+    elif expanded is None:
+        expanded = []
+    return as_array(expanded)
+
+
+def compact(input_: Any, ctx: Any, options: dict | None = None) -> dict:
+    """Compact a JSON-LD document with a context (lib/jsonld.js:122-248)."""
+    options = _setup_options(options)
+    options.setdefault("compactArrays", True)
+    options.setdefault("graph", False)
+    options.setdefault("skipExpansion", False)
+    options.setdefault("link", False)
+    if options.get("link"):
+        options["skipExpansion"] = True
+    if ctx is None:
+        raise JsonLdError(
+            "The compaction context must not be null.",
+            "jsonld.CompactError", code="invalid local context")
+    if input_ is None:
+        return None
+
+    if options["skipExpansion"]:
+        expanded = input_
+    else:
+        expanded = expand(input_, options)
+
+    active_ctx = _initial_ctx(options)
+    ctx_for_processing = ctx
+    if isinstance(ctx_for_processing, dict) and \
+            "@context" in ctx_for_processing:
+        ctx_for_processing = ctx_for_processing["@context"]
+    active_ctx = _ctx.process_context(active_ctx, ctx_for_processing, options)
+    compacted = _compact_mod.compact(
+        active_ctx, None, expanded, options)
+
+    if options["compactArrays"] and not options["graph"] and \
+            isinstance(compacted, list):
+        if len(compacted) == 1:
+            compacted = compacted[0]
+        elif len(compacted) == 0:
+            compacted = {}
+    elif options["graph"] and isinstance(compacted, dict):
+        compacted = [compacted]
+
+    # follow the reference's context attachment (jsonld.js:200-231)
+    if isinstance(ctx, dict) and "@context" in ctx:
+        ctx = ctx["@context"]
+    ctx = deep_clone(ctx)
+    if not isinstance(ctx, list):
+        ctx = [ctx]
+    ctx_length = len(ctx)
+    has_context = False
+    for c in ctx:
+        if c:
+            has_context = True
+            break
+    if isinstance(compacted, list):
+        kwgraph = _compact_mod.compact_iri(
+            active_ctx, "@graph", vocab=True)
+        graph_val = compacted
+        compacted = {}
+        if has_context:
+            compacted["@context"] = ctx[0] if ctx_length == 1 else ctx
+        compacted[kwgraph] = graph_val
+    elif isinstance(compacted, dict) and has_context:
+        graph_val = compacted
+        compacted = {"@context": ctx[0] if ctx_length == 1 else ctx}
+        compacted.update(graph_val)
+    return compacted
+
+
+def flatten(input_: Any, ctx: Any = None, options: dict | None = None) -> Any:
+    """Flatten a document (lib/jsonld.js:369-405, lib/flatten.js:24-38)."""
+    options = _setup_options(options)
+    expanded = expand(input_, options)
+    flattened = _flatten_mod.flatten(expanded)
+    if ctx is None:
+        return flattened
+    opts = dict(options)
+    opts["graph"] = True
+    opts["skipExpansion"] = True
+    return compact(flattened, ctx, opts)
+
+
+def frame(input_: Any, frame_doc: Any, options: dict | None = None) -> Any:
+    """Frame a document (lib/jsonld.js:425-511)."""
+    options = _setup_options(options)
+    return _frame_mod.frame_document(input_, frame_doc, options)
+
+
+def link(input_: Any, ctx: Any = None, options: dict | None = None) -> Any:
+    """Link a document's nodes in memory (lib/jsonld.js:528-537)."""
+    frame_doc: dict = {"@embed": "@link"}
+    if ctx:
+        frame_doc["@context"] = ctx
+    frame_doc["@embed"] = "@link"
+    return frame(input_, frame_doc, options)
+
+
+def to_rdf(input_: Any, options: dict | None = None) -> list[tuple]:
+    """Deserialize JSON-LD to an RDF dataset (lib/jsonld.js:670-708).
+
+    Returns quads in the engine tuple form; pass format=
+    'application/n-quads' for an N-Quads string.
+    """
+    options = _setup_options(options)
+    if options.get("skipExpansion"):
+        expanded = input_
+    else:
+        expanded = expand(input_, options)
+    dataset = _to_rdf_mod.to_rdf(expanded, options)
+    if options.get("format") == "application/n-quads":
+        return _nq.serialize(dataset)
+    return dataset
+
+
+def from_rdf(dataset: Any, options: dict | None = None) -> list:
+    """Convert an RDF dataset (quads or N-Quads string) to expanded JSON-LD
+    (lib/jsonld.js:620-650)."""
+    options = _setup_options(options)
+    options.setdefault("useRdfType", False)
+    options.setdefault("useNativeTypes", False)
+    if isinstance(dataset, str):
+        dataset = _nq.parse(dataset)
+    return _from_rdf_mod.from_rdf(dataset, options)
+
+
+def canonize(input_: Any, options: dict | None = None) -> str:
+    """URDNA2015 canonical N-Quads of a JSON-LD document
+    (lib/jsonld.js:563-602; algorithm reimplemented, see core/canonize.py)."""
+    options = _setup_options(options)
+    if options.get("inputFormat") == "application/n-quads":
+        dataset = _nq.parse(input_)
+    else:
+        dataset = to_rdf(input_, {**options, "format": None,
+                                  "produceGeneralizedRdf": False})
+    return _canonize.canonize(dataset)
+
+
+def create_node_map(input_: Any, options: dict | None = None) -> dict:
+    """Merged node map of a document (lib/jsonld.js:726-743)."""
+    options = _setup_options(options)
+    expanded = expand(input_, options)
+    return _nodemap.create_merged_node_map(expanded)
+
+
+def merge(docs: list, ctx: Any = None, options: dict | None = None) -> Any:
+    """Merge N documents into one flattened doc (lib/jsonld.js:766-856)."""
+    if not isinstance(docs, list):
+        raise TypeError("Could not merge, 'docs' must be an array.")
+    options = _setup_options(options)
+    merge_nodes = options.get("mergeNodes", True)
+
+    expanded_docs = [expand(doc, options) for doc in docs]
+
+    graphs: dict[str, dict] = {"@default": {}}
+    issuer = IdentifierIssuer("_:b")
+    for i, doc in enumerate(expanded_docs):
+        # relabel bnodes with a doc-scoped namespace (jsonld.js:805-807)
+        doc = relabel_blank_nodes(
+            deep_clone(doc), IdentifierIssuer(f"_:b{i}-"))
+        _nodemap.create_node_map(doc, graphs, "@default", issuer)
+
+    default_graph = graphs["@default"]
+    if not merge_nodes:
+        # only add new nodes from docs>0 (jsonld.js:811-829 semantics):
+        # rebuild keeping first-doc nodes and ids new to later docs
+        graphs2: dict[str, dict] = {"@default": {}}
+        issuer2 = IdentifierIssuer("_:b")
+        for i, doc in enumerate(expanded_docs):
+            doc = relabel_blank_nodes(
+                deep_clone(doc), IdentifierIssuer(f"_:b{i}-"))
+            sub_graphs: dict[str, dict] = {"@default": {}}
+            _nodemap.create_node_map(doc, sub_graphs, "@default", issuer2)
+            for gname, nodes in sub_graphs.items():
+                target = graphs2.setdefault(gname, {})
+                for nid, node in nodes.items():
+                    if i == 0 or nid not in target:
+                        target[nid] = node
+        default_graph = _nodemap.merge_node_maps(graphs2)
+    else:
+        default_graph = _nodemap.merge_node_maps(graphs)
+
+    flattened = []
+    for key in sorted(default_graph.keys()):
+        node = default_graph[key]
+        # remove subject references without other properties
+        if not (len(node) == 1 and "@id" in node):
+            flattened.append(node)
+
+    if ctx is None:
+        return flattened
+    opts = dict(options)
+    opts["graph"] = True
+    opts["skipExpansion"] = True
+    return compact(flattened, ctx, opts)
+
+
+def process_context(active_ctx: _ctx.ActiveContext, local_ctx: Any,
+                    options: dict | None = None) -> _ctx.ActiveContext:
+    """Process a local context (lib/jsonld.js:936-957)."""
+    options = _setup_options(options)
+    if local_ctx is None:
+        return _initial_ctx(options)
+    local_ctx = deep_clone(local_ctx)
+    if not (isinstance(local_ctx, dict) and "@context" in local_ctx):
+        local_ctx = {"@context": local_ctx}
+    return _ctx.process_context(active_ctx, local_ctx, options)
+
+
+# --- pluggable RDF parser registry (lib/jsonld.js:81-82,1000-1011) ---
+
+_rdf_parsers: dict[str, Any] = {}
+
+
+def register_rdf_parser(content_type: str, parser: Any) -> None:
+    _rdf_parsers[content_type] = parser
+
+
+def unregister_rdf_parser(content_type: str) -> None:
+    _rdf_parsers.pop(content_type, None)
+
+
+def get_rdf_parser(content_type: str) -> Any:
+    return _rdf_parsers.get(content_type)
+
+
+register_rdf_parser("application/n-quads", _nq.parse)
+register_rdf_parser("application/nquads", _nq.parse)

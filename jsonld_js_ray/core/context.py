@@ -1,0 +1,876 @@
+"""JSON-LD 1.1 active-context processing.
+
+From-scratch implementation of the Context Processing / Create Term
+Definition / IRI Expansion algorithms of the W3C JSON-LD 1.1 API spec
+(https://www.w3.org/TR/json-ld11-api/), with the same observable semantics
+as the reference (/root/reference/lib/context.js:46-1447).
+
+No remote I/O: contexts referenced by URL must be preloaded into a
+``ContextResolver`` (document loading is injectable, mirroring the
+reference's documentLoader surface, lib/jsonld.js:865-877).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Any, Callable
+
+from . import url as _url
+from .errors import JsonLdError
+from .types import KEYWORDS, is_keyword, is_potential_keyword
+from .util import as_array, compare_shortest_least, deep_clone, freeze
+
+MAX_CONTEXT_URLS = 10
+
+_counter = itertools.count()
+
+
+class ActiveContext:
+    """The dynamic schema: term mappings + base/vocab/language/direction."""
+
+    __slots__ = (
+        "mappings", "base", "original_base", "vocab", "language", "direction",
+        "processing_mode", "previous_context", "protected", "_inverse", "_uid",
+        "_fast_curie",
+    )
+
+    def __init__(self, options: dict | None = None) -> None:
+        options = options or {}
+        base = options.get("base")
+        self.mappings: dict[str, dict] = {}
+        self.original_base = base
+        self.base = _url.parse_url(base) if isinstance(base, str) else base
+        self.vocab: str | None = None
+        self.language: str | None = None
+        self.direction: str | None = None
+        self.processing_mode: str = options.get("processingMode", "json-ld-1.1")
+        self.previous_context: ActiveContext | None = None
+        self.protected: dict[str, bool] = {}
+        self._inverse: dict | None = None
+        self._fast_curie: dict | None = None
+        self._uid = next(_counter)
+
+    def clone(self) -> "ActiveContext":
+        child = ActiveContext()
+        child.mappings = {k: deep_clone(v) for k, v in self.mappings.items()}
+        child.base = self.base
+        child.original_base = self.original_base
+        child.vocab = self.vocab
+        child.language = self.language
+        child.direction = self.direction
+        child.processing_mode = self.processing_mode
+        child.previous_context = self.previous_context
+        child.protected = dict(self.protected)
+        return child
+
+    def get_inverse(self) -> dict:
+        if self._inverse is None:
+            self._inverse, self._fast_curie = _create_inverse_context(self)
+        return self._inverse
+
+    def get_curie_candidates(self) -> list:
+        """[(iri, [terms])] prefix candidates for CURIE compaction."""
+        self.get_inverse()
+        return self._fast_curie or []
+
+    def revert_to_previous(self) -> "ActiveContext":
+        return self.previous_context if self.previous_context else self
+
+
+class ContextResolver:
+    """Resolves and caches local/remote contexts.
+
+    Remote contexts must be preloaded: ``documents`` maps URL → parsed JSON
+    document (the value of the remote doc, typically ``{"@context": {...}}``).
+    A shared ``cache`` dict can be passed to share across calls (mirrors the
+    reference's shared LRU, lib/jsonld.js:86-89).
+    """
+
+    def __init__(
+        self,
+        documents: dict[str, Any] | None = None,
+        loader: Callable[[str], Any] | None = None,
+        cache: dict | None = None,
+    ) -> None:
+        self.documents = documents or {}
+        self.loader = loader
+        self.process_cache: dict = cache if cache is not None else {}
+
+    def fetch(self, url: str) -> Any:
+        if url in self.documents:
+            return self.documents[url]
+        if self.loader is not None:
+            doc = self.loader(url)
+            self.documents[url] = doc
+            return doc
+        raise JsonLdError(
+            f"Dereferencing a URL did not result in a valid JSON-LD object: {url}",
+            "jsonld.InvalidUrl", code="loading remote context failed",
+            details={"url": url})
+
+
+def process_context(
+    active_ctx: ActiveContext,
+    local_ctx: Any,
+    options: dict | None = None,
+    override_protected: bool = False,
+    propagate: bool = True,
+    validate_scoped: bool = True,
+    cycles: frozenset | None = None,
+) -> ActiveContext:
+    """Fold ``local_ctx`` into ``active_ctx`` → new active context.
+
+    (JSON-LD 1.1 API §4.1; reference lib/context.js:46-421)
+    """
+    options = options or {}
+    cycles = cycles or frozenset()
+    resolver: ContextResolver = options.setdefault(
+        "contextResolver", ContextResolver())
+
+    if isinstance(local_ctx, dict) and "@context" in local_ctx and \
+            isinstance(local_ctx["@context"], list):
+        local_ctx = local_ctx["@context"]
+    ctxs = as_array(local_ctx)
+
+    rval = active_ctx
+
+    # cache lookup on (active uid, frozen local ctx)
+    cache_key = None
+    try:
+        cache_key = (active_ctx._uid, freeze(local_ctx), override_protected,
+                     propagate)
+        cached = resolver.process_cache.get(cache_key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        cache_key = None
+
+    for ctx in ctxs:
+        # null → reset to initial context
+        if ctx is None:
+            if not override_protected and any(active_ctx.protected.values()):
+                raise JsonLdError(
+                    "Tried to nullify a context with protected terms outside "
+                    "of a term definition.", "jsonld.SyntaxError",
+                    code="invalid context nullification")
+            prev = rval
+            rval = ActiveContext(options)
+            rval.processing_mode = active_ctx.processing_mode
+            if propagate is False:
+                rval.previous_context = prev
+            continue
+
+        if isinstance(ctx, dict) and "@context" in ctx:
+            ctx = ctx["@context"]
+        if isinstance(ctx, list):
+            rval = process_context(
+                rval, ctx, options, override_protected=override_protected,
+                propagate=propagate, validate_scoped=validate_scoped,
+                cycles=cycles)
+            continue
+
+        # context URL string
+        if isinstance(ctx, str):
+            resolved_url = _url.prepend_base(options.get("base"), ctx)
+            if resolved_url in cycles:
+                raise JsonLdError(
+                    "Cyclical @context URLs detected.",
+                    "jsonld.ContextUrlError", code="context overflow",
+                    details={"url": resolved_url})
+            if len(cycles) > MAX_CONTEXT_URLS:
+                raise JsonLdError(
+                    "Maximum number of @context URLs exceeded.",
+                    "jsonld.ContextUrlError", code="context overflow")
+            remote = resolver.fetch(resolved_url)
+            remote_ctx = remote.get("@context") if isinstance(remote, dict) \
+                else remote
+            sub_options = dict(options)
+            sub_options["base"] = resolved_url
+            rval = process_context(
+                rval, remote_ctx, sub_options,
+                override_protected=override_protected,
+                propagate=propagate, validate_scoped=validate_scoped,
+                cycles=cycles | {resolved_url})
+            continue
+
+        if not isinstance(ctx, dict):
+            raise JsonLdError(
+                "@context must be an object.", "jsonld.SyntaxError",
+                code="invalid local context", details={"context": ctx})
+
+        rval = _process_one(rval, ctx, options,
+                            override_protected=override_protected,
+                            propagate=propagate, cycles=cycles)
+
+    if cache_key is not None:
+        resolver.process_cache[cache_key] = rval
+    return rval
+
+
+def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
+                 override_protected: bool, propagate: bool,
+                 cycles: frozenset) -> ActiveContext:
+    rval = active_ctx.clone()
+    rval._uid = next(_counter)
+
+    # @propagate
+    if "@propagate" in ctx:
+        v = ctx["@propagate"]
+        if _processing_mode(rval, 1.0):
+            raise JsonLdError(
+                "@propagate not compatible with JSON-LD 1.0.",
+                "jsonld.SyntaxError", code="invalid context entry")
+        if not isinstance(v, bool):
+            raise JsonLdError(
+                "@propagate value must be a boolean.",
+                "jsonld.SyntaxError", code="invalid @propagate value")
+        propagate = v
+    if propagate is False and rval.previous_context is None:
+        rval.previous_context = active_ctx
+
+    # @version
+    if "@version" in ctx:
+        if ctx["@version"] != 1.1:
+            raise JsonLdError(
+                "Unsupported JSON-LD version: " + str(ctx["@version"]),
+                "jsonld.UnsupportedVersion", code="invalid @version value")
+        if options.get("processingMode") == "json-ld-1.0":
+            raise JsonLdError(
+                "@version: 1.1 not compatible with json-ld-1.0",
+                "jsonld.ProcessingModeConflict", code="processing mode conflict")
+        rval.processing_mode = "json-ld-1.1"
+
+    # @import
+    if "@import" in ctx:
+        v = ctx["@import"]
+        if _processing_mode(rval, 1.0):
+            raise JsonLdError(
+                "@import not compatible with JSON-LD 1.0.",
+                "jsonld.SyntaxError", code="invalid context entry")
+        if not isinstance(v, str):
+            raise JsonLdError(
+                "@import must be a string.", "jsonld.SyntaxError",
+                code="invalid @import value")
+        resolver: ContextResolver = options["contextResolver"]
+        import_url = _url.prepend_base(options.get("base"), v)
+        remote = resolver.fetch(import_url)
+        imported = remote.get("@context") if isinstance(remote, dict) else remote
+        if not isinstance(imported, dict):
+            raise JsonLdError(
+                "@import must reference a context.", "jsonld.SyntaxError",
+                code="invalid remote context")
+        if "@import" in imported:
+            raise JsonLdError(
+                "@import must not include @import entry.",
+                "jsonld.SyntaxError", code="invalid context entry")
+        merged = dict(imported)
+        merged.update(ctx)
+        merged.pop("@import", None)
+        ctx = merged
+
+    # @base (context.js:199-216)
+    if "@base" in ctx:
+        base = ctx["@base"]
+        if base is None or _url.is_absolute(base):
+            pass
+        elif isinstance(base, str):
+            base = _url.prepend_base(rval.base, base)
+        else:
+            raise JsonLdError(
+                'the value of "@base" in a @context must be an absolute IRI, '
+                'a relative IRI, or null.', "jsonld.SyntaxError",
+                code="invalid base IRI", details={"context": ctx})
+        rval.original_base = base
+        rval.base = _url.parse_url(base) if isinstance(base, str) else None
+
+    # @vocab
+    if "@vocab" in ctx:
+        value = ctx["@vocab"]
+        if value is None:
+            rval.vocab = None
+        elif not isinstance(value, str):
+            raise JsonLdError(
+                "@vocab must be a string or null.",
+                "jsonld.SyntaxError", code="invalid vocab mapping")
+        elif not _url.is_absolute(value) and _processing_mode(rval, 1.0):
+            raise JsonLdError(
+                "@vocab must be an absolute IRI in JSON-LD 1.0 mode.",
+                "jsonld.SyntaxError", code="invalid vocab mapping")
+        else:
+            rval.vocab = expand_iri(
+                rval, value, vocab=True, base=True, options=options)
+
+    # @language
+    if "@language" in ctx:
+        value = ctx["@language"]
+        if value is None:
+            rval.language = None
+        elif not isinstance(value, str):
+            raise JsonLdError(
+                "@language must be a string or null.",
+                "jsonld.SyntaxError", code="invalid default language")
+        else:
+            rval.language = value.lower()
+
+    # @direction
+    if "@direction" in ctx:
+        value = ctx["@direction"]
+        if _processing_mode(rval, 1.0):
+            raise JsonLdError(
+                "@direction not compatible with JSON-LD 1.0.",
+                "jsonld.SyntaxError", code="invalid context member")
+        if value is None:
+            rval.direction = None
+        elif value not in ("ltr", "rtl"):
+            raise JsonLdError(
+                '@direction must be null, "ltr", or "rtl".',
+                "jsonld.SyntaxError", code="invalid base direction")
+        else:
+            rval.direction = value
+
+    defined: dict[str, bool] = {"@protected": bool(ctx.get("@protected"))}
+    for key in ctx:
+        if key in ("@base", "@direction", "@import", "@language", "@propagate",
+                   "@protected", "@version", "@vocab"):
+            continue
+        create_term_definition(
+            rval, ctx, key, defined, options,
+            override_protected=override_protected)
+
+        # scoped-context pre-validation (reference context.js:380-413)
+        v = ctx[key]
+        if isinstance(v, dict) and "@context" in v:
+            # validation is lazy in our engine: scoped contexts are
+            # validated when applied (expand-time), like invalid nested
+            # contexts only erroring on use.
+            pass
+
+    rval._inverse = None
+    return rval
+
+
+def _processing_mode(active_ctx: ActiveContext, version: float) -> bool:
+    """True if the active context's mode matches `version` (context.js:1457)."""
+    if version >= 1.1:
+        return active_ctx.processing_mode >= "json-ld-1.1"
+    return active_ctx.processing_mode == "json-ld-1.0"
+
+
+processing_mode = _processing_mode
+
+_TERM_DEF_KEYS_11 = frozenset({
+    "@id", "@reverse", "@type", "@language", "@container", "@context",
+    "@direction", "@index", "@nest", "@prefix", "@protected",
+})
+_TERM_DEF_KEYS_10 = frozenset({"@id", "@reverse", "@type", "@language",
+                               "@container"})
+
+
+def create_term_definition(
+    active_ctx: ActiveContext,
+    local_ctx: dict,
+    term: str,
+    defined: dict[str, bool],
+    options: dict,
+    override_protected: bool = False,
+) -> None:
+    """Create one term definition (JSON-LD 1.1 API §4.2;
+    reference lib/context.js:437-940)."""
+    if term in defined:
+        if defined[term]:
+            return
+        raise JsonLdError(
+            "Cyclical context definition detected.",
+            "jsonld.CyclicalContext", code="cyclic IRI mapping",
+            details={"term": term})
+    defined[term] = False
+
+    value = local_ctx[term]
+
+    if term == "@type" and isinstance(value, dict) and \
+            value.get("@container", "@set") == "@set" and \
+            _processing_mode(active_ctx, 1.1):
+        valid_keys = ("@container", "@id", "@protected")
+        if not all(k in valid_keys for k in value):
+            raise JsonLdError(
+                "Keywords cannot be overridden.", "jsonld.SyntaxError",
+                code="keyword redefinition", details={"term": term})
+    elif is_keyword(term):
+        raise JsonLdError(
+            "Keywords cannot be overridden.", "jsonld.SyntaxError",
+            code="keyword redefinition", details={"term": term})
+    elif is_potential_keyword(term):
+        # terms that look like keywords are ignored
+        return
+    elif term == "":
+        raise JsonLdError(
+            "A term cannot be an empty string.", "jsonld.SyntaxError",
+            code="invalid term definition")
+
+    previous = active_ctx.mappings.get(term)
+    was_protected = bool(previous and previous.get("protected"))
+    active_ctx.mappings.pop(term, None)
+
+    simple_term = False
+    if isinstance(value, str) or value is None:
+        simple_term = True
+        value = {"@id": value}
+    if not isinstance(value, dict):
+        raise JsonLdError(
+            "@context term values must be strings or objects.",
+            "jsonld.SyntaxError", code="invalid term definition",
+            details={"term": term})
+
+    mapping: dict[str, Any] = {"reverse": False, "protected": False}
+    active_ctx.mappings[term] = mapping
+
+    valid_keys = _TERM_DEF_KEYS_11 if _processing_mode(active_ctx, 1.1) \
+        else _TERM_DEF_KEYS_10
+    for k in value:
+        if k not in valid_keys:
+            raise JsonLdError(
+                "A term definition contains an unknown entry: " + k,
+                "jsonld.SyntaxError", code="invalid term definition",
+                details={"term": term})
+
+    # @protected
+    if value.get("@protected") or (
+            defined.get("@protected") and value.get("@protected") is not False):
+        active_ctx.protected[term] = True
+        mapping["protected"] = True
+
+    colon = term.find(":", 1)
+    term_has_colon = colon > 0
+    mapping["_termHasColon"] = term_has_colon
+
+    # @reverse
+    if "@reverse" in value:
+        if "@id" in value:
+            raise JsonLdError(
+                "@reverse term definition must not contain @id.",
+                "jsonld.SyntaxError", code="invalid reverse property")
+        if "@nest" in value:
+            raise JsonLdError(
+                "@reverse term definition must not contain @nest.",
+                "jsonld.SyntaxError", code="invalid reverse property")
+        reverse = value["@reverse"]
+        if not isinstance(reverse, str):
+            raise JsonLdError(
+                "@reverse value must be a string.",
+                "jsonld.SyntaxError", code="invalid IRI mapping")
+        if is_potential_keyword(reverse) and not is_keyword(reverse):
+            if previous is not None:
+                active_ctx.mappings[term] = previous
+            else:
+                active_ctx.mappings.pop(term, None)
+            return
+        iri = _expand_iri(active_ctx, reverse, vocab=True, base=False,
+                          local_ctx=local_ctx, defined=defined,
+                          options=options)
+        if not _url.is_absolute(iri):
+            raise JsonLdError(
+                "@reverse value must be an absolute IRI or blank node.",
+                "jsonld.SyntaxError", code="invalid IRI mapping")
+        container = value.get("@container")
+        if container is not None:
+            if container not in ("@set", "@index", None):
+                raise JsonLdError(
+                    "reverse properties only support @set- and "
+                    "@index-containers.", "jsonld.SyntaxError",
+                    code="invalid reverse property")
+            mapping["@container"] = [container]
+        mapping["@id"] = iri
+        mapping["reverse"] = True
+    elif "@id" in value:
+        idv = value["@id"]
+        if idv is None:
+            mapping["@id"] = None
+        elif not isinstance(idv, str):
+            raise JsonLdError(
+                "@id value must be a string.",
+                "jsonld.SyntaxError", code="invalid IRI mapping")
+        elif idv != term:
+            if not is_keyword(idv) and is_potential_keyword(idv):
+                if previous is not None:
+                    active_ctx.mappings[term] = previous
+                else:
+                    active_ctx.mappings.pop(term, None)
+                return
+            iri = _expand_iri(active_ctx, idv, vocab=True, base=False,
+                              local_ctx=local_ctx, defined=defined,
+                              options=options)
+            if not (_url.is_absolute(iri) or is_keyword(iri)):
+                raise JsonLdError(
+                    "@id value must be an absolute IRI, a blank node, "
+                    "or a keyword.", "jsonld.SyntaxError",
+                    code="invalid IRI mapping", details={"term": term})
+            # a term that itself looks like an IRI must expand to its @id
+            if re.search(r"(?::[^:])|/", term):
+                term_defined = dict(defined)
+                term_defined[term] = True
+                term_iri = _expand_iri(
+                    active_ctx, term, vocab=True, base=False,
+                    local_ctx=local_ctx, defined=term_defined,
+                    options=options)
+                if term_iri != iri:
+                    raise JsonLdError(
+                        "term in form of IRI must expand to definition.",
+                        "jsonld.SyntaxError", code="invalid IRI mapping",
+                        details={"term": term})
+            mapping["@id"] = iri
+            # a simple term without a colon whose IRI ends in a gen-delim
+            # may be used as a compact-IRI prefix (context.js:642-644)
+            mapping["_prefix"] = bool(
+                simple_term and not term_has_colon
+                and isinstance(iri, str) and re.search(r"[:/?#\[\]@]$", iri))
+
+    if "@id" not in mapping:
+        # prefix-based or vocab-based IRI (context.js:650-681)
+        if term_has_colon:
+            prefix = term[:colon]
+            if prefix in local_ctx:
+                create_term_definition(active_ctx, local_ctx, prefix, defined,
+                                       options)
+            pdef = active_ctx.mappings.get(prefix)
+            if pdef is not None:
+                mapping["@id"] = pdef["@id"] + term[colon + 1:]
+            else:
+                mapping["@id"] = term
+        elif term == "@type":
+            mapping["@id"] = "@type"
+        else:
+            if active_ctx.vocab is None:
+                raise JsonLdError(
+                    "@context terms must define an @id.",
+                    "jsonld.SyntaxError", code="invalid IRI mapping",
+                    details={"term": term})
+            mapping["@id"] = active_ctx.vocab + term
+
+    # IRI mapping now defined
+    defined[term] = True
+
+    # @type
+    if "@type" in value:
+        type_v = value["@type"]
+        if not isinstance(type_v, str):
+            raise JsonLdError(
+                "@context @type value must be a string.",
+                "jsonld.SyntaxError", code="invalid type mapping")
+        if type_v in ("@json", "@none"):
+            if _processing_mode(active_ctx, 1.0):
+                raise JsonLdError(
+                    f"{type_v} cannot be used in JSON-LD 1.0 mode.",
+                    "jsonld.SyntaxError", code="invalid type mapping")
+        elif type_v not in ("@id", "@vocab"):
+            type_v = _expand_iri(active_ctx, type_v, vocab=True, base=False,
+                                 local_ctx=local_ctx, defined=defined,
+                                 options=options)
+            if not _url.is_absolute(type_v):
+                raise JsonLdError(
+                    "An @context @type value must be an absolute IRI.",
+                    "jsonld.SyntaxError", code="invalid type mapping")
+            if type_v.startswith("_:"):
+                raise JsonLdError(
+                    "An @context @type value must be an IRI, not a "
+                    "blank node.", "jsonld.SyntaxError",
+                    code="invalid type mapping")
+        mapping["@type"] = type_v
+
+    # @container
+    if "@container" in value:
+        container = value["@container"]
+        allowed = ("@list", "@set", "@index", "@language", "@graph", "@id",
+                   "@type")
+        arr = as_array(container)
+        if not all(isinstance(c, str) and c in allowed for c in arr):
+            raise JsonLdError(
+                "@context @container value must be one of @list/@set/@index/"
+                "@language/@graph/@id/@type.", "jsonld.SyntaxError",
+                code="invalid container mapping")
+        has_set = "@set" in arr
+        has_list = "@list" in arr
+        if _processing_mode(active_ctx, 1.0):
+            if len(arr) != 1 or isinstance(container, list):
+                raise JsonLdError(
+                    "@container must be a string in JSON-LD 1.0 mode.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+            if arr[0] in ("@graph", "@id", "@type"):
+                raise JsonLdError(
+                    f"@container {arr[0]} not compatible with JSON-LD 1.0.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+        else:
+            base_set = set(arr) - {"@set"}
+            if has_list and len(arr) != 1:
+                raise JsonLdError(
+                    "@set cannot be combined with @list.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+            if has_set and not base_set <= {"@index", "@graph", "@id",
+                                            "@language", "@type"}:
+                raise JsonLdError(
+                    "@set can only be combined with @index/@graph/@id/"
+                    "@language/@type.", "jsonld.SyntaxError",
+                    code="invalid container mapping")
+            if not has_set and len(base_set) > 2:
+                raise JsonLdError(
+                    "invalid @container combination.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+            if "@graph" in base_set and not base_set <= {"@graph", "@id",
+                                                         "@index"}:
+                raise JsonLdError(
+                    "@graph can only combine with @id or @index.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+            if "@graph" not in base_set and len(base_set) > 1:
+                raise JsonLdError(
+                    "invalid @container combination.",
+                    "jsonld.SyntaxError", code="invalid container mapping")
+        if mapping["reverse"] and not set(arr) <= {"@index", "@set"}:
+            raise JsonLdError(
+                "reverse properties only support @set- and @index-containers.",
+                "jsonld.SyntaxError", code="invalid reverse property")
+        mapping["@container"] = arr
+
+    # @index
+    if "@index" in value:
+        container = as_array(value.get("@container", []))
+        if "@index" not in container:
+            raise JsonLdError(
+                "@index without @index in @container.",
+                "jsonld.SyntaxError", code="invalid term definition")
+        if not isinstance(value["@index"], str) or \
+                value["@index"].startswith("@"):
+            raise JsonLdError(
+                "@index must expand to an IRI.",
+                "jsonld.SyntaxError", code="invalid term definition")
+        mapping["@index"] = value["@index"]
+
+    # @context (scoped)
+    if "@context" in value:
+        mapping["@context"] = value["@context"]
+
+    # @language
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError(
+                "@language must be a string or null.",
+                "jsonld.SyntaxError", code="invalid language mapping")
+        mapping["@language"] = lang.lower() if isinstance(lang, str) else lang
+
+    # @prefix
+    if "@prefix" in value:
+        if ":" in term or "/" in term:
+            raise JsonLdError(
+                "@prefix used on a compact IRI term.",
+                "jsonld.SyntaxError", code="invalid term definition")
+        if is_keyword(mapping.get("@id")):
+            raise JsonLdError(
+                "keywords may not be used as prefixes.",
+                "jsonld.SyntaxError", code="invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError(
+                "@prefix must be boolean.",
+                "jsonld.SyntaxError", code="invalid @prefix value")
+        mapping["_prefix"] = value["@prefix"]
+
+    # @direction
+    if "@direction" in value and "@type" not in value:
+        direction = value["@direction"]
+        if direction is not None and direction not in ("ltr", "rtl"):
+            raise JsonLdError(
+                '@direction must be null, "ltr", or "rtl".',
+                "jsonld.SyntaxError", code="invalid base direction")
+        mapping["@direction"] = direction
+
+    # @nest
+    if "@nest" in value:
+        nest = value["@nest"]
+        if not isinstance(nest, str) or (
+                nest != "@nest" and nest.startswith("@")):
+            raise JsonLdError(
+                '@nest value must be a string which is not a keyword other '
+                'than @nest.', "jsonld.SyntaxError",
+                code="invalid @nest value")
+        mapping["@nest"] = nest
+
+    # disallow aliasing @context/@preserve
+    if mapping.get("@id") in ("@context", "@preserve"):
+        raise JsonLdError(
+            "@context and @preserve cannot be aliased.",
+            "jsonld.SyntaxError", code="invalid keyword alias")
+
+    # protected redefinition check
+    if was_protected and not override_protected:
+        protected_mode = (options or {}).get("protectedMode", "error")
+        cmp = dict(previous)
+        cmp_new = dict(mapping)
+        cmp.pop("protected", None)
+        cmp_new.pop("protected", None)
+        if cmp != cmp_new:
+            if protected_mode == "warn":
+                return
+            raise JsonLdError(
+                "Invalid JSON-LD syntax; tried to redefine a protected term.",
+                "jsonld.SyntaxError", code="protected term redefinition",
+                details={"term": term})
+        mapping["protected"] = True
+        active_ctx.protected[term] = True
+
+
+def expand_iri(active_ctx: ActiveContext, value: Any, base: bool = False,
+               vocab: bool = False, options: dict | None = None) -> Any:
+    """Expand a term/CURIE/relative IRI to an absolute IRI or keyword
+    (JSON-LD 1.1 API §5.2; reference lib/context.js:956-1143)."""
+    return _expand_iri(active_ctx, value, base=base, vocab=vocab,
+                       options=options)
+
+
+def _expand_iri(active_ctx: ActiveContext, value: Any, base: bool = False,
+                vocab: bool = False, local_ctx: dict | None = None,
+                defined: dict | None = None,
+                options: dict | None = None) -> Any:
+    if value is None or not isinstance(value, str) or is_keyword(value):
+        return value
+    # ignore keyword-like values
+    if is_potential_keyword(value):
+        return None
+
+    # create dependent term definitions first
+    if local_ctx is not None and value in local_ctx and \
+            defined is not None and not defined.get(value):
+        create_term_definition(active_ctx, local_ctx, value, defined,
+                               options or {})
+
+    if vocab:
+        mapping = active_ctx.mappings.get(value)
+        if mapping is not None:
+            return mapping["@id"]
+
+    colon = value.find(":", 1)
+    if colon > 0:
+        prefix = value[:colon]
+        suffix = value[colon + 1:]
+        # bnode label or already-absolute with path-like suffix
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if local_ctx is not None and prefix in local_ctx and \
+                defined is not None and not defined.get(prefix):
+            create_term_definition(active_ctx, local_ctx, prefix, defined,
+                                   options or {})
+        pmapping = active_ctx.mappings.get(prefix)
+        if pmapping and pmapping.get("@id") is not None and \
+                pmapping.get("_prefix"):
+            return pmapping["@id"] + suffix
+        if _url.is_absolute(value):
+            return value
+
+    if vocab and active_ctx.vocab is not None:
+        return active_ctx.vocab + value
+    if base:
+        return _url.prepend_base(active_ctx.base, value)
+    return value
+
+
+def get_context_value(active_ctx: ActiveContext, key: str | None,
+                      kind: str) -> Any:
+    """Lookup a term attribute with context defaults
+    (reference lib/context.js:1410-1447)."""
+    if key is None:
+        return None
+    mapping = active_ctx.mappings.get(key)
+    if mapping is not None and kind in mapping:
+        return mapping[kind]
+    if kind == "@language" and active_ctx.language is not None:
+        return active_ctx.language
+    if kind == "@direction" and active_ctx.direction is not None:
+        return active_ctx.direction
+    return None
+
+
+# --- inverse context (for compaction) ---
+
+def _create_inverse_context(active_ctx: ActiveContext) -> tuple[dict, list]:
+    """Build the IRI → container → type/language → term index and the list
+    of CURIE-prefix candidates (reference lib/context.js:1184-1308).
+
+    The reference builds a per-letter trie ("fast CURIE map"); the engine
+    keeps a flat ``[(iri, [terms])]`` candidate list instead — contexts are
+    small and actor-resident, so a linear prefix scan at compaction time is
+    equivalent and cache-friendly.
+    """
+    import functools
+
+    inverse: dict[str, dict] = {}
+    iris_to_terms: dict[str, list[str]] = {}
+    default_language = (active_ctx.language or "@none").lower()
+    default_direction = active_ctx.direction
+
+    terms = sorted(active_ctx.mappings.keys(),
+                   key=functools.cmp_to_key(compare_shortest_least))
+
+    def add_preferred(entry: dict, key: str, term: str) -> None:
+        entry.setdefault(key, term)
+
+    for term in terms:
+        mapping = active_ctx.mappings[term]
+        if mapping is None or mapping.get("@id") is None:
+            continue
+        container = "".join(sorted(mapping.get("@container", ["@none"])))
+        iri = mapping["@id"]
+        if not isinstance(iri, str):
+            continue
+
+        entry = inverse.get(iri)
+        kw = is_keyword(iri)
+        if entry is None:
+            inverse[iri] = entry = {}
+            if not kw and not mapping.get("_termHasColon"):
+                iris_to_terms[iri] = [term]
+        elif not kw and not mapping.get("_termHasColon"):
+            iris_to_terms.setdefault(iri, []).append(term)
+
+        container_map = entry.setdefault(
+            container, {"@language": {}, "@type": {}, "@any": {}})
+        add_preferred(container_map["@any"], "@none", term)
+
+        if mapping.get("reverse"):
+            add_preferred(container_map["@type"], "@reverse", term)
+        elif mapping.get("@type") == "@none":
+            add_preferred(container_map["@any"], "@none", term)
+            add_preferred(container_map["@language"], "@none", term)
+            add_preferred(container_map["@type"], "@none", term)
+        elif "@type" in mapping:
+            add_preferred(container_map["@type"], mapping["@type"], term)
+        elif "@language" in mapping and "@direction" in mapping:
+            lang = mapping["@language"]
+            dir_ = mapping["@direction"]
+            if lang and dir_:
+                add_preferred(container_map["@language"],
+                              f"{lang}_{dir_}".lower(), term)
+            elif lang:
+                add_preferred(container_map["@language"], lang.lower(), term)
+            elif dir_:
+                add_preferred(container_map["@language"], f"_{dir_}", term)
+            else:
+                add_preferred(container_map["@language"], "@null", term)
+        elif "@language" in mapping:
+            add_preferred(container_map["@language"],
+                          (mapping["@language"] or "@null").lower(), term)
+        elif "@direction" in mapping:
+            if mapping["@direction"]:
+                add_preferred(container_map["@language"],
+                              f"_{mapping['@direction']}", term)
+            else:
+                add_preferred(container_map["@language"], "@none", term)
+        elif default_direction:
+            add_preferred(container_map["@language"],
+                          f"_{default_direction}", term)
+            add_preferred(container_map["@language"], "@none", term)
+            add_preferred(container_map["@type"], "@none", term)
+        else:
+            add_preferred(container_map["@language"], default_language, term)
+            add_preferred(container_map["@language"], "@none", term)
+            add_preferred(container_map["@type"], "@none", term)
+
+    curie_candidates = sorted(iris_to_terms.items())
+    return inverse, curie_candidates

@@ -1,0 +1,198 @@
+"""Serialize RDF quads to expanded JSON-LD.
+
+Same semantics as the reference (/root/reference/lib/fromRdf.js:45-347):
+per-graph node maps, referencedOnce tracking, backwards rdf:nil list
+reassembly with well-formedness rules, native-type and @json literal
+conversion, i18n-datatype splitting.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import warnings
+from typing import Any
+
+from .constants import (
+    RDF_FIRST, RDF_JSON_LITERAL, RDF_LIST, RDF_NIL, RDF_REST, RDF_TYPE,
+    XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
+)
+from .errors import JsonLdError
+from .types import is_blank_node, is_subject_reference
+from .util import add_value
+
+REGEX_BCP47 = re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
+
+
+def from_rdf(dataset: list[tuple], options: dict | None = None) -> list:
+    """Quads → expanded JSON-LD (fromRdf.js:45-271)."""
+    options = options or {}
+    use_rdf_type = bool(options.get("useRdfType"))
+    use_native_types = bool(options.get("useNativeTypes"))
+    rdf_direction = options.get("rdfDirection")
+
+    default_graph: dict[str, dict] = {}
+    graph_map: dict[str, dict] = {"@default": default_graph}
+    referenced_once: dict[str, Any] = {}
+
+    for quad in dataset:
+        s_term, p_term, o_term, g_term = quad
+        name = "@default" if g_term[0] == "DefaultGraph" else g_term[1]
+        node_map = graph_map.setdefault(name, {})
+        if name != "@default" and name not in default_graph:
+            default_graph[name] = {"@id": name}
+
+        s = s_term[1]
+        p = p_term[1]
+
+        node = node_map.setdefault(s, {"@id": s})
+
+        object_is_node = o_term[0].endswith("Node")
+        if object_is_node and o_term[1] not in node_map:
+            node_map[o_term[1]] = {"@id": o_term[1]}
+
+        if p == RDF_TYPE and not use_rdf_type and object_is_node:
+            add_value(node, "@type", o_term[1], property_is_array=True)
+            continue
+
+        value = _rdf_to_object(o_term, use_native_types, rdf_direction)
+        add_value(node, p, value, property_is_array=True)
+
+        if object_is_node:
+            if o_term[1] == RDF_NIL:
+                obj_node = node_map[o_term[1]]
+                obj_node.setdefault("usages", []).append(
+                    {"node": node, "property": p, "value": value})
+            elif o_term[1] in referenced_once:
+                referenced_once[o_term[1]] = False
+            else:
+                referenced_once[o_term[1]] = {
+                    "node": node, "property": p, "value": value}
+
+    # convert linked lists to @list arrays (fromRdf.js:186-246)
+    for name, graph_object in graph_map.items():
+        if RDF_NIL not in graph_object:
+            continue
+        nil = graph_object[RDF_NIL]
+        usages = nil.get("usages")
+        if not usages:
+            continue
+        for usage in usages:
+            node = usage["node"]
+            prop = usage["property"]
+            head = usage["value"]
+            list_: list = []
+            list_nodes: list[str] = []
+
+            node_key_count = len(node)
+            while (
+                prop == RDF_REST
+                and isinstance(referenced_once.get(node.get("@id")), dict)
+                and isinstance(node.get(RDF_FIRST), list)
+                and len(node[RDF_FIRST]) == 1
+                and isinstance(node.get(RDF_REST), list)
+                and len(node[RDF_REST]) == 1
+                and (
+                    node_key_count == 3
+                    or (node_key_count == 4
+                        and isinstance(node.get("@type"), list)
+                        and len(node["@type"]) == 1
+                        and node["@type"][0] == RDF_LIST)
+                )
+            ):
+                list_.append(node[RDF_FIRST][0])
+                list_nodes.append(node["@id"])
+                usage = referenced_once[node["@id"]]
+                node = usage["node"]
+                prop = usage["property"]
+                head = usage["value"]
+                node_key_count = len(node)
+                if not is_blank_node(node):
+                    break
+
+            head.pop("@id", None)
+            list_.reverse()
+            head["@list"] = list_
+            for list_node in list_nodes:
+                graph_object.pop(list_node, None)
+        nil.pop("usages", None)
+
+    result = []
+    for subject in sorted(default_graph.keys()):
+        node = default_graph[subject]
+        if subject in graph_map:
+            graph_nodes = node["@graph"] = []
+            graph_object = graph_map[subject]
+            for graph_subject in sorted(graph_object.keys()):
+                gnode = graph_object[graph_subject]
+                gnode.pop("usages", None)
+                if not is_subject_reference(gnode):
+                    graph_nodes.append(gnode)
+        node.pop("usages", None)
+        if not is_subject_reference(node):
+            result.append(node)
+    return result
+
+
+def _rdf_to_object(o: tuple, use_native_types: bool,
+                   rdf_direction: Any) -> dict:
+    """RDF term → JSON-LD value (fromRdf.js:281-347)."""
+    if o[0].endswith("Node"):
+        return {"@id": o[1]}
+
+    _, value, datatype, language = o
+    rval: dict[str, Any] = {"@value": value}
+
+    if language:
+        rval["@language"] = language
+        return rval
+
+    type_ = datatype or XSD_STRING
+    if type_ == RDF_JSON_LITERAL:
+        type_ = "@json"
+        try:
+            rval["@value"] = json.loads(rval["@value"])
+        except Exception as e:
+            raise JsonLdError(
+                "JSON literal could not be parsed.",
+                "jsonld.InvalidJsonLiteral", code="invalid JSON literal",
+                details={"value": rval["@value"]}) from e
+    if use_native_types:
+        v = rval["@value"]
+        if type_ == XSD_BOOLEAN:
+            if v == "true":
+                rval["@value"] = True
+            elif v == "false":
+                rval["@value"] = False
+        elif isinstance(v, str) and _is_numeric(v):
+            if type_ == XSD_INTEGER:
+                try:
+                    i = int(v, 10)
+                    if str(i) == v:
+                        rval["@value"] = i
+                except ValueError:
+                    pass
+            elif type_ == XSD_DOUBLE:
+                rval["@value"] = float(v)
+        if type_ not in (XSD_BOOLEAN, XSD_INTEGER, XSD_DOUBLE, XSD_STRING):
+            rval["@type"] = type_
+    elif rdf_direction == "i18n-datatype" and \
+            type_.startswith("https://www.w3.org/ns/i18n#"):
+        parts = re.split(r"[#_]", type_)
+        lang, direction = parts[1], parts[2]
+        if lang:
+            rval["@language"] = lang
+            if not REGEX_BCP47.match(lang):
+                warnings.warn(f"@language must be valid BCP47: {lang}")
+        rval["@direction"] = direction
+    elif type_ != XSD_STRING:
+        rval["@type"] = type_
+    return rval
+
+
+def _is_numeric(v: str) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False

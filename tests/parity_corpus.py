@@ -1,0 +1,274 @@
+"""Differential-test corpus run through BOTH the reference (node) and the
+engine. Cases cover the operator matrix of SURVEY.md §2 (keyword handling,
+containers, scoped contexts, value coercion, lists, graphs, reverse, nest).
+"""
+
+EX = "http://example.org/"
+
+CASES = [
+    # --- expansion basics ---
+    {"name": "expand-simple-terms", "op": "expand", "input": {
+        "@context": {"name": "http://schema.org/name",
+                     "homepage": {"@id": "http://schema.org/url",
+                                  "@type": "@id"}},
+        "name": "Manu", "homepage": "http://manu.sporny.org/"}},
+    {"name": "expand-id-type", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": "http://a.example/s", "@type": "ex:T", "ex:p": "v"}},
+    {"name": "expand-vocab", "op": "expand", "input": {
+        "@context": {"@vocab": EX}, "p": "v", "q": {"r": 1}}},
+    {"name": "expand-base-relative", "op": "expand",
+     "options": {"base": "http://base.example/dir/doc"},
+     "input": {"@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+               "@id": "child", "p": ["../sib", "/root", "#frag", "?q=1"]}},
+    {"name": "expand-curie", "op": "expand", "input": {
+        "@context": {"ex": EX, "ex:p": {"@type": "@id"}},
+        "ex:p": "http://x.example/", "ex:q": "plain"}},
+    {"name": "expand-keyword-alias", "op": "expand", "input": {
+        "@context": {"id": "@id", "type": "@type", "value": "@value"},
+        "id": EX + "s", "type": EX + "T",
+        EX + "p": {"value": "v", "type": EX + "D"}}},
+    {"name": "expand-null-values", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:p": None, "ex:q": [None, "x", None]}},
+    {"name": "expand-nested-arrays", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:p": [["a", "b"], ["c"]]}},
+    {"name": "expand-numbers", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:int": 42, "ex:float": 2.5, "ex:bool": True,
+        "ex:big": 1.0e22, "ex:neg": -17}},
+    {"name": "expand-language", "op": "expand", "input": {
+        "@context": {"@language": "en", "ex": EX,
+                     "notag": {"@id": EX + "n", "@language": None},
+                     "de": {"@id": EX + "d", "@language": "DE"}},
+        "ex:p": "hello", "notag": "plain", "de": "hallo"}},
+    {"name": "expand-type-coercion", "op": "expand", "input": {
+        "@context": {"date": {"@id": EX + "date",
+                              "@type": "http://www.w3.org/2001/XMLSchema#dateTime"}},
+        "date": "2026-01-01T00:00:00Z"}},
+
+    # --- containers ---
+    {"name": "expand-language-map", "op": "expand", "input": {
+        "@context": {"label": {"@id": EX + "label",
+                               "@container": "@language"}},
+        "label": {"en": "hello", "de": ["hallo", "tag"], "@none": "any"}}},
+    {"name": "expand-index-map", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@container": "@index"}},
+        "p": {"a": {"@id": EX + "1"}, "b": "two"}}},
+    {"name": "expand-id-map", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "p": {"@container": "@id"}},
+        "p": {"http://x.example/a": {"v": 1},
+              "http://x.example/b": {"v": 2}}}},
+    {"name": "expand-type-map", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "p": {"@container": "@type"}},
+        "p": {"T1": {"v": 1}, "T2": {"@id": EX + "n", "v": 2}}}},
+    {"name": "expand-graph-container", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "g": {"@container": "@graph"}},
+        "g": {"p": "v"}}},
+    {"name": "expand-graph-index-container", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "g": {"@container": ["@graph", "@index"]}},
+        "g": {"i1": {"p": "v1"}, "i2": {"p": "v2"}}}},
+    {"name": "expand-list", "op": "expand", "input": {
+        "@context": {"ex": EX, "lst": {"@id": EX + "lst",
+                                       "@container": "@list"}},
+        "lst": ["a", "b"], "ex:anon": {"@list": [1, 2]}}},
+    {"name": "expand-set", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@set": ["a", {"@id": EX + "x"}]}}},
+
+    # --- keywords ---
+    {"name": "expand-reverse", "op": "expand", "input": {
+        "@context": {"ex": EX, "children": {"@reverse": EX + "parent"}},
+        "@id": EX + "s", "children": [{"@id": EX + "c1"}]}},
+    {"name": "expand-reverse-block", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "s",
+        "@reverse": {"ex:parent": {"@id": EX + "c", "ex:name": "child"}}}},
+    {"name": "expand-nest", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "meta": "@nest"},
+        "@id": EX + "s", "meta": {"p": "v", "q": 2}}},
+    {"name": "expand-graph-keyword", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "g",
+        "@graph": [{"@id": EX + "s", "ex:p": "v"}]}},
+    {"name": "expand-included", "op": "expand", "input": {
+        "@context": {"@vocab": EX},
+        "@id": EX + "s", "p": "v",
+        "@included": [{"@id": EX + "t", "q": "w"}]}},
+    {"name": "expand-json-literal", "op": "expand", "input": {
+        "@context": {"j": {"@id": EX + "j", "@type": "@json"}},
+        "j": {"b": 2, "a": [1, True, None], "c": {"y": 1.5, "x": "s"}}}},
+    {"name": "expand-value-language", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": "bonjour", "@language": "FR"},
+        "ex:q": {"@value": 5, "@type": EX + "D"},
+        "ex:r": {"@value": "v", "@index": "i"}}},
+    {"name": "expand-index-keyword", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "s", "@index": "idx", "ex:p": "v"}},
+
+    # --- scoped contexts ---
+    {"name": "expand-property-scoped", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "p": {"@id": EX + "p",
+                           "@context": {"q": EX + "scoped-q"}}},
+        "p": {"q": "v"}}},
+    {"name": "expand-type-scoped", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "T": {"@id": EX + "T",
+                           "@context": {"q": EX + "typed-q"}}},
+        "@type": "T", "q": "v"}},
+    {"name": "expand-protected-override", "op": "expand", "input": {
+        "@context": [{"@protected": True, "p": EX + "p1"},
+                     {"q": EX + "q1"}],
+        "p": "a", "q": "b"}},
+    {"name": "expand-propagate-false", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "T": {"@id": EX + "T",
+                           "@context": {"@propagate": False,
+                                        "q": EX + "tq"}}},
+        "@type": "T", "q": {"q": "inner"}}},
+
+    # --- free-floating / drops ---
+    {"name": "expand-free-floating", "op": "expand", "input": [
+        "scalar", {"@id": EX + "only-id"}, {"@value": "v"},
+        {"@id": EX + "s", "p-unmapped": "x",
+         "@context": {"ex": EX}, "ex:p": "kept"}]},
+    {"name": "expand-unmapped-dropped", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "unmapped": "dropped", "ex:kept": "v"}},
+
+    # --- toRdf ---
+    {"name": "tordf-simple", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s", "@type": "ex:T",
+        "ex:p": "v", "ex:n": 7, "ex:d": 3.25, "ex:b": False}},
+    {"name": "tordf-bnodes", "op": "toRdf", "input": {
+        "@context": {"ex": EX},
+        "ex:knows": [{"ex:name": "A", "ex:knows": {"ex:name": "C"}},
+                     {"ex:name": "B"}]}},
+    {"name": "tordf-lists", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:l": {"@list": [1, "two", {"@id": EX + "three"},
+                           {"@list": ["nested"]}]}}},
+    {"name": "tordf-empty-list", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s", "ex:l": {"@list": []}}},
+    {"name": "tordf-named-graphs", "op": "toRdf", "input": {
+        "@context": {"ex": EX},
+        "@graph": [
+            {"@id": EX + "g1",
+             "@graph": [{"@id": EX + "s", "ex:p": "in-g1"}]},
+            {"@id": EX + "s", "ex:p": "in-default"}]}},
+    {"name": "tordf-langs", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:p": [{"@value": "x", "@language": "en"},
+                 {"@value": "y", "@language": "de-DE"}]}},
+    {"name": "tordf-json-literal", "op": "toRdf", "input": {
+        "@context": {"j": {"@id": EX + "j", "@type": "@json"}},
+        "@id": EX + "s", "j": {"b": [2, False], "a": "str"}}},
+    {"name": "tordf-relative-dropped", "op": "toRdf", "input": {
+        "@context": {"ex": EX},
+        "@id": "relative-subject", "ex:p": "dropped"}},
+    {"name": "tordf-type-bnode", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "@type": "_:t", "ex:p": {"@id": "_:o"}}},
+    {"name": "tordf-double-edge", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:a": 1.0e21, "ex:b": 1e-7, "ex:c": 123456789.123}},
+    {"name": "tordf-shared-bnode-labels", "op": "toRdf", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": "_:x", "ex:p": "1"},
+                   {"@id": "_:x", "ex:q": "2"},
+                   {"ex:r": {"@id": "_:x"}}]}},
+
+    # --- compact ---
+    {"name": "compact-terms", "op": "compact",
+     "input": {"@id": EX + "s",
+               EX + "p": [{"@value": "v"}],
+               EX + "q": [{"@id": EX + "o"}]},
+     "ctx": {"p": EX + "p", "q": {"@id": EX + "q", "@type": "@id"}}},
+    {"name": "compact-curie", "op": "compact",
+     "input": {EX + "sub/path": [{"@value": 1}]},
+     "ctx": {"ex": EX}},
+    {"name": "compact-vocab", "op": "compact",
+     "input": {"@type": [EX + "T"], EX + "p": [{"@value": "v"}]},
+     "ctx": {"@vocab": EX}},
+    {"name": "compact-language-map", "op": "compact",
+     "input": {EX + "label": [{"@value": "hello", "@language": "en"},
+                              {"@value": "hallo", "@language": "de"}]},
+     "ctx": {"label": {"@id": EX + "label", "@container": "@language"}}},
+    {"name": "compact-list", "op": "compact",
+     "input": {EX + "l": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]},
+     "ctx": {"l": {"@id": EX + "l", "@container": "@list"}}},
+    {"name": "compact-index-map", "op": "compact",
+     "input": {EX + "p": [{"@value": "a", "@index": "i1"},
+                          {"@value": "b", "@index": "i2"}]},
+     "ctx": {"p": {"@id": EX + "p", "@container": "@index"}}},
+    {"name": "compact-base", "op": "compact",
+     "options": {"base": "http://base.example/dir/"},
+     "input": {"@id": "http://base.example/dir/child",
+               EX + "p": [{"@id": "http://base.example/other"}]},
+     "ctx": {"p": {"@id": EX + "p", "@type": "@id"}}},
+    {"name": "compact-keyword-alias", "op": "compact",
+     "input": {"@id": EX + "s", "@type": [EX + "T"],
+               EX + "p": [{"@value": "v", "@language": "en"}]},
+     "ctx": {"id": "@id", "type": "@type", "ex": EX}},
+    {"name": "compact-reverse", "op": "compact",
+     "input": {"@id": EX + "s",
+               "@reverse": {EX + "parent": [{"@id": EX + "c"}]}},
+     "ctx": {"children": {"@reverse": EX + "parent", "@type": "@id"}}},
+    {"name": "compact-graph-container", "op": "compact",
+     "input": {EX + "g": [{"@graph": [{EX + "p": [{"@value": "v"}]}]}]},
+     "ctx": {"@vocab": EX, "g": {"@container": "@graph"}}},
+
+    # --- flatten ---
+    {"name": "flatten-nested", "op": "flatten", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "s",
+        "ex:p": {"@id": EX + "o", "ex:q": {"ex:r": "deep"}}}},
+    {"name": "flatten-with-ctx", "op": "flatten", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"ex:q": "v"}},
+     "ctx": {"ex": EX}},
+
+    # --- frame ---
+    {"name": "frame-basic", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [
+            {"@id": EX + "lib", "@type": "ex:Library",
+             "ex:contains": {"@id": EX + "book"}},
+            {"@id": EX + "book", "@type": "ex:Book",
+             "ex:title": "T"}]},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:Library",
+               "ex:contains": {"@type": "ex:Book"}}},
+    {"name": "frame-wildcard", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": EX + "a", "ex:p": "1"},
+                   {"@id": EX + "b", "ex:p": "2"}]},
+     "frame": {"@context": {"ex": EX}}},
+
+    # --- merge ---
+    {"name": "merge-two-docs", "op": "merge", "input": [
+        {"@context": {"ex": EX}, "@id": EX + "s", "ex:p": "a",
+         "ex:b": {"ex:inner": 1}},
+        {"@context": {"ex": EX}, "@id": EX + "s", "ex:p": "b",
+         "ex:b": {"ex:inner": 2}}]},
+
+    # --- error cases ---
+    {"name": "err-colliding-keywords", "op": "expand", "input": {
+        "@context": {"id1": "@id", "id2": "@id"},
+        "id1": EX + "a", "id2": EX + "b"}},
+    {"name": "err-invalid-value-object", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": "v", "@type": EX + "T", "@language": "en"}}},
+    {"name": "err-invalid-id", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": 17, "ex:p": "v"}},
+    {"name": "err-keyword-redefine", "op": "expand", "input": {
+        "@context": {"@id": EX + "bad"}, EX + "p": "v"}},
+    {"name": "err-cyclic-context", "op": "expand", "input": {
+        "@context": {"a": "b:x", "b": "a:y"}, "a:1": "v"}},
+    {"name": "err-list-of-lists-ok-11", "op": "expand", "input": {
+        "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+        "l": [["a"], ["b"]]}},
+]

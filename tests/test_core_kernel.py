@@ -1,0 +1,193 @@
+"""Unit tests for the pure-Python kernel: URL resolution, JCS, N-Quads,
+IdentifierIssuer, URDNA2015, fromRDF (including the reference's own
+fixture pair tests/fromRdf-0001-{in.nq,out.jsonld})."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from jsonld_js_ray import api
+from jsonld_js_ray.core import canonize as canonize_mod
+from jsonld_js_ray.core import jcs, nquads, url
+from jsonld_js_ray.core.to_rdf import double_canonical
+from jsonld_js_ray.core.util import IdentifierIssuer, add_value, compare_values
+
+REF = "/root/reference"
+
+
+# --- URL / IRI (reference lib/url.js semantics) ---
+
+@pytest.mark.parametrize("base,rel,expected", [
+    ("http://a/b/c/d;p?q", "g", "http://a/b/c/g"),
+    ("http://a/b/c/d;p?q", "./g", "http://a/b/c/g"),
+    ("http://a/b/c/d;p?q", "g/", "http://a/b/c/g/"),
+    ("http://a/b/c/d;p?q", "/g", "http://a/g"),
+    ("http://a/b/c/d;p?q", "//g", "http://g"),
+    ("http://a/b/c/d;p?q", "?y", "http://a/b/c/d;p?y"),
+    ("http://a/b/c/d;p?q", "g?y", "http://a/b/c/g?y"),
+    ("http://a/b/c/d;p?q", "#s", "http://a/b/c/d;p?q#s"),
+    ("http://a/b/c/d;p?q", "g#s", "http://a/b/c/g#s"),
+    ("http://a/b/c/d;p?q", "", "http://a/b/c/d;p?q"),
+    ("http://a/b/c/d;p?q", ".", "http://a/b/c/"),
+    ("http://a/b/c/d;p?q", "..", "http://a/b/"),
+    ("http://a/b/c/d;p?q", "../g", "http://a/b/g"),
+    ("http://a/b/c/d;p?q", "../..", "http://a/"),
+    ("http://a/b/c/d;p?q", "../../g", "http://a/g"),
+    ("http://a/b/c/d;p?q", "http://x/y", "http://x/y"),
+])
+def test_prepend_base_rfc3986(base: str, rel: str, expected: str) -> None:
+    assert url.prepend_base(base, rel) == expected
+
+
+def test_remove_base() -> None:
+    assert url.remove_base("http://a/b/", "http://a/b/c") == "c"
+    assert url.remove_base("http://a/b/c", "http://a/b/d") == "d"
+    assert url.remove_base("http://a/b/", "http://other/x") == \
+        "http://other/x"
+
+
+def test_is_absolute() -> None:
+    assert url.is_absolute("http://a/b")
+    assert url.is_absolute("_:b0")
+    assert url.is_absolute("urn:x")
+    assert not url.is_absolute("relative/path")
+    assert not url.is_absolute("http://bad space")
+
+
+# --- JCS / number formatting ---
+
+def test_jcs_sorted_and_escaped() -> None:
+    assert jcs.canonicalize({"b": 1, "a": "x\ny"}) == '{"a":"x\\ny","b":1}'
+    assert jcs.canonicalize([1.5, True, None, "é"]) == '[1.5,true,null,"é"]'
+
+
+@pytest.mark.parametrize("num,expected", [
+    (1, "1"), (5.0, "5"), (2.5, "2.5"), (1e21, "1e+21"),
+    (1e-7, "1e-7"), (-0.0, "0"), (10.0, "10"),
+])
+def test_jcs_numbers(num, expected) -> None:
+    assert jcs.es_number_to_string(num) == expected
+
+
+@pytest.mark.parametrize("num,expected", [
+    (2.5, "2.5E0"), (5.5e21, "5.5E21"), (1e21, "1.0E21"),
+    (1.0e-7, "1.0E-7"), (123456789.123, "1.23456789123E8"),
+    (-3.25, "-3.25E0"),
+])
+def test_double_canonical(num, expected) -> None:
+    assert double_canonical(num) == expected
+
+
+# --- IdentifierIssuer ---
+
+def test_identifier_issuer_first_seen_order() -> None:
+    issuer = IdentifierIssuer("_:b")
+    assert issuer.get_id("x") == "_:b0"
+    assert issuer.get_id("y") == "_:b1"
+    assert issuer.get_id("x") == "_:b0"
+    assert issuer.get_id() == "_:b2"  # anonymous, not recorded
+    assert issuer.get_old_ids() == ["x", "y"]
+    clone = issuer.clone()
+    assert clone.get_id("x") == "_:b0"
+    assert clone.get_id("z") == "_:b3"
+    assert issuer.get_id("z") == "_:b3"
+
+
+# --- value helpers ---
+
+def test_compare_values() -> None:
+    assert compare_values("a", "a")
+    assert not compare_values(True, 1)  # JS === distinguishes these
+    assert not compare_values(1, True)
+    assert compare_values({"@value": "v", "@language": "en"},
+                          {"@value": "v", "@language": "en"})
+    assert not compare_values({"@value": "v"}, {"@value": "v", "@type": "t"})
+    assert compare_values({"@id": "x"}, {"@id": "x", "other": 1})
+
+
+def test_add_value_dedup() -> None:
+    subj: dict = {}
+    add_value(subj, "p", "a", property_is_array=True)
+    add_value(subj, "p", "a", property_is_array=True, allow_duplicate=False)
+    add_value(subj, "p", "b", property_is_array=True, allow_duplicate=False)
+    assert subj == {"p": ["a", "b"]}
+
+
+# --- N-Quads ---
+
+def test_nquads_roundtrip() -> None:
+    quads = [
+        (("NamedNode", "http://e/s"), ("NamedNode", "http://e/p"),
+         ("Literal", 'say "hi"\n', "http://www.w3.org/2001/XMLSchema#string",
+          None), ("DefaultGraph", "")),
+        (("BlankNode", "_:b0"), ("NamedNode", "http://e/p"),
+         ("Literal", "x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+          "en-us"), ("NamedNode", "http://e/g")),
+    ]
+    text = nquads.serialize(quads)
+    parsed = nquads.parse(text)
+    assert sorted(parsed) == sorted(quads)
+
+
+def test_nquads_comments_fixture() -> None:
+    """The reference's local fromRdf manifest test #t0007
+    (tests/manifest.jsonld:45-50)."""
+    with open(os.path.join(REF, "tests/fromRdf-0001-in.nq")) as f:
+        nq = f.read()
+    with open(os.path.join(REF, "tests/fromRdf-0001-out.jsonld")) as f:
+        expected = json.load(f)
+    result = api.from_rdf(nq)
+    assert result == expected
+
+
+# --- URDNA2015 ---
+
+def test_canonize_deterministic_across_input_label_permutations() -> None:
+    doc_a = {"@context": {"ex": "http://example.org/"},
+             "@graph": [{"@id": "_:x", "ex:p": {"@id": "_:y"}},
+                        {"@id": "_:y", "ex:p": {"@id": "_:x"}}]}
+    doc_b = {"@context": {"ex": "http://example.org/"},
+             "@graph": [{"@id": "_:m", "ex:p": {"@id": "_:n"}},
+                        {"@id": "_:n", "ex:p": {"@id": "_:m"}}]}
+    assert api.canonize(doc_a) == api.canonize(doc_b)
+
+
+def test_canonize_symmetric_cycle_needs_ndegree() -> None:
+    # two structurally identical bnodes — requires hash-N-degree tiebreak
+    doc = {"@context": {"ex": "http://example.org/"},
+           "@graph": [
+               {"@id": "_:a", "ex:p": [{"@id": "_:b"}]},
+               {"@id": "_:b", "ex:p": [{"@id": "_:a"}]},
+           ]}
+    out = api.canonize(doc)
+    assert "_:c14n0" in out and "_:c14n1" in out
+    # stable across repeated runs
+    assert out == api.canonize(doc)
+
+
+def test_canonize_nquads_input() -> None:
+    nq = ('_:z <http://e/p> _:q .\n'
+          '_:q <http://e/p> "v" .\n')
+    out = api.canonize(nq, {"inputFormat": "application/n-quads"})
+    # labels are hash-ordered; structure must be preserved and stable
+    assert out == ('_:c14n0 <http://e/p> _:c14n1 .\n'
+                   '_:c14n1 <http://e/p> "v" .\n')
+    relabeled = nq.replace("_:z", "_:k").replace("_:q", "_:j")
+    assert api.canonize(
+        relabeled, {"inputFormat": "application/n-quads"}) == out
+
+
+# --- fromRdf round-trip through toRdf ---
+
+def test_tordf_fromrdf_roundtrip() -> None:
+    doc = {"@context": {"ex": "http://example.org/"},
+           "@id": "http://example.org/s",
+           "ex:list": {"@list": [1, "two"]},
+           "ex:val": {"@value": "x", "@language": "en"}}
+    quads = api.to_rdf(doc)
+    back = api.from_rdf(quads)
+    quads2 = api.to_rdf(back, {"skipExpansion": True})
+    assert canonize_mod.canonize(quads) == canonize_mod.canonize(quads2)
