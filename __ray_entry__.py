@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported; nothing
+here (or in jsonld_js_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``        — flagship KG pipeline on sf0.001, returns the quad
+                       Dataset.
+- ``queries()``      — one callable per implemented operator/pipeline
+                       (SURVEY.md §2); each takes ``sf_dir``.
+- ``oracle_sql()``   — DuckDB-equivalent SQL per query (same column
+                       names/value forms; the driver hash-compares).
 """
 
 from __future__ import annotations
@@ -20,25 +18,100 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: events→transcripts→JSON-LD docs→expand→toRDF→URDNA2015
+    canonical quads, on /root/testdata/sf0.001."""
+    from jsonld_js_ray.pipelines.kg import build_quads
+
+    return build_quads("/root/testdata/sf0.001")
+
+
+def _q_transcripts(sf_dir: str):
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+
+    return read_transcripts(sf_dir)
+
+
+def _q_kg_quads(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads
+
+    return build_quads(sf_dir)
+
+
+def _q_kg_quads_with_mentions(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+
+    return build_quads_with_mentions(sf_dir)
+
+
+def _q_kg_quad_stats(sf_dir: str):
+    import pandas as pd
+
+    from jsonld_js_ray.pipelines.kg import build_quads
+
+    def per_pred(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pred": [g["pred"].iloc[0]],
+            "n": [len(g)],
+            "n_subj": [g["subj"].nunique()],
+        })
+
+    return build_quads(sf_dir).groupby("pred").map_groups(
+        per_pred, batch_format="pandas")
+
+
+def _q_kg_mentions(sf_dir: str):
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    return detect_mentions(read_transcripts(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "surface"])
+
+
+def _q_kg_entities(sf_dir: str):
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.entity_merge import surface_stats
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    return surface_stats(detect_mentions(read_transcripts(sf_dir)))
+
+
+def _q_kg_entities_canonical(sf_dir: str):
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.entity_merge import canonicalize_entities
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    return canonicalize_entities(detect_mentions(read_transcripts(sf_dir)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": _q_transcripts,
+        "kg_quads": _q_kg_quads,
+        "kg_quads_with_mentions": _q_kg_quads_with_mentions,
+        "kg_quad_stats": _q_kg_quad_stats,
+        "kg_mentions": _q_kg_mentions,
+        "kg_entities": _q_kg_entities,
+        "kg_entities_canonical": _q_kg_entities_canonical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonld_js_ray.pipelines.oracle import (
+        ENTITIES_ORACLE_SQL,
+        KG_QUADS_ORACLE_SQL,
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+        TRANSCRIPTS_ORACLE_SQL,
+        TRIPLE_STATS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.linker import MENTIONS_SQL
+
+    return {
+        "transcripts": TRANSCRIPTS_ORACLE_SQL,
+        "kg_quads": KG_QUADS_ORACLE_SQL,
+        "kg_quads_with_mentions": KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+        "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
+        "kg_mentions": MENTIONS_SQL,
+        "kg_entities": ENTITIES_ORACLE_SQL,
+        # kg_entities_canonical: min-hash LSH merge — not SQL-expressible;
+        # driver records the weaker rows-only check.
+    }

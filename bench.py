@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines on $GRAFT_SF_DIR (default sf0.1) with
+ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the headline pipeline in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency = T(8)/T(32)/4 (sandbox stand-in for the N vs 4N
+cluster-size rule — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _warm_cache(sf_dir: str) -> None:
+    for name in ("events", "documents", "embeddings"):
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from jsonld_js_ray.pipelines.kg import build_quads, build_quads_with_mentions
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.entity_merge import surface_stats
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    _warm_cache(SF_DIR)
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # headline: flagship transcripts → canonical RDF quads
+    t0 = time.perf_counter()
+    n_quads = build_quads(SF_DIR, concurrency=(1, NUM_CPUS)).count()
+    headline = time.perf_counter() - t0
+    queries["kg_quads"] = round(headline, 3)
+
+    t0 = time.perf_counter()
+    n_turns = read_transcripts(SF_DIR).count()
+    queries["transcripts"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    build_quads_with_mentions(
+        SF_DIR, concurrency=(1, NUM_CPUS)).count()
+    queries["kg_quads_with_mentions"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()
+    queries["kg_entities"] = round(time.perf_counter() - t0, 3)
+
+    # optional training-data ops (present from later milestones)
+    try:
+        from jsonld_js_ray.pipelines.training_data import bench_queries
+        for name, fn in bench_queries().items():
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            queries[name] = round(time.perf_counter() - t0, 3)
+    except ImportError:
+        pass
+
+    extras["quads"] = n_quads
+    extras["turns"] = n_turns
+    extras["triples_per_sec"] = round(n_quads / headline, 1)
+    extras["turns_per_sec"] = round(n_turns / headline, 1)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_quads pipeline wall time (events->transcripts->"
+                  "JSON-LD->expand->toRDF->URDNA2015 quads)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True, timeout=3600,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = run(lo_n)
+    hi = run(hi_n)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    return {
+        "metric": "scaling efficiency kg_quads",
+        "sf": SF_DIR,
+        "num_cpus_lo": lo_n, "num_cpus_hi": hi_n,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "triples_per_sec_lo": lo.get("triples_per_sec"),
+        "triples_per_sec_hi": hi.get("triples_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

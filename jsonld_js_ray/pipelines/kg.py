@@ -1,0 +1,196 @@
+"""Flagship KG-construction pipeline: transcripts → JSON-LD → RDF quads.
+
+Stages (all lazy Ray Data; the streaming executor pipelines them):
+
+  read_parquet(events)                      — column-pruned read
+    → groupby(user_id).map_groups(          — THE one shuffle: turn
+        derive_and_assemble_events_group)     derivation + doc assembly
+    → map_batches(ToRdfActor, actors)       — expand + nodeMap + toRDF +
+                                              URDNA2015 per conversation
+    → quad table (Arrow)                    — FIXTURES.md §2 schema
+
+``run_kg_pipeline`` adds the resumable partitioned sink with lineage.
+Never calls ray.init (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Any
+
+from ..stages.assemble import derive_and_assemble_events_group
+from ..stages.to_rdf_stage import QUAD_SCHEMA, ToRdfActor  # noqa: F401
+from ..state import checkpoint as ckpt
+
+
+def assemble_docs(sf_dir: str, files: list[str] | None = None):
+    """events parquet → (conv_id, n_turns, doc_json) Dataset."""
+    import ray.data as rd
+
+    paths = files or [f"{sf_dir}/events.parquet"]
+    events = rd.read_parquet(
+        paths, columns=["event_id", "ts", "user_id", "event_type", "props"])
+    return events.groupby("user_id").map_groups(
+        derive_and_assemble_events_group, batch_format="pyarrow")
+
+
+def build_quads(sf_dir: str, files: list[str] | None = None,
+                concurrency: int | None = None,
+                batch_size: int = 256,
+                canonicalize: bool = True):
+    """Full lazy pipeline: events → docs → canonical quad Dataset.
+
+    ``concurrency`` sizes the ToRdf actor pool; None lets Ray autoscale.
+    ``batch_size`` counts CONVERSATIONS per batch (a conversation is one
+    row after assembly) — moderate so one giant conversation cannot stall
+    a block (SURVEY.md §4.3 stragglers row).
+    """
+    docs = assemble_docs(sf_dir, files)
+    kwargs: dict[str, Any] = {
+        "batch_format": "pyarrow",
+        "batch_size": batch_size,
+        "fn_constructor_kwargs": {"canonicalize": canonicalize},
+    }
+    kwargs["concurrency"] = concurrency if concurrency else (1, 8)
+    return docs.map_batches(ToRdfActor, **kwargs)
+
+
+def _derive_link_assemble(group, mapping_ref=None):
+    """Fused map_groups fn: one user's events → turns → mention detection
+    + entity linking (canonical mapping broadcast via ray.put) → doc with
+    ``mentions`` IRIs. Duplicate mentions per turn collapse in the node
+    map (addValue allowDuplicate=False), like the reference."""
+    import re
+
+    import ray
+
+    from ..sources.transcripts import derive_turns_from_events
+    from ..stages.assemble import ENTITY_NS, assemble_group
+    from ..stages.linker import MENTION_PATTERN
+
+    mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
+    pattern = re.compile(MENTION_PATTERN)
+
+    turns = derive_turns_from_events(group)
+    mentions_by_turn: dict[int, list[str]] = {}
+    for turn_idx, text in zip(turns["turn_idx"].to_pylist(),
+                              turns["text"].to_pylist()):
+        iris = []
+        seen = set()
+        for token in pattern.findall(text or ""):
+            surface = token.lower()
+            canonical = mapping.get(surface, surface)
+            if canonical not in seen:
+                seen.add(canonical)
+                iris.append(ENTITY_NS + canonical)
+        if iris:
+            mentions_by_turn[turn_idx] = iris
+
+    return assemble_group_with_mentions(turns, mentions_by_turn)
+
+
+def assemble_group_with_mentions(turns, mentions_by_turn):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assemble import assemble_conversation
+
+    g = turns.take(pc.sort_indices(turns,
+                                   sort_keys=[("turn_idx", "ascending")]))
+    conv_id = g["conv_id"][0].as_py()
+    cols = g.to_pydict()
+    turn_rows = [
+        {"turn_idx": cols["turn_idx"][i], "role": cols["role"][i],
+         "text": cols["text"][i], "tool": cols["tool"][i],
+         "ts": cols["ts"][i]}
+        for i in range(g.num_rows)
+    ]
+    doc = assemble_conversation(conv_id, turn_rows, mentions_by_turn)
+    return pa.table({
+        "conv_id": pa.array([conv_id], pa.string()),
+        "n_turns": pa.array([len(turn_rows)], pa.int32()),
+        "doc_json": pa.array(
+            [json.dumps(doc, ensure_ascii=False, default=str)],
+            pa.large_string()),
+    })
+
+
+def build_quads_with_mentions(sf_dir: str,
+                              canonical_mapping: dict | None = None,
+                              concurrency: int | None = None,
+                              batch_size: int = 256):
+    """Flagship + entity linking: mention IRIs embedded per turn.
+
+    ``canonical_mapping`` (surface → canonical surface, from the min-hash
+    merge) is broadcast once with ray.put and read per task — never
+    re-shipped per batch.
+    """
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"])
+    mapping_ref = ray.put(canonical_mapping) if canonical_mapping else None
+    fn = functools.partial(_derive_link_assemble, mapping_ref=mapping_ref)
+    docs = events.groupby("user_id").map_groups(fn, batch_format="pyarrow")
+    kwargs: dict[str, Any] = {
+        "batch_format": "pyarrow",
+        "batch_size": batch_size,
+        "concurrency": concurrency if concurrency else (1, 8),
+    }
+    return docs.map_batches(ToRdfActor, **kwargs)
+
+
+def run_kg_pipeline(sf_dir: str, out_dir: str,
+                    concurrency: int | None = None,
+                    batch_size: int = 256,
+                    resume: bool = True) -> dict:
+    """Execute the flagship pipeline with a resumable partitioned sink.
+
+    Shard = one input events file (resume unit; 100 TB inputs are many
+    files). Output: ``out_dir/shard=N/part-*.parquet`` + per-shard
+    lineage JSON. Returns run metrics.
+    """
+    files = sorted(glob.glob(f"{sf_dir}/events.parquet")
+                   or glob.glob(f"{sf_dir}/events/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no events parquet under {sf_dir}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = {"shards_total": len(files), "shards_skipped": 0,
+               "rows": 0, "quads": 0, "wall_ms": 0}
+
+    for shard_id, path in enumerate(files):
+        fp = ckpt.fingerprint_inputs([path])
+        if resume and ckpt.is_shard_done(out_dir, shard_id, fp):
+            metrics["shards_skipped"] += 1
+            continue
+        t0 = time.perf_counter()
+        quads = build_quads(sf_dir, files=[path], concurrency=concurrency,
+                            batch_size=batch_size)
+
+        rec = ckpt.ShardRecord(
+            shard_id=shard_id, inputs=[path], input_fingerprint=fp,
+            rows=0, quads=0, wall_ms=0)
+
+        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0) -> None:
+            quads.write_parquet(tmp_dir)
+            # count written quads from file metadata (stream stayed lazy)
+            import pyarrow.parquet as pq
+            n = 0
+            for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
+                n += pq.ParquetFile(f).metadata.num_rows
+            rec.quads = n
+            rec.wall_ms = int((time.perf_counter() - t0) * 1000)
+
+        ckpt.write_shard_atomic(out_dir, shard_id, write, rec)
+        metrics["quads"] += rec.quads
+        metrics["wall_ms"] += rec.wall_ms
+    return metrics

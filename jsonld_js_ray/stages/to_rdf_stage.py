@@ -1,0 +1,133 @@
+"""ExpandToRdf actor stage: JSON-LD docs → Arrow quad batches.
+
+THE flagship per-document map (SURVEY.md §2.1 toRDF row): a callable
+class for ``map_batches(..., concurrency=N)`` — an actor pool whose
+per-worker state is the processed-context cache (the reference's
+resolved-context LRU, lib/jsonld.js:86-89, lives per actor here).
+
+Per document: expand → node map → quads (lib/toRdf.js semantics) →
+URDNA2015 canonical blank-node labels → conv-scoped label namespace
+(`_:{fp}-c14nN`, following the reference's per-doc `_:b{i}-` relabel
+precedent in merge, lib/jsonld.js:805-807) so labels are globally unique
+across the cluster while staying deterministic per conversation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+import pyarrow as pa
+
+from ..core import canonize as _canonize
+from ..core import context as _ctx
+from ..core import expand as _expand
+from ..core import to_rdf as _to_rdf
+
+QUAD_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj_kind", pa.string()),       # 'iri' | 'bnode' | 'literal'
+    ("obj_value", pa.large_string()),
+    ("obj_datatype", pa.string()),   # None unless literal
+    ("obj_lang", pa.string()),       # None unless rdf:langString
+    ("graph", pa.string()),          # '@default' or graph IRI / bnode
+    ("conv_id", pa.string()),
+])
+
+
+def conv_fingerprint(conv_id: str) -> str:
+    return hashlib.sha1(conv_id.encode("utf-8")).hexdigest()[:10]
+
+
+def _namespace_label(label: str, fp: str) -> str:
+    return f"_:{fp}-{label[2:]}"
+
+
+class ToRdfActor:
+    """(conv_id, doc_json) batches → quad-table batches."""
+
+    def __init__(self, canonicalize: bool = True,
+                 namespace_bnodes: bool = True,
+                 rdf_direction: str | None = None) -> None:
+        self.canonicalize = canonicalize
+        self.namespace_bnodes = namespace_bnodes
+        # per-actor caches, warm across batches
+        self.resolver = _ctx.ContextResolver(cache={})
+        self.options: dict[str, Any] = {
+            "base": "",
+            "processingMode": "json-ld-1.1",
+            "contextResolver": self.resolver,
+            "rdfDirection": rdf_direction,
+        }
+        self._initial_ctx = _ctx.ActiveContext(self.options)
+
+    def doc_to_quads(self, doc: Any, conv_id: str) -> list[tuple]:
+        active_ctx = self._initial_ctx
+        expanded = _expand.expand(active_ctx, doc, None, self.options)
+        if isinstance(expanded, dict) and len(expanded) == 1 and \
+                "@graph" in expanded:
+            expanded = expanded["@graph"]
+        if expanded is None:
+            expanded = []
+        if not isinstance(expanded, list):
+            expanded = [expanded]
+        quads = _to_rdf.to_rdf(expanded, self.options)
+        if self.canonicalize:
+            quads = _canonize.relabel_dataset(quads)
+        if self.namespace_bnodes:
+            fp = conv_fingerprint(conv_id)
+            quads = [
+                tuple(
+                    ("BlankNode", _namespace_label(t[1], fp))
+                    if t[0] == "BlankNode" else t
+                    for t in q
+                )
+                for q in quads
+            ]
+        return quads
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        docs = batch["doc_json"].to_pylist()
+
+        subj: list[str] = []
+        pred: list[str] = []
+        obj_kind: list[str] = []
+        obj_value: list[str] = []
+        obj_datatype: list[str | None] = []
+        obj_lang: list[str | None] = []
+        graph: list[str] = []
+        out_conv: list[str] = []
+
+        for conv_id, doc_json in zip(conv_ids, docs):
+            doc = json.loads(doc_json)
+            for q in self.doc_to_quads(doc, conv_id):
+                s, p, o, g = q
+                subj.append(s[1])
+                pred.append(p[1])
+                if o[0] == "Literal":
+                    obj_kind.append("literal")
+                    obj_value.append(o[1])
+                    obj_datatype.append(o[2])
+                    obj_lang.append(o[3])
+                else:
+                    obj_kind.append("bnode" if o[0] == "BlankNode"
+                                    else "iri")
+                    obj_value.append(o[1])
+                    obj_datatype.append(None)
+                    obj_lang.append(None)
+                graph.append("@default" if g[0] == "DefaultGraph" else g[1])
+                out_conv.append(conv_id)
+
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj_kind": pa.array(obj_kind, pa.string()),
+            "obj_value": pa.array(obj_value, pa.large_string()),
+            "obj_datatype": pa.array(obj_datatype, pa.string()),
+            "obj_lang": pa.array(obj_lang, pa.string()),
+            "graph": pa.array(graph, pa.string()),
+            "conv_id": pa.array(out_conv, pa.string()),
+        })
