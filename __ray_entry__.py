@@ -84,7 +84,10 @@ def _q_kg_entities_canonical(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from jsonld_js_ray.pipelines import training_data as td
+
     return {
+        # KG construction (flagship)
         "transcripts": _q_transcripts,
         "kg_quads": _q_kg_quads,
         "kg_quads_with_mentions": _q_kg_quads_with_mentions,
@@ -92,6 +95,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_entities": _q_kg_entities,
         "kg_entities_canonical": _q_kg_entities_canonical,
+        # training-data ops
+        "dedup_exact": td.q_dedup_exact,
+        "dedup_minhash": td.q_dedup_minhash,
+        "dedup_simhash": td.q_dedup_simhash,
+        "dedup_embedding": td.q_dedup_embedding,
+        "knn_brute": td.q_knn_brute,
+        "knn_lsh": td.q_knn_lsh,
+        "text_stats": td.q_text_stats,
+        "lang_id": td.q_lang_id,
+        "quality": td.q_quality,
+        "fingerprint": td.q_fingerprint,
+        "multimodal_features": td.q_multimodal_features,
     }
 
 
@@ -103,7 +118,10 @@ def oracle_sql() -> dict[str, str]:
         TRANSCRIPTS_ORACLE_SQL,
         TRIPLE_STATS_ORACLE_SQL,
     )
+    from jsonld_js_ray.stages.dedup import DEDUP_EXACT_SQL
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
+    from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
+    from jsonld_js_ray.stages.text import LANG_ID_SQL, TEXT_STATS_SQL
 
     return {
         "transcripts": TRANSCRIPTS_ORACLE_SQL,
@@ -112,6 +130,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
         "kg_mentions": MENTIONS_SQL,
         "kg_entities": ENTITIES_ORACLE_SQL,
-        # kg_entities_canonical: min-hash LSH merge — not SQL-expressible;
-        # driver records the weaker rows-only check.
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "knn_brute": KNN_BRUTE_SQL,
+        "text_stats": TEXT_STATS_SQL,
+        "lang_id": LANG_ID_SQL,
+        # No oracle (not SQL-expressible → driver rows-only check):
+        #   kg_entities_canonical  (min-hash LSH merge)
+        #   dedup_minhash / dedup_simhash / dedup_embedding (LSH/sketch)
+        #   knn_lsh (approximate), quality (float scores),
+        #   fingerprint (rolling-hash winnowing),
+        #   multimodal_features (synthetic binary decode)
     }

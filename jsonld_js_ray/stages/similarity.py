@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``knn_brute``: exact cosine top-k. The query matrix is broadcast once
+  (ray.put); every batch computes one numpy matmul and emits its LOCAL
+  top-k per query (per-batch partial top-k — the pre-aggregation), then a
+  single small groupby(query_id) merges partials into the global top-k.
+  Rank output only (no float scores) so the DuckDB oracle can compare
+  exactly.
+
+- ``knn_lsh``: random-hyperplane LSH — signature buckets prune the
+  candidate set; exact rerank inside candidates. The scale path (IVF-like
+  bucketing); approximate → rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_K = 10
+N_QUERIES = 5          # query set = vec_id < N_QUERIES (deterministic)
+LSH_BITS = 6
+
+
+def _query_matrix(embeddings, n_queries: int):
+    tbl = embeddings.to_pandas()
+    tbl = tbl[tbl["vec_id"] < n_queries].sort_values("vec_id")
+    ids = tbl["vec_id"].astype(int).to_numpy()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
+    return ids, mat
+
+
+class BruteTopK:
+    """map_batches fn (plain function-style state via ray.put ref):
+    emits per-batch partial top-k rows (query_id, vec_id, score)."""
+
+    def __init__(self, ref, k: int) -> None:
+        self.ref = ref
+        self.k = k
+        self._cache = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._cache is None:
+            self._cache = ray.get(self.ref)
+        q_ids, q_mat = self._cache
+
+        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch["embedding"].to_pylist()])
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = q_mat @ vecs.T                          # (Q, b)
+
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(q_ids):
+            row = sims[qi]
+            # exclude self-match
+            valid = vec_ids != qid
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-row[idx], kind="stable")[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(int(vec_ids[i]) for i in top)
+            out_s.extend(float(row[i]) for i in top)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_brute(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES):
+    """embeddings Dataset → (query_id, rank, vec_id) exact top-k."""
+    import functools
+
+    import pandas as pd
+    import ray
+
+    ids_mat = _query_matrix(embeddings, n_queries)
+    ref = ray.put(ids_mat)
+    partial = embeddings.map_batches(
+        BruteTopK(ref, k), batch_format="pyarrow", batch_size=4096)
+
+    def merge(g: pd.DataFrame, k: int = k) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64"),
+            "rank": np.arange(1, len(g) + 1, dtype="int64"),
+            "vec_id": g["vec_id"].astype("int64"),
+        })
+
+    return partial.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+
+
+KNN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.q_emb, e.embedding) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+# --- LSH variant ---
+
+def _hyperplanes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
+    rng = np.random.RandomState(1234)      # fixed seed: deterministic
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0]))
+    return (bits @ weights).astype(np.int64)
+
+
+def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
+            probe_hamming: int = 1):
+    """Approximate top-k: signature buckets (+ multi-probe within
+    ``probe_hamming`` bit flips) → exact rerank inside candidates."""
+    import pandas as pd
+    import ray
+
+    q_ids, q_mat = _query_matrix(embeddings, n_queries)
+    dim = q_mat.shape[1]
+    planes = _hyperplanes(dim)
+    q_sigs = lsh_signature(q_mat, planes)
+
+    # probe set per query: own bucket + hamming-1 neighbors
+    probe: dict[int, set[int]] = {}
+    for qid, sig in zip(q_ids, q_sigs):
+        buckets = {int(sig)}
+        if probe_hamming >= 1:
+            for b in range(LSH_BITS):
+                buckets.add(int(sig) ^ (1 << b))
+        probe[int(qid)] = buckets
+    ref = ray.put((q_ids, q_mat, planes, probe))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        qi, qm, pl, pr = _ray.get(ref)
+        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch["embedding"].to_pylist()])
+        nvecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sigs = lsh_signature(nvecs, pl)
+        out_q, out_v, out_s = [], [], []
+        sims = qm @ nvecs.T
+        for qidx, qid in enumerate(qi):
+            in_bucket = np.array(
+                [int(s) in pr[int(qid)] for s in sigs])
+            mask = in_bucket & (vec_ids != qid)
+            for i in np.nonzero(mask)[0]:
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(sims[qidx, i]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    cands = embeddings.map_batches(candidates, batch_format="pyarrow",
+                                   batch_size=4096)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64"),
+            "rank": np.arange(1, len(g) + 1, dtype="int64"),
+            "vec_id": g["vec_id"].astype("int64"),
+        })
+
+    return cands.groupby("query_id").map_groups(merge,
+                                                batch_format="pandas")

@@ -1,0 +1,234 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+stats, language-ID (stopword n-gram heuristic), document fingerprinting.
+
+Hot paths are vectorized: tokenization via pyarrow ``split_pattern`` +
+list kernels, per-language stopword hits via flattened ``is_in`` +
+``np.bincount`` on parent indices — no per-row Python in the common case.
+
+Integer outputs (counts, argmax labels) are oracle-checked against DuckDB
+SQL mirrors; float scores are separate rows-only queries (float bit
+equality across engines is not contract-able).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_SPLIT = r"\s+"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "mit", "von", "ist",
+           "auf"],
+    "fr": ["le", "la", "les", "et", "un", "une", "de", "est", "pour",
+           "avec"],
+    "es": ["el", "la", "los", "y", "un", "una", "de", "es", "para", "con"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]   # deterministic tie-break order
+
+PUNCT_CHARS = ".,;:!?'\"()-"
+
+
+def _token_lists(texts: pa.Array) -> pa.Array:
+    """string array → list<string> of lowercase whitespace tokens."""
+    lowered = pc.utf8_lower(texts)
+    return pc.split_pattern_regex(lowered, pattern=TOKEN_SPLIT)
+
+
+def _hits_per_row(tokens: pa.Array, vocab: list[str],
+                  n_rows: int) -> np.ndarray:
+    """Vectorized per-row count of tokens in vocab (flatten + bincount)."""
+    combined = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) \
+        else tokens
+    flat = pc.list_flatten(combined)
+    parents = pc.list_parent_indices(combined)
+    mask = pc.is_in(flat, value_set=pa.array(vocab))
+    hit_parents = pc.filter(parents, mask)
+    return np.bincount(hit_parents.to_numpy(zero_copy_only=False),
+                       minlength=n_rows).astype(np.int64)
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → integer stats row per doc (oracle-checkable)."""
+    texts = batch["text"]
+    n = batch.num_rows
+    tokens = _token_lists(texts)
+    n_tokens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+
+    # distinct tokens per row
+    combined = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) \
+        else tokens
+    flat = pc.list_flatten(combined).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(combined).to_numpy(
+        zero_copy_only=False)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        pairs = np.unique(
+            np.stack([parents,
+                      np.unique(flat, return_inverse=True)[1]], axis=1),
+            axis=0)
+        counts = np.bincount(pairs[:, 0], minlength=n)
+        n_distinct = counts.astype(np.int64)
+
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+    n_stop = _hits_per_row(tokens, STOPWORDS["en"], n)
+    # punctuation characters per doc
+    n_punct = np.zeros(n, dtype=np.int64)
+    texts_py = texts.to_pylist()
+    punct = set(PUNCT_CHARS)
+    for i, t in enumerate(texts_py):
+        if t:
+            n_punct[i] = sum(ch in punct for ch in t)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens.astype("int64")),
+        "n_chars_engine": pa.array(n_chars.astype("int64")),
+        "n_distinct": pa.array(n_distinct),
+        "n_stop_en": pa.array(n_stop),
+        "n_punct": pa.array(n_punct),
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-language stopword hits + argmax label.
+
+    Tie-break: LANG_PRIORITY order (mirrored in the SQL oracle's CASE)."""
+    n = batch.num_rows
+    tokens = _token_lists(batch["text"])
+    hits = {lang: _hits_per_row(tokens, words, n)
+            for lang, words in STOPWORDS.items()}
+    label = np.full(n, "", dtype=object)
+    best = np.full(n, -1, dtype=np.int64)
+    for lang in LANG_PRIORITY:
+        better = hits[lang] > best
+        label[better] = lang
+        best = np.maximum(best, hits[lang])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "c_en": pa.array(hits["en"]),
+        "c_de": pa.array(hits["de"]),
+        "c_fr": pa.array(hits["fr"]),
+        "c_es": pa.array(hits["es"]),
+        "lang_pred": pa.array(list(label), pa.string()),
+    })
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Float quality score in [0,1] (rows-only; see module docstring)."""
+    stats = text_stats_batch(batch)
+    n_tokens = stats["n_tokens"].to_numpy()
+    n_chars = stats["n_chars_engine"].to_numpy()
+    n_distinct = stats["n_distinct"].to_numpy()
+    n_stop = stats["n_stop_en"].to_numpy()
+    n_punct = stats["n_punct"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        length_score = np.minimum(1.0, n_tokens / 50.0)
+        diversity = np.where(n_tokens > 0, n_distinct / np.maximum(
+            n_tokens, 1), 0.0)
+        stop_ratio = np.where(n_tokens > 0,
+                              n_stop / np.maximum(n_tokens, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0,
+                               n_punct / np.maximum(n_chars, 1), 0.0)
+    score = (0.3 * length_score + 0.3 * diversity
+             + 0.2 * np.minimum(stop_ratio * 5, 1.0)
+             + 0.2 * (1.0 - np.minimum(punct_ratio * 10, 1.0)))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "quality": pa.array(np.round(score, 6)),
+    })
+
+
+class Fingerprinter:
+    """Winnowing-style document fingerprint: rolling (Karp-Rabin) hashes
+    over char w-grams, keep the minimum hash per window of size ``win``
+    → sorted distinct fingerprint set, digested to one hex id.
+
+    Actor-pool stage: constants precomputed once per worker."""
+
+    W = 8        # char-gram width
+    WIN = 16     # winnowing window
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def __init__(self) -> None:
+        self.pow_w = pow(self.BASE, self.W - 1, self.MOD)
+
+    def fingerprint(self, text: str) -> str:
+        import hashlib
+
+        data = text.encode("utf-8")
+        n = len(data)
+        if n < self.W:
+            return hashlib.md5(data).hexdigest()[:16]
+        hashes = np.empty(n - self.W + 1, dtype=np.uint64)
+        h = 0
+        for i in range(self.W):
+            h = (h * self.BASE + data[i]) % self.MOD
+        hashes[0] = h
+        for i in range(1, n - self.W + 1):
+            h = ((h - data[i - 1] * self.pow_w) * self.BASE
+                 + data[i + self.W - 1]) % self.MOD
+            hashes[i] = h
+        # min per sliding window (vectorized via stride tricks)
+        if len(hashes) <= self.WIN:
+            mins = np.array([hashes.min()], dtype=np.uint64)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+            mins = sliding_window_view(hashes, self.WIN).min(axis=1)
+        selected = np.unique(mins)
+        digest = hashlib.md5(selected.tobytes()).hexdigest()[:16]
+        return digest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [self.fingerprint(t or "") for t in texts], pa.string()),
+        })
+
+
+# --- SQL oracles ---
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+           AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_engine,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+')))
+           AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+            t -> t IN ('the','a','and','of','to','in','is','on','for',
+                       'with'))) AS BIGINT) AS n_stop_en,
+       CAST(length(text) - length(
+            regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS BIGINT)
+           AS n_punct
+FROM documents
+"""
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"CAST(len(list_filter(regexp_extract_all(lower(text), "
+            f"'\\S+'), t -> t IN ({words}))) AS BIGINT)")
+
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_lang_count_sql('en')} AS c_en,
+         {_lang_count_sql('de')} AS c_de,
+         {_lang_count_sql('fr')} AS c_fr,
+         {_lang_count_sql('es')} AS c_es
+  FROM documents
+)
+SELECT doc_id, c_en, c_de, c_fr, c_es,
+       CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""

@@ -1,0 +1,218 @@
+"""Tests for dedup / similarity / text-analysis / multimodal stages.
+
+Synthetic corpora with PLANTED duplicates and neighbors — the sf tables
+have no duplicate text, so these tests exercise the merge paths that the
+oracle equality checks cannot."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")           # high jaccard
+    far = "completely different words about databases and query engines"
+    rows = [
+        (0, base), (1, base),          # exact dup pair
+        (2, near),                     # near dup of 0/1
+        (3, far), (4, far + " extra"),  # near pair
+        (5, "tiny"),
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    from jsonld_js_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 5                      # 6 docs, one exact dup pair
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and int(dup["keep_doc_id"].iloc[0]) == 0
+
+
+def test_minhash_lsh_dedup_clusters_near_dups(docs_ds):
+    from jsonld_js_ray.stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(docs_ds, threshold=0.5).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_id[1] == 0                       # exact dup joins doc 0
+    assert by_id[2] == 0                       # near dup joins doc 0
+    assert by_id[3] not in (0,)                # unrelated stays apart
+    keep = set(out[out["keep"]]["doc_id"])
+    assert 0 in keep and 1 not in keep and 2 not in keep
+
+
+def test_simhash_dedup_exact_pair(docs_ds):
+    from jsonld_js_ray.stages.dedup import simhash64, simhash_dedup
+
+    assert simhash64("a b c") == simhash64("a b c")
+    out = simhash_dedup(docs_ds, max_hamming=3).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_id[1] == 0                       # identical text, hamming 0
+
+
+def test_ngram_jaccard_kernel():
+    from jsonld_js_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdef", "abcdxf") < 1.0
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(16)
+    vecs = [base, base * 2.0,                      # same direction → dup
+            base + rng.standard_normal(16) * 2.0,  # different
+            -base]                                  # opposite
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    out = embedding_dedup(ds, threshold=0.95).to_pandas()
+    by_id = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert by_id[1] == 0 and by_id[2] == 2 and by_id[3] == 3
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_brute
+
+    rng = np.random.RandomState(42)
+    mat = rng.standard_normal((50, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    out = knn_brute(ds, k=5, n_queries=2).to_pandas()
+    # numpy reference (float32 input cast, like the stage does)
+    m = mat.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = m @ m[q]
+        sims[q] = -np.inf
+        expect = list(np.argsort(-sims, kind="stable")[:5])
+        got = list(out[out["query_id"] == q].sort_values("rank")["vec_id"])
+        assert got == expect
+
+
+def test_knn_lsh_subset_of_brute(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_lsh
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((200, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    out = knn_lsh(ds, k=5, n_queries=2).to_pandas()
+    assert set(out["query_id"]) <= {0, 1}
+    for q in set(out["query_id"]):
+        ranks = list(out[out["query_id"] == q].sort_values("rank")["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_text_stats_and_lang_id(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import lang_id_batch, text_stats_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "The cat and the dog, in a house!",
+            "der hund und die katze ist auf dem tisch",
+            "le chat est pour la maison avec un chien",
+        ], pa.string()),
+    })
+    stats = text_stats_batch(tbl).to_pydict()
+    assert stats["n_tokens"][0] == 8
+    assert stats["n_stop_en"][0] == 5            # the, and, the, in, a
+    assert stats["n_punct"][0] == 2              # comma + bang
+    langs = lang_id_batch(tbl).to_pydict()
+    assert langs["lang_pred"] == ["en", "de", "fr"]
+
+
+def test_quality_and_fingerprint(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import Fingerprinter, quality_score_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "a rich and varied document with many different useful words "
+            "for the reader to enjoy in moderation",
+            "x x x x x x",
+        ], pa.string()),
+    })
+    q = quality_score_batch(tbl).to_pydict()
+    assert q["quality"][0] > q["quality"][1]
+
+    fp = Fingerprinter()
+    a = fp.fingerprint("some reasonably long text for fingerprinting here")
+    b = fp.fingerprint("some reasonably long text for fingerprinting here")
+    c = fp.fingerprint("entirely other content that shares nothing at all")
+    assert a == b != c
+
+
+def test_multimodal_decode_and_resize(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.multimodal import (
+        FrameSampleActor, ImageDecodeActor, ImageResizeActor,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(n_items=8, seed=3)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(ImageDecodeActor, batch_format="pyarrow",
+                           batch_size=4, concurrency=1).to_pandas()
+    assert len(feats) == 8
+    assert (feats["width"] >= 8).all() and (feats["channels"] == 3).all()
+    assert feats["mean_r"].between(0, 255).all()
+
+    resized = ds.map_batches(ImageResizeActor, batch_format="pyarrow",
+                             batch_size=4, concurrency=1)
+    feats2 = resized.map_batches(ImageDecodeActor, batch_format="pyarrow",
+                                 batch_size=4, concurrency=1).to_pandas()
+    assert (feats2["width"] == 16).all() and (feats2["height"] == 16).all()
+
+    frames = ds.map_batches(FrameSampleActor, batch_format="pyarrow",
+                            batch_size=4, concurrency=1).to_pandas()
+    assert frames.groupby("item_id").size().min() >= 2
+
+    # strict mode documents the stub honestly
+    with pytest.raises(NotImplementedError):
+        ImageDecodeActor(strict=True)
+
+
+def test_multimodal_synth_deterministic():
+    from jsonld_js_ray.stages.multimodal import synthesize_media_table
+
+    assert synthesize_media_table(4, seed=9).equals(
+        synthesize_media_table(4, seed=9))
