@@ -83,6 +83,18 @@ def _q_kg_entities_canonical(sf_dir: str):
     return canonicalize_entities(detect_mentions(read_transcripts(sf_dir)))
 
 
+def _q_kg_quads_roundtrip(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import roundtrip_quads
+
+    return roundtrip_quads(sf_dir)
+
+
+def _q_kg_compact_roundtrip(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import compact_roundtrip_turn_counts
+
+    return compact_roundtrip_turn_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from jsonld_js_ray.pipelines import training_data as td
 
@@ -95,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_entities": _q_kg_entities,
         "kg_entities_canonical": _q_kg_entities_canonical,
+        "kg_quads_roundtrip": _q_kg_quads_roundtrip,
+        "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         # training-data ops
         "dedup_exact": td.q_dedup_exact,
         "dedup_minhash": td.q_dedup_minhash,
@@ -130,6 +144,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
         "kg_mentions": MENTIONS_SQL,
         "kg_entities": ENTITIES_ORACLE_SQL,
+        # lossless distributed fromRDF∘toRDF round-trip → same quad table
+        "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
+        "kg_compact_roundtrip": (
+            "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + ") "
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns "
+            "FROM transcripts GROUP BY conv_id"),
         "dedup_exact": DEDUP_EXACT_SQL,
         "knn_brute": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,

@@ -32,7 +32,7 @@ class ActiveContext:
     __slots__ = (
         "mappings", "base", "original_base", "vocab", "language", "direction",
         "processing_mode", "previous_context", "protected", "_inverse", "_uid",
-        "_fast_curie",
+        "_fast_curie", "_iri_cache",
     )
 
     def __init__(self, options: dict | None = None) -> None:
@@ -49,6 +49,7 @@ class ActiveContext:
         self.protected: dict[str, bool] = {}
         self._inverse: dict | None = None
         self._fast_curie: dict | None = None
+        self._iri_cache: dict = {}
         self._uid = next(_counter)
 
     def clone(self) -> "ActiveContext":
@@ -62,6 +63,7 @@ class ActiveContext:
         child.processing_mode = self.processing_mode
         child.previous_context = self.previous_context
         child.protected = dict(self.protected)
+        child._iri_cache = {}
         return child
 
     def get_inverse(self) -> dict:
@@ -731,6 +733,25 @@ def _expand_iri(active_ctx: ActiveContext, value: Any, base: bool = False,
                 options: dict | None = None) -> Any:
     if value is None or not isinstance(value, str) or is_keyword(value):
         return value
+
+    # memoize on the (immutable-after-processing) active context; only
+    # safe outside term-definition creation (local_ctx is None then)
+    if local_ctx is None:
+        cached = active_ctx._iri_cache.get((value, vocab, base))
+        if cached is not None:
+            return cached[0]
+        rval = _expand_iri_uncached(active_ctx, value, base, vocab, options)
+        active_ctx._iri_cache[(value, vocab, base)] = (rval,)
+        return rval
+    return _expand_iri_uncached(active_ctx, value, base, vocab, options,
+                                local_ctx, defined)
+
+
+def _expand_iri_uncached(active_ctx: ActiveContext, value: str,
+                         base: bool = False, vocab: bool = False,
+                         options: dict | None = None,
+                         local_ctx: dict | None = None,
+                         defined: dict | None = None) -> Any:
     # ignore keyword-like values
     if is_potential_keyword(value):
         return None

@@ -77,6 +77,11 @@ def _graph_to_rdf(dataset: list, graph: dict, graph_term: Term,
     rdf_direction = options.get("rdfDirection")
     for id_ in sorted(graph.keys()):
         node = graph[id_]
+        # relative-IRI subjects produce no quads (checked per item in the
+        # reference, toRdf.js:108-111 — invariant per node, hoisted here)
+        subject_ok = is_absolute(id_)
+        subject: Term = (
+            "BlankNode" if id_.startswith("_:") else "NamedNode", id_)
         for prop in sorted(node.keys()):
             items = node[prop]
             if prop == "@type":
@@ -84,20 +89,19 @@ def _graph_to_rdf(dataset: list, graph: dict, graph_term: Term,
             elif is_keyword(prop):
                 continue
 
+            if not subject_ok:
+                continue
+            # relative-IRI / bnode predicate checks (toRdf.js:119-128),
+            # invariant per property
+            if not is_absolute(prop):
+                continue
+            pred_is_bnode = prop.startswith("_:")
+            if pred_is_bnode and not produce_generalized:
+                continue
+            predicate: Term = (
+                "BlankNode" if pred_is_bnode else "NamedNode", prop)
+
             for item in items:
-                if not is_absolute(id_):
-                    continue
-                subject: Term = (
-                    "BlankNode" if id_.startswith("_:") else "NamedNode", id_)
-
-                if not is_absolute(prop):
-                    continue
-                pred_is_bnode = prop.startswith("_:")
-                if pred_is_bnode and not produce_generalized:
-                    continue
-                predicate: Term = (
-                    "BlankNode" if pred_is_bnode else "NamedNode", prop)
-
                 obj = _object_to_rdf(item, issuer, dataset, graph_term,
                                      rdf_direction)
                 if obj is not None:

@@ -170,9 +170,20 @@ def remove_base(base: str | ParsedUrl | None, iri: str) -> str:
     return rval if rval != "" else "./"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _is_absolute_cached(v: str) -> bool:
+    return _ABSOLUTE_RE.match(v) is not None
+
+
 def is_absolute(v: object) -> bool:
-    """Weak absolute-IRI check; also true for blank-node ids (url.js:291-301)."""
-    return isinstance(v, str) and _ABSOLUTE_RE.match(v) is not None
+    """Weak absolute-IRI check; also true for blank-node ids (url.js:291-301).
+
+    Memoized: pipeline IRIs come from small vocabularies, so the regex
+    runs once per distinct string."""
+    return isinstance(v, str) and _is_absolute_cached(v)
 
 
 def is_relative(v: object) -> bool:

@@ -109,6 +109,12 @@ def has_value(subject: dict, prop: str, value: Any) -> bool:
     is_list = _t.is_list(val)
     if is_list or isinstance(val, list):
         items = val["@list"] if is_list else val
+        # fast path: subject references dedup on @id alone (hot in
+        # node-map construction)
+        if isinstance(value, dict) and len(value) == 1 and "@id" in value:
+            vid = value["@id"]
+            return any(isinstance(it, dict) and it.get("@id") == vid
+                       and "@id" in it for it in items)
         return any(compare_values(value, item) for item in items)
     if not isinstance(value, list):
         return compare_values(value, val)

@@ -25,11 +25,19 @@ from ..stages.to_rdf_stage import QUAD_SCHEMA, ToRdfActor  # noqa: F401
 from ..state import checkpoint as ckpt
 
 
+def _event_files(sf_dir: str) -> list[str]:
+    files = sorted(glob.glob(f"{sf_dir}/events.parquet")
+                   or glob.glob(f"{sf_dir}/events/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no events parquet under {sf_dir}")
+    return files
+
+
 def assemble_docs(sf_dir: str, files: list[str] | None = None):
     """events parquet → (conv_id, n_turns, doc_json) Dataset."""
     import ray.data as rd
 
-    paths = files or [f"{sf_dir}/events.parquet"]
+    paths = files or _event_files(sf_dir)
     events = rd.read_parquet(
         paths, columns=["event_id", "ts", "user_id", "event_type", "props"])
     return events.groupby("user_id").map_groups(
@@ -37,24 +45,39 @@ def assemble_docs(sf_dir: str, files: list[str] | None = None):
 
 
 def build_quads(sf_dir: str, files: list[str] | None = None,
-                concurrency: int | None = None,
+                concurrency: int | tuple | None = None,
                 batch_size: int = 256,
-                canonicalize: bool = True):
+                canonicalize: bool = True,
+                compute: str = "tasks"):
     """Full lazy pipeline: events → docs → canonical quad Dataset.
 
-    ``concurrency`` sizes the ToRdf actor pool; None lets Ray autoscale.
-    ``batch_size`` counts CONVERSATIONS per batch (a conversation is one
-    row after assembly) — moderate so one giant conversation cannot stall
-    a block (SURVEY.md §4.3 stragglers row).
+    ``compute='tasks'`` (default) runs the ToRdf stage as elastic tasks
+    with a per-worker-process singleton holding the context caches —
+    measured 2-3x faster than an autoscaling actor pool at this state
+    size (see stages/to_rdf_stage.to_rdf_task_fn). ``compute='actors'``
+    uses an explicit pool (for expensive per-worker state); NEVER size a
+    fixed pool to the whole cluster — it starves the upstream shuffle.
+
+    ``batch_size`` counts CONVERSATIONS per batch (one row each after
+    assembly) — moderate so a giant conversation cannot stall a block
+    (SURVEY.md §4.3 stragglers row).
     """
+    import functools
+
+    from ..stages.to_rdf_stage import to_rdf_task_fn
+
     docs = assemble_docs(sf_dir, files)
-    kwargs: dict[str, Any] = {
-        "batch_format": "pyarrow",
-        "batch_size": batch_size,
-        "fn_constructor_kwargs": {"canonicalize": canonicalize},
-    }
-    kwargs["concurrency"] = concurrency if concurrency else (1, 8)
-    return docs.map_batches(ToRdfActor, **kwargs)
+    if compute == "actors":
+        kwargs: dict[str, Any] = {
+            "batch_format": "pyarrow",
+            "batch_size": batch_size,
+            "fn_constructor_kwargs": {"canonicalize": canonicalize},
+            "concurrency": concurrency if concurrency else (1, 8),
+        }
+        return docs.map_batches(ToRdfActor, **kwargs)
+    fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize)
+    return docs.map_batches(fn, batch_format="pyarrow",
+                            batch_size=batch_size)
 
 
 def _derive_link_assemble(group, mapping_ref=None):
@@ -137,15 +160,17 @@ def build_quads_with_mentions(sf_dir: str,
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"])
+    from ..stages.to_rdf_stage import to_rdf_task_fn
+
     mapping_ref = ray.put(canonical_mapping) if canonical_mapping else None
     fn = functools.partial(_derive_link_assemble, mapping_ref=mapping_ref)
     docs = events.groupby("user_id").map_groups(fn, batch_format="pyarrow")
-    kwargs: dict[str, Any] = {
-        "batch_format": "pyarrow",
-        "batch_size": batch_size,
-        "concurrency": concurrency if concurrency else (1, 8),
-    }
-    return docs.map_batches(ToRdfActor, **kwargs)
+    if concurrency is not None:
+        return docs.map_batches(
+            ToRdfActor, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+    return docs.map_batches(to_rdf_task_fn, batch_format="pyarrow",
+                            batch_size=batch_size)
 
 
 def run_kg_pipeline(sf_dir: str, out_dir: str,
@@ -158,10 +183,7 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
     files). Output: ``out_dir/shard=N/part-*.parquet`` + per-shard
     lineage JSON. Returns run metrics.
     """
-    files = sorted(glob.glob(f"{sf_dir}/events.parquet")
-                   or glob.glob(f"{sf_dir}/events/*.parquet"))
-    if not files:
-        raise FileNotFoundError(f"no events parquet under {sf_dir}")
+    files = _event_files(sf_dir)
 
     os.makedirs(out_dir, exist_ok=True)
     metrics = {"shards_total": len(files), "shards_skipped": 0,
@@ -194,3 +216,62 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
         metrics["quads"] += rec.quads
         metrics["wall_ms"] += rec.wall_ms
     return metrics
+
+
+def roundtrip_quads(sf_dir: str):
+    """fromRDF∘toRDF round-trip, distributed: quad table →
+    groupby(conv_id) → per-conversation fromRDF (list reassembly needs
+    the whole graph in one group, SURVEY.md §2.1 fromRDF row) → toRDF →
+    quad table again. Oracle: identical to kg_quads (lossless round
+    trip on the flagship corpus)."""
+    import pyarrow as pa
+
+    from ..core.from_rdf import from_rdf as core_from_rdf
+    from ..core.to_rdf import to_rdf as core_to_rdf
+    from ..sources.nquads_io import rows_to_terms, terms_to_rows
+
+    quads = build_quads(sf_dir)
+
+    def per_conv(group: pa.Table) -> pa.Table:
+        conv_id = group["conv_id"][0].as_py()
+        terms = rows_to_terms(group)
+        expanded = core_from_rdf(terms, {})
+        quads2 = core_to_rdf(expanded, {})
+        return terms_to_rows(quads2, conv_id)
+
+    return quads.groupby("conv_id").map_groups(per_conv,
+                                               batch_format="pyarrow")
+
+
+def compact_roundtrip_turn_counts(sf_dir: str):
+    """Distributed compact∘expand round-trip over the assembled docs:
+    each doc is compacted against the transcript context, re-expanded,
+    and its hasTurn count emitted. Oracle: turns per conversation from
+    the transcripts CTE."""
+    import json
+
+    import pyarrow as pa
+
+    from .. import api as _api
+    from ..stages.assemble import TRANSCRIPT_CONTEXT
+
+    docs = assemble_docs(sf_dir)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        out_n = []
+        for doc_json in batch["doc_json"].to_pylist():
+            doc = json.loads(doc_json)
+            expanded = _api.expand(doc)
+            compacted = _api.compact(expanded, TRANSCRIPT_CONTEXT)
+            re_expanded = _api.expand(compacted)
+            turns = re_expanded[0].get(
+                "https://w3id.org/conv#hasTurn", [])
+            out_n.append(len(turns))
+        return pa.table({
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "n_turns": pa.array(out_n, pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=256)

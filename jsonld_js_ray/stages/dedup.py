@@ -53,21 +53,17 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
 
 
 def exact_dedup(docs):
-    """documents Dataset → (content_hash, keep_doc_id, n_dups)."""
-    import pandas as pd
+    """documents Dataset → (content_hash, keep_doc_id, n_dups).
+
+    Vectorized reduce (groupby().aggregate), not per-group Python — a
+    per-group map_groups here costs ~1ms × |distinct hashes|."""
+    from ray.data.aggregate import Count, Min
 
     hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow",
                               batch_size=8192)
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "content_hash": [g["content_hash"].iloc[0]],
-            "keep_doc_id": [int(g["doc_id"].min())],
-            "n_dups": [len(g)],
-        })
-
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas")
+    return hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"))
 
 
 DEDUP_EXACT_SQL = """
@@ -87,13 +83,25 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+# universal-hash permutation constants: h_p(x) = (A_p·x + B_p) mod P.
+# A < 2^29 keeps A·x + B < 2^62 inside uint64 (x is a 32-bit crc).
+_MH_PRIME = np.uint64((1 << 61) - 1)
+_mh_rng = np.random.RandomState(0xC0FFEE)
+_MH_A = (_mh_rng.randint(1, 1 << 28, size=NUM_PERMS).astype(np.uint64)
+         * np.uint64(2) + np.uint64(1))
+_MH_B = _mh_rng.randint(0, 1 << 61, size=NUM_PERMS).astype(np.uint64)
+
+
 def minhash_sig(text: str) -> np.ndarray:
+    """64-perm MinHash via one crc32 per shingle + a vectorized
+    universal-hash matrix (no per-permutation Python loop)."""
     sh = word_shingles(text)
     if not sh:
         return np.zeros(NUM_PERMS, dtype=np.uint64)
-    crcs = np.array([[_crc(g, p + 1) for g in sh]
-                     for p in range(NUM_PERMS)], dtype=np.uint64)
-    return crcs.min(axis=1)
+    base = np.array([zlib.crc32(g.encode("utf-8")) for g in sh],
+                    dtype=np.uint64)
+    vals = (_MH_A[:, None] * base[None, :] + _MH_B[:, None]) % _MH_PRIME
+    return vals.min(axis=1)
 
 
 class MinHashStage:
@@ -111,13 +119,46 @@ class MinHashStage:
             for b in range(BANDS):
                 chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
                 out_band.append(b)
-                out_hash.append(_crc(",".join(map(str, chunk)), 77 + b))
+                out_hash.append(
+                    zlib.crc32(chunk.tobytes(), 77 + b) & 0xFFFFFFFF)
                 out_doc.append(doc_id)
         return pa.table({
             "band_id": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.int64()),
             "doc_id": pa.array(out_doc, pa.int64()),
         })
+
+
+def _pairs_from_buckets(banded, key_cols: list[str]):
+    """(key_cols..., doc_id) rows → candidate-pair DataFrame.
+
+    Two-step to dodge per-group overhead on the (overwhelmingly
+    singleton) buckets: a VECTORIZED count aggregate finds buckets with
+    >1 member — a tiny set, broadcast into a filter — and only those
+    reach the per-group pair generator. Singleton buckets never touch
+    Python."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = banded.groupby(key_cols).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(hot) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    hot_keys = set(map(tuple, hot[key_cols].itertuples(index=False)))
+
+    def only_hot(t, _keys=hot_keys, _cols=key_cols):
+        cols = [t[c].to_pylist() for c in _cols]
+        mask = pa.array([k in _keys for k in zip(*cols)])
+        return t.filter(mask)
+
+    hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
+    pairs_ds = hot_rows.groupby(key_cols).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    return pairs_ds.to_pandas().drop_duplicates()
 
 
 def _bucket_pairs(g, log_drops: list | None = None):
@@ -150,10 +191,8 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7):
     import ray
 
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
-                              batch_size=4096)
-    pairs_ds = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    pairs = pairs_ds.to_pandas().drop_duplicates()
+                              batch_size=256)
+    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
 
     # verify candidates with exact shingle Jaccard (only candidate docs'
     # texts are pulled — a semi-join by id set, broadcast as a dict)
@@ -216,19 +255,28 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7):
 # --- SimHash ---
 
 def simhash64(text: str) -> int:
-    toks = text.lower().split()
-    if not toks:
+    """Vectorized 64-bit SimHash: crc32-pair token hashes (weighted by
+    token count), bit votes via np.unpackbits."""
+    from collections import Counter
+
+    counts = Counter(text.lower().split())
+    if not counts:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    toks = list(counts.keys())
+    weights = np.fromiter(counts.values(), dtype=np.int64,
+                          count=len(toks))
+    h = np.fromiter(
+        ((zlib.crc32(t.encode("utf-8"), 1) << 32)
+         | zlib.crc32(t.encode("utf-8"), 2) for t in toks),
+        dtype=np.uint64, count=len(toks))
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1,
+        bitorder="little").astype(np.int64)          # (n, 64)
+    votes = (bits * 2 - 1).T @ weights               # (64,)
+    out = np.uint64(0)
+    mask = votes > 0
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return int(powers[mask].sum(dtype=np.uint64))
 
 
 class SimHashStage:
@@ -255,12 +303,12 @@ def simhash_dedup(docs, max_hamming: int = 3):
     import ray
 
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
-                            batch_size=4096)
-    frames = []
-    for band in range(4):
-        band_pairs = sigs.groupby(f"band{band}").map_groups(
-            _bucket_pairs, batch_format="pandas").to_pandas()
-        frames.append(band_pairs)
+                            batch_size=256)
+    frames = [
+        _pairs_from_buckets(
+            sigs.select_columns([f"band{band}", "doc_id"]), [f"band{band}"])
+        for band in range(4)
+    ]
     all_pairs = pd.concat(frames).drop_duplicates() if frames else \
         pd.DataFrame(columns=["a", "b"])
 

@@ -37,6 +37,25 @@ QUAD_SCHEMA = pa.schema([
 ])
 
 
+_WORKER_SINGLETON: "ToRdfActor | None" = None
+
+
+def to_rdf_task_fn(batch: pa.Table, canonicalize: bool = True) -> pa.Table:
+    """Task-pool variant of the ToRdf stage: a per-WORKER-PROCESS
+    singleton holds the context caches (Ray reuses worker processes, so
+    state stays warm across tasks like an actor, but scheduling remains
+    elastic — no pool ramp-up, no CPU reservation starving the shuffle).
+
+    Measured on sf0.1/32cpus: tasks 4.4s vs autoscaling actor pool
+    9-13s. Actor mode (``build_quads(compute='actors')``) remains for
+    genuinely expensive per-worker state (real linker models)."""
+    global _WORKER_SINGLETON
+    if _WORKER_SINGLETON is None or \
+            _WORKER_SINGLETON.canonicalize != canonicalize:
+        _WORKER_SINGLETON = ToRdfActor(canonicalize=canonicalize)
+    return _WORKER_SINGLETON(batch)
+
+
 def conv_fingerprint(conv_id: str) -> str:
     return hashlib.sha1(conv_id.encode("utf-8")).hexdigest()[:10]
 

@@ -186,3 +186,31 @@ def test_synthetic_transcripts_deterministic():
     t2 = synthesize_transcripts(n_convs=5, seed=3)
     assert t1.equals(t2)
     assert t1.schema.field("turn_idx").type == pa.int32()
+
+
+def test_roundtrip_quads_equal_flagship(ray_session, sf_dir):
+    from jsonld_js_ray.pipelines.kg import build_quads, roundtrip_quads
+
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+            "obj_lang", "graph", "conv_id"]
+    a = build_quads(sf_dir).to_pandas()[cols].sort_values(cols) \
+        .reset_index(drop=True)
+    b = roundtrip_quads(sf_dir).to_pandas()[cols].sort_values(cols) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_nquads_io_roundtrip(ray_session, sf_dir, tmp_path):
+    from jsonld_js_ray.pipelines.kg import build_quads
+    from jsonld_js_ray.sources.nquads_io import read_nquads, write_nquads
+
+    out = str(tmp_path / "nq")
+    res = write_nquads(build_quads(sf_dir), out).to_pandas()
+    assert res["rows"].sum() == 8030
+    back = read_nquads(out).to_pandas()
+    assert len(back) == 8030
+    orig = build_quads(sf_dir).to_pandas()
+    cols = ["subj", "pred", "obj_kind", "obj_value", "graph"]
+    a = orig[cols].sort_values(cols).reset_index(drop=True)
+    b = back[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
