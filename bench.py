@@ -110,7 +110,9 @@ def run_bench() -> dict:
     }
 
 
-SCALING_COPIES = int(os.environ.get("GRAFT_SCALING_COPIES", "8"))
+SCALING_COPIES = int(os.environ.get("GRAFT_SCALING_COPIES", "32"))
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 
 
 def _build_scaling_input() -> str:
@@ -161,7 +163,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_n, hi_n = 8, 32
+    lo_n, hi_n = SCALING_LO, SCALING_HI
     lo = run(lo_n)
     hi = run(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]

@@ -626,6 +626,14 @@ def create_term_definition(
                 raise JsonLdError(
                     "invalid @container combination.",
                     "jsonld.SyntaxError", code="invalid container mapping")
+        if "@type" in arr:
+            # @container:@type defaults the type mapping to @id
+            # (context.js:771-783)
+            mapping.setdefault("@type", "@id")
+            if mapping["@type"] not in ("@id", "@vocab"):
+                raise JsonLdError(
+                    "container: @type requires @type to be @id or @vocab.",
+                    "jsonld.SyntaxError", code="invalid type mapping")
         if mapping["reverse"] and not set(arr) <= {"@index", "@set"}:
             raise JsonLdError(
                 "reverse properties only support @set- and @index-containers.",

@@ -272,3 +272,184 @@ CASES = [
         "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
         "l": [["a"], ["b"]]}},
 ]
+
+# --- round 1 extension: harder conformance surface ---
+CASES += [
+    {"name": "expand-direction", "op": "expand", "input": {
+        "@context": {"@direction": "rtl", "@language": "ar", "ex": EX},
+        "ex:p": "text"}},
+    {"name": "expand-direction-term", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@direction": "ltr",
+                           "@language": "en"}},
+        "p": "text"}},
+    {"name": "tordf-i18n-datatype", "op": "toRdf",
+     "options": {"rdfDirection": "i18n-datatype"},
+     "input": {"@context": {"@direction": "rtl", "@language": "ar",
+                            "ex": EX},
+               "@id": EX + "s", "ex:p": "نص"}},
+    {"name": "expand-nested-nest", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "meta": "@nest", "inner": "@nest"},
+        "@id": EX + "s",
+        "meta": {"inner": {"a": "1"}, "b": "2"}}},
+    {"name": "expand-graph-id-container", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "g": {"@container": ["@graph", "@id"]}},
+        "g": {"http://g.example/1": {"p": "v1"},
+              "@none": {"p": "v2"}}}},
+    {"name": "expand-index-property-index", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "prop": {"@id": EX + "prop"},
+                     "p": {"@container": "@index", "@index": "prop"}},
+        "p": {"key1": {"q": "a"}, "key2": {"q": "b"}}}},
+    {"name": "expand-set-in-language-map", "op": "expand", "input": {
+        "@context": {"label": {"@id": EX + "label",
+                               "@container": ["@language", "@set"]}},
+        "label": {"en": ["one", "two"]}}},
+    {"name": "expand-type-array-sorted-ctx", "op": "expand", "input": {
+        "@context": {"@vocab": EX,
+                     "B": {"@id": EX + "B",
+                           "@context": {"x": EX + "fromB"}},
+                     "A": {"@id": EX + "A",
+                           "@context": {"x": EX + "fromA"}}},
+        "@type": ["B", "A"], "x": "which"}},
+    {"name": "expand-value-object-index", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": 42, "@index": "i0"}}},
+    {"name": "expand-graph-keyword-alias", "op": "expand", "input": {
+        "@context": {"graph": "@graph", "ex": EX},
+        "@id": EX + "g1", "graph": [{"@id": EX + "s", "ex:p": "v"}]}},
+    {"name": "expand-keyword-like-term-ignored", "op": "expand", "input": {
+        "@context": {"@future": EX + "f", "ex": EX},
+        "@future": "dropped", "ex:kept": "v"}},
+    {"name": "expand-empty-term-vs-vocab", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "": EX + "empty/"},
+        "ex-like": "v"}},
+    {"name": "expand-curie-prefix-false", "op": "expand", "input": {
+        "@context": {"pfx": {"@id": EX + "nons/", "@prefix": False},
+                     "q": EX + "q"},
+        "pfx:suffix": "dropped-or-kept?", "q": "v"}},
+    {"name": "expand-relative-vocab", "op": "expand",
+     "options": {"base": "http://base.example/doc"},
+     "input": {"@context": {"@vocab": ""}, "term": "v"}},
+    {"name": "tordf-list-of-lists", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:l": {"@list": [{"@list": [1, 2]}, "flat"]}}},
+    {"name": "tordf-graph-container-bnode-graphs", "op": "toRdf", "input": {
+        "@context": {"@vocab": EX, "g": {"@container": "@graph"}},
+        "@id": EX + "s", "g": {"p": "v"}}},
+    {"name": "tordf-reverse", "op": "toRdf", "input": {
+        "@context": {"ex": EX, "children": {"@reverse": EX + "parent"}},
+        "@id": EX + "s", "children": [{"@id": EX + "c1"},
+                                      {"@id": EX + "c2"}]}},
+    {"name": "tordf-xsd-typed", "op": "toRdf", "input": {
+        "@context": {"ex": EX,
+                     "d": {"@id": EX + "d",
+                           "@type": "http://www.w3.org/2001/XMLSchema#date"}},
+        "@id": EX + "s", "d": "2024-02-29"}},
+    {"name": "tordf-numeric-double-typed-int", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:p": {"@value": 5,
+                 "@type": "http://www.w3.org/2001/XMLSchema#double"}}},
+    {"name": "tordf-boolean-typed-string", "op": "toRdf", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s",
+        "ex:p": {"@value": "maybe",
+                 "@type": "http://www.w3.org/2001/XMLSchema#boolean"}}},
+    {"name": "compact-shortest-term-wins", "op": "compact",
+     "input": {EX + "prop": [{"@value": "v"}]},
+     "ctx": {"longer-name": EX + "prop", "p": EX + "prop"}},
+    {"name": "compact-type-vs-plain", "op": "compact",
+     "input": {EX + "p": [{"@value": "5",
+                           "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+                          {"@value": "plain"}]},
+     "ctx": {"typed": {"@id": EX + "p",
+                       "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+             "plain": EX + "p"}},
+    {"name": "compact-id-map", "op": "compact",
+     "input": {EX + "p": [{"@id": EX + "a", EX + "v": [{"@value": 1}]},
+                          {"@id": EX + "b", EX + "v": [{"@value": 2}]}]},
+     "ctx": {"@vocab": EX, "p": {"@container": "@id"}}},
+    {"name": "compact-type-map", "op": "compact",
+     "input": {EX + "p": [
+         {"@id": EX + "a", "@type": [EX + "T1"]},
+         {"@id": EX + "b", "@type": [EX + "T2"]}]},
+     "ctx": {"@vocab": EX, "p": {"@container": "@type"}}},
+    {"name": "compact-nest", "op": "compact",
+     "input": {"@id": EX + "s", EX + "a": [{"@value": 1}],
+               EX + "b": [{"@value": 2}]},
+     "ctx": {"@vocab": EX, "a": {"@nest": "@nest"},
+             "meta": "@nest", "b": {"@nest": "meta"}}},
+    {"name": "compact-list-of-lists", "op": "compact",
+     "input": {EX + "l": [{"@list": [{"@list": [{"@value": 1}]}]}]},
+     "ctx": {"l": {"@id": EX + "l", "@container": "@list"}}},
+    {"name": "compact-language-index-pref", "op": "compact",
+     "input": {EX + "p": [{"@value": "x", "@language": "en",
+                           "@index": "i"}]},
+     "ctx": {"byLang": {"@id": EX + "p", "@container": "@language"},
+             "byIndex": {"@id": EX + "p", "@container": "@index"}}},
+    {"name": "compact-reverse-in-ctx", "op": "compact",
+     "input": {"@id": EX + "s",
+               "@reverse": {EX + "rel": [
+                   {"@id": EX + "a", EX + "q": [{"@value": 1}]}]}},
+     "ctx": {"rev": {"@reverse": EX + "rel"}, "@vocab": EX}},
+    {"name": "frame-embed-never", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": EX + "a", "@type": "ex:T",
+                    "ex:link": {"@id": EX + "b"}},
+                   {"@id": EX + "b", "ex:p": "v"}]},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T",
+               "@embed": "@never"}},
+    {"name": "frame-explicit", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": EX + "a", "@type": "ex:T",
+                    "ex:keep": "yes", "ex:drop": "no"}]},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T",
+               "@explicit": True, "ex:keep": {}}},
+    {"name": "frame-default-value", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": EX + "a", "@type": "ex:T"}]},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T",
+               "ex:missing": {"@default": "filler"}}},
+    {"name": "frame-requireall", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [
+            {"@id": EX + "a", "@type": "ex:T", "ex:p": "1", "ex:q": "2"},
+            {"@id": EX + "b", "@type": "ex:T", "ex:p": "1"}]},
+     "frame": {"@context": {"ex": EX}, "@requireAll": True,
+               "@type": "ex:T", "ex:p": {}, "ex:q": {}}},
+    {"name": "flatten-bnode-naming-order", "op": "flatten", "input": {
+        "@context": {"ex": EX},
+        "ex:z": {"ex:name": "second"},
+        "ex:a": {"ex:name": "first"}}},
+    {"name": "merge-no-merge-nodes", "op": "merge",
+     "options": {"mergeNodes": False},
+     "input": [
+        {"@context": {"ex": EX}, "@id": EX + "s", "ex:p": "doc0"},
+        {"@context": {"ex": EX}, "@id": EX + "s", "ex:p": "doc1",
+         "ex:extra": "x"},
+        {"@context": {"ex": EX}, "@id": EX + "t", "ex:q": "new"}]},
+    {"name": "err-protected-redefine", "op": "expand", "input": {
+        "@context": [{"@protected": True, "p": EX + "p1"},
+                     {"p": EX + "p2"}],
+        "p": "v"}},
+    {"name": "err-invalid-reverse-value", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "s", "@reverse": {"ex:p": {"@value": "v"}}}},
+    {"name": "err-invalid-type-value", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@type": 42, "ex:p": "v"}},
+    {"name": "err-invalid-language-map", "op": "expand", "input": {
+        "@context": {"label": {"@id": EX + "label",
+                               "@container": "@language"}},
+        "label": {"en": 42}}},
+    {"name": "err-invalid-index", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@index": 42, "ex:p": "v"}},
+    {"name": "err-context-overflow-missing-remote", "op": "expand",
+     "input": {"@context": "http://missing.example/ctx", EX + "p": "v"}},
+    {"name": "remote-context-chain", "op": "expand",
+     "documents": {
+         "http://ctx.example/a": {"@context": {
+             "@vocab": EX, "extra": "http://ctx.example/b"}},
+         "http://ctx.example/b": {"@context": {"b": EX + "b"}}},
+     "input": {"@context": ["http://ctx.example/a",
+                            "http://ctx.example/b"],
+               "term": "v", "b": "w"}},
+]
