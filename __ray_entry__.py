@@ -121,7 +121,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": td.q_quality,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
+        # streaming-shaped windowed aggregates (engine-only operators)
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "window_session": _q_window_session,
     }
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _q_window_tumbling(sf_dir: str):
+    from jsonld_js_ray.stages.windows import tumbling_window
+
+    return tumbling_window(_events(sf_dir, ["ts", "user_id", "value"]))
+
+
+def _q_window_sliding(sf_dir: str):
+    from jsonld_js_ray.stages.windows import sliding_window
+
+    return sliding_window(_events(sf_dir, ["ts", "user_id"]))
+
+
+def _q_window_session(sf_dir: str):
+    from jsonld_js_ray.stages.windows import session_window
+
+    return session_window(_events(sf_dir, ["ts", "user_id"]))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -136,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import LANG_ID_SQL, TEXT_STATS_SQL
+    from jsonld_js_ray.stages.windows import TUMBLING_WINDOW_SQL
 
     return {
         "transcripts": TRANSCRIPTS_ORACLE_SQL,
@@ -154,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         "lang_id": LANG_ID_SQL,
+        "window_tumbling": TUMBLING_WINDOW_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
         #   kg_entities_canonical  (min-hash LSH merge)
         #   dedup_minhash / dedup_simhash / dedup_embedding (LSH/sketch)

@@ -265,6 +265,29 @@ def process_context(active_ctx: _ctx.ActiveContext, local_ctx: Any,
     return _ctx.process_context(active_ctx, local_ctx, options)
 
 
+def load_document(url: str, options: dict | None = None) -> dict:
+    """Dereference a document (lib/jsonld.js:889-922 `get` surface).
+
+    No network in the engine: documents come from ``options['documents']``
+    (a url → parsed-JSON dict) or an injected ``options['documentLoader']``
+    callable — the reference's pluggable-loader surface."""
+    options = options or {}
+    loader = options.get("documentLoader")
+    documents = options.get("documents") or {}
+    if url in documents:
+        return {"documentUrl": url, "document": documents[url],
+                "contextUrl": None}
+    if loader is not None:
+        doc = loader(url)
+        if isinstance(doc, dict) and "document" in doc:
+            return doc
+        return {"documentUrl": url, "document": doc, "contextUrl": None}
+    raise JsonLdError(
+        f"Could not retrieve a JSON-LD document from the URL: {url}",
+        "jsonld.LoadDocumentError", code="loading document failed",
+        details={"url": url})
+
+
 # --- pluggable RDF parser registry (lib/jsonld.js:81-82,1000-1011) ---
 
 _rdf_parsers: dict[str, Any] = {}

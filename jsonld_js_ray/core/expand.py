@@ -25,6 +25,20 @@ from .util import add_value, as_array, get_values
 
 REGEX_BCP47 = re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
 
+_SENTINEL = object()
+
+
+def _map_unmappable(options: dict, **info):
+    """User-extension surface mirroring the reference's expansionMap hook
+    (lib/jsonld.js:109-112, expand.js call sites): invoked whenever a
+    value/property would be dropped; a non-None return replaces the
+    default drop."""
+    hook = options.get("expansionMap")
+    if hook is None:
+        return _SENTINEL
+    mapped = hook(info)
+    return _SENTINEL if mapped is None else mapped
+
 
 def validate_type_value(v: Any, is_frame: bool) -> None:
     """@type values must be strings / arrays of strings (util.js:153-184)."""
@@ -69,7 +83,10 @@ def expand(
             or _ctx.expand_iri(active_ctx, active_property, vocab=True,
                                options=options) == "@graph"
         ):
-            return None
+            mapped = _map_unmappable(
+                options, unmappedValue=element,
+                activeProperty=active_property, insideList=inside_list)
+            return None if mapped is _SENTINEL else mapped
         return _expand_value(active_ctx, active_property, element, options)
 
     # arrays
@@ -220,7 +237,10 @@ def expand(
                 or expanded_active_property == "@graph"):
         if count == 0 or "@value" in rval or "@list" in rval or (
                 count == 1 and "@id" in rval):
-            rval = None
+            mapped = _map_unmappable(
+                options, unmappedValue=rval,
+                activeProperty=active_property, insideList=inside_list)
+            rval = None if mapped is _SENTINEL else mapped
 
     return rval
 
@@ -264,7 +284,12 @@ def _expand_object(
         if expanded_property is None or not (
                 _url.is_absolute(expanded_property)
                 or is_keyword(expanded_property)):
-            continue
+            mapped = _map_unmappable(
+                options, unmappedProperty=key,
+                activeProperty=active_property, value=value)
+            if mapped is _SENTINEL:
+                continue
+            expanded_property = mapped
 
         if is_keyword(expanded_property):
             if expanded_active_property == "@reverse":
@@ -493,7 +518,13 @@ def _expand_object(
                     term_ctx, value, key, options, inside_list=False)
 
         if expanded_value is None and expanded_property != "@value":
-            continue
+            mapped = _map_unmappable(
+                options, unmappedValue=value,
+                expandedProperty=expanded_property, key=key,
+                activeProperty=active_property)
+            if mapped is _SENTINEL:
+                continue
+            expanded_value = mapped
 
         if expanded_property != "@list" and not is_list(expanded_value) and \
                 "@list" in container:

@@ -1,0 +1,135 @@
+"""Windowed aggregates over the ``events`` stream table.
+
+The reference has no event-time semantics (SURVEY.md §2.4 streaming row);
+these are engine-only operators for stream-shaped inputs, built per the
+Ray model: treat events as an ordered partitioned log, windows as
+``groupby`` over derived window keys with PARTIAL per-batch aggregation
+first (combiner) so the shuffle moves one row per (key, window) per
+batch, not per event.
+
+- tumbling_window:  fixed-size buckets (oracle-checked; monetary sums
+  carried as exact integer cents to dodge float-order nondeterminism)
+- sliding_window:   overlapping buckets via window-id explode
+- session_window:   gap-based sessions per key (needs the key's full
+  ordered history → groupby(key).map_groups with in-group sort)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _tumbling_partial(batch: pa.Table, width_s: int) -> pa.Table:
+    """Per-batch combiner: (user_id, window_start) partial aggregates."""
+    ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    user = batch["user_id"].to_numpy(zero_copy_only=False)
+    value = batch["value"].to_numpy(zero_copy_only=False)
+    window = (ts_us // (width_s * 1_000_000)).astype(np.int64)
+    cents = np.floor(value * 100 + 0.5).astype(np.int64)
+
+    keys = np.stack([user, window], axis=1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    n = len(uniq)
+    return pa.table({
+        "user_id": pa.array(uniq[:, 0]),
+        "window_id": pa.array(uniq[:, 1]),
+        "n_events": pa.array(np.bincount(inv, minlength=n).astype("int64")),
+        "sum_cents": pa.array(np.bincount(inv, weights=cents,
+                                          minlength=n).astype("int64")),
+        "min_cents": pa.array(
+            np.full(n, 2**62, dtype=np.int64) if n == 0 else
+            np.array([cents[inv == i].min() for i in range(n)],
+                     dtype=np.int64)),
+        "max_cents": pa.array(
+            np.zeros(n, dtype=np.int64) if n == 0 else
+            np.array([cents[inv == i].max() for i in range(n)],
+                     dtype=np.int64)),
+    })
+
+
+def tumbling_window(events, width_s: int = 3600):
+    """events Dataset → per (user_id, window) exact aggregates.
+
+    Two-phase: vectorized per-batch partials → small groupby reduce."""
+    import functools
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = events.map_batches(
+        functools.partial(_tumbling_partial, width_s=width_s),
+        batch_format="pyarrow", batch_size=65536)
+    return partial.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"),
+    )
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM events
+GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+def sliding_window(events, width_s: int = 3600, slide_s: int = 1800):
+    """Overlapping windows: each event explodes into the
+    ``width_s/slide_s`` windows that contain it, then tumbling reduce."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    n_overlap = width_s // slide_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        base = ts_us // (slide_s * 1_000_000)
+        users = np.repeat(user, n_overlap)
+        offs = np.tile(np.arange(n_overlap, dtype=np.int64), len(base))
+        starts = np.repeat(base, n_overlap) - offs
+        return pa.table({
+            "user_id": pa.array(users),
+            "window_id": pa.array(starts.astype("int64")),
+        })
+
+    exploded = events.map_batches(explode, batch_format="pyarrow",
+                                  batch_size=65536)
+    return exploded.groupby(["user_id", "window_id"]).aggregate(
+        Count(alias_name="n_events"))
+
+
+def session_window(events, gap_s: int = 1800):
+    """Gap-based sessions per user: groupby(user) → in-group ts sort →
+    split where the inter-event gap exceeds ``gap_s``."""
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()
+        breaks = np.nonzero(np.diff(ts) > gap_us)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(ts) - 1]])
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_idx": np.arange(len(starts), dtype="int64"),
+            "n_events": (ends - starts + 1).astype("int64"),
+            "start_us": ts[starts],
+            "end_us": ts[ends],
+        })
+
+    return events.groupby("user_id").map_groups(
+        sessions, batch_format="pandas")

@@ -1,0 +1,143 @@
+"""Tests: windowed aggregates, expansionMap hook, link, load_document."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jsonld_js_ray as jl
+from jsonld_js_ray.api import load_document
+from jsonld_js_ray.core.errors import JsonLdError
+
+
+def _events_table():
+    base = 1_700_000_000_000_000  # µs
+    rows = [
+        # user 1: two events in one hour, one in the next
+        (1, base + 10 * 60_000_000, 10.00),
+        (1, base + 20 * 60_000_000, 5.50),
+        (1, base + 70 * 60_000_000, 1.25),
+        # user 2: single event; session gap test: far-later second event
+        (2, base, 99.99),
+        (2, base + 10_000 * 60_000_000, 0.01),
+    ]
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.windows import tumbling_window
+
+    out = tumbling_window(rd.from_arrow(_events_table())).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("window_id")
+    assert list(u1["n_events"]) == [2, 1]
+    assert list(u1["sum_cents"]) == [1550, 125]
+    assert list(u1["min_cents"]) == [550, 125]
+    assert list(u1["max_cents"]) == [1000, 125]
+
+
+def test_sliding_window_covers_each_event_twice(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.windows import sliding_window
+
+    out = sliding_window(rd.from_arrow(_events_table()),
+                         width_s=3600, slide_s=1800).to_pandas()
+    assert out["n_events"].sum() == 2 * 5
+
+
+def test_session_window_gap_split(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.windows import session_window
+
+    out = session_window(rd.from_arrow(_events_table()),
+                         gap_s=1800).to_pandas()
+    by_user = out.groupby("user_id").size().to_dict()
+    assert by_user[1] == 2          # 10,20 | 70 min → two sessions
+    assert by_user[2] == 2          # huge gap → two sessions
+    u1 = out[out["user_id"] == 1].sort_values("session_idx")
+    assert list(u1["n_events"]) == [2, 1]
+
+
+def test_expansion_map_hook_surfaces():
+    seen = []
+
+    def hook(info):
+        seen.append(info)
+        if "unmappedProperty" in info:
+            return "http://hook.example/" + info["unmappedProperty"]
+        return None
+
+    out = jl.expand(
+        {"@context": {"ex": "http://e/"}, "@id": "http://e/s",
+         "oops": "v", "ex:p": None},
+        {"expansionMap": hook})
+    assert "http://hook.example/oops" in out[0]
+    kinds = {"unmappedProperty" in i or "unmappedValue" in i for i in seen}
+    assert kinds == {True}
+    # default behavior unchanged without hook
+    out2 = jl.expand({"@context": {"ex": "http://e/"}, "@id": "http://e/s",
+                      "oops": "v", "ex:kept": "w"})
+    assert list(out2[0].keys()) == ["@id", "http://e/kept"]
+
+
+def test_link_shares_nodes_in_memory():
+    doc = {
+        "@context": {"ex": "http://e/", "knows": {"@id": "http://e/knows",
+                                                  "@type": "@id"}},
+        "@graph": [
+            {"@id": "http://e/a", "knows": "http://e/b"},
+            {"@id": "http://e/b", "ex:name": "B"},
+        ],
+    }
+    linked = jl.link(doc, {"ex": "http://e/"})
+    graph = linked.get("@graph", [linked])
+    nodes = {n.get("@id"): n for n in graph if isinstance(n, dict)}
+    a = nodes["ex:a"]
+    embedded_b = a["ex:knows"]
+    # @embed:@link embeds the full node under the reference
+    assert embedded_b["@id"] == "ex:b" and embedded_b["ex:name"] == "B"
+
+
+def test_load_document_surface():
+    docs = {"http://x.example/d": {"@context": {}, "@id": "http://x/1"}}
+    rec = load_document("http://x.example/d", {"documents": docs})
+    assert rec["document"]["@id"] == "http://x/1"
+
+    def loader(url):
+        return {"loaded": url}
+
+    rec2 = load_document("http://y.example/", {"documentLoader": loader})
+    assert rec2["document"] == {"loaded": "http://y.example/"}
+
+    with pytest.raises(JsonLdError) as e:
+        load_document("http://nope.example/")
+    assert e.value.code == "loading document failed"
+
+
+def test_window_tumbling_matches_oracle_sf(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.windows import (
+        TUMBLING_WINDOW_SQL, tumbling_window,
+    )
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id", "value"])
+    mine = tumbling_window(events).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(TUMBLING_WINDOW_SQL).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
