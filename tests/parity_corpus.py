@@ -453,3 +453,42 @@ CASES += [
                             "http://ctx.example/b"],
                "term": "v", "b": "w"}},
 ]
+
+# --- json-ld-1.0 processing mode ---
+CASES += [
+    {"name": "expand-10-simple-term-prefix", "op": "expand",
+     "options": {"processingMode": "json-ld-1.0"},
+     "input": {"@context": {"pfx": EX + "base-no-delim"},
+               "pfx:suffix": "v", "pfx": "w"}},
+    {"name": "err-10-graph-container", "op": "expand",
+     "options": {"processingMode": "json-ld-1.0"},
+     "input": {"@context": {"g": {"@id": EX + "g",
+                                  "@container": "@graph"}},
+               "g": {"p": "v"}}},
+    {"name": "err-10-version-conflict", "op": "expand",
+     "options": {"processingMode": "json-ld-1.0"},
+     "input": {"@context": {"@version": 1.1, "ex": EX}, "ex:p": "v"}},
+    {"name": "err-10-nest", "op": "expand",
+     "options": {"processingMode": "json-ld-1.0"},
+     "input": {"@context": {"@vocab": EX, "meta": "@nest"},
+               "meta": {"p": "v"}}},
+    {"name": "expand-10-included-ignored", "op": "expand",
+     "options": {"processingMode": "json-ld-1.0"},
+     "input": {"@context": {"@vocab": EX}, "@id": EX + "s",
+               "p": "v"}},
+    {"name": "expand-import", "op": "expand",
+     "documents": {"http://ctx.example/base": {
+         "@context": {"base-term": EX + "from-import"}}},
+     "input": {"@context": {"@import": "http://ctx.example/base",
+                            "local": EX + "local"},
+               "base-term": "a", "local": "b"}},
+    {"name": "expand-context-null-reset", "op": "expand", "input": {
+        "@context": [{"@vocab": EX, "p": EX + "p0"}, None,
+                     {"q": EX + "q1"}],
+        "p": "dropped?", "q": "kept"}},
+    {"name": "compact-graph-explicit", "op": "compact",
+     "input": [{"@id": EX + "g1",
+                "@graph": [{"@id": EX + "s",
+                            EX + "p": [{"@value": "v"}]}]}],
+     "ctx": {"ex": EX}},
+]

@@ -214,3 +214,43 @@ def test_nquads_io_roundtrip(ray_session, sf_dir, tmp_path):
     a = orig[cols].sort_values(cols).reset_index(drop=True)
     b = back[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_salted_aggregation_correct_under_hot_key(ray_session):
+    """Skew test (SURVEY.md §7.4.5): one surface form covering ~90% of a
+    large mention stream must aggregate exactly through the salted
+    two-phase path (no reducer sees the hot key's full stream)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.entity_merge import surface_stats
+
+    n_hot, n_cold = 90_000, 10_000
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 997}" for i in range(n_hot + n_cold)],
+                            pa.string()),
+        "surface": pa.array(["hotkey"] * n_hot
+                            + [f"cold{i % 50}" for i in range(n_cold)],
+                            pa.string()),
+    })
+    out = surface_stats(rd.from_arrow(tbl), num_salts=16).to_pandas()
+    by_surface = dict(zip(out["surface"], out["n_mentions"]))
+    assert by_surface["hotkey"] == n_hot
+    assert sum(by_surface.values()) == n_hot + n_cold
+    assert len(by_surface) == 51
+
+
+def test_canonical_mapping_flows_into_mention_iris(ray_session, sf_dir):
+    """End-to-end entity canonicalization: the min-hash mapping broadcast
+    into the fused assemble stage rewrites mention IRIs."""
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.assemble import CONV_VOCAB, ENTITY_NS
+
+    mapping = {"click": "CANON", "error": "CANON"}
+    quads = build_quads_with_mentions(
+        sf_dir, canonical_mapping=mapping).to_pandas()
+    mentions = quads[quads["pred"] == CONV_VOCAB + "mentions"]
+    objs = set(mentions["obj_value"])
+    assert ENTITY_NS + "CANON" in objs
+    assert ENTITY_NS + "click" not in objs
+    assert ENTITY_NS + "error" not in objs
