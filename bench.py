@@ -82,6 +82,17 @@ def run_bench() -> dict:
     surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()
     queries["kg_entities"] = round(time.perf_counter() - t0, 3)
 
+    # full north-star run incl. entity canonicalization + sharded sink
+    import shutil as _shutil
+
+    from jsonld_js_ray.pipelines.kg import run_full_kg_pipeline
+    out_dir = "/tmp/bench_kg_full"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    full_metrics = run_full_kg_pipeline(SF_DIR, out_dir)
+    queries["kg_full_write"] = round(time.perf_counter() - t0, 3)
+    extras["kg_full_quads"] = full_metrics["quads"]
+
     # optional training-data ops (present from later milestones)
     try:
         from jsonld_js_ray.pipelines.training_data import bench_queries

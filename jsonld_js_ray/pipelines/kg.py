@@ -145,7 +145,8 @@ def assemble_group_with_mentions(turns, mentions_by_turn):
 def build_quads_with_mentions(sf_dir: str,
                               canonical_mapping: dict | None = None,
                               concurrency: int | None = None,
-                              batch_size: int = 256):
+                              batch_size: int = 256,
+                              files: list[str] | None = None):
     """Flagship + entity linking: mention IRIs embedded per turn.
 
     ``canonical_mapping`` (surface → canonical surface, from the min-hash
@@ -158,7 +159,7 @@ def build_quads_with_mentions(sf_dir: str,
     import ray.data as rd
 
     events = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
+        files or _event_files(sf_dir),
         columns=["event_id", "ts", "user_id", "event_type", "props"])
     from ..stages.to_rdf_stage import to_rdf_task_fn
 
@@ -275,3 +276,90 @@ def compact_roundtrip_turn_counts(sf_dir: str):
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             batch_size=256)
+
+
+def build_entity_mapping(sf_dir: str, threshold: float = 0.6) -> dict:
+    """Phase 1 of the full pipeline: mention stream → salted surface
+    stats → min-hash near-dup merge → surface→canonical dict (the
+    broadcast small side for phase 2)."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.entity_merge import canonicalize_entities
+    from ..stages.linker import detect_mentions
+
+    mentions = detect_mentions(read_transcripts(sf_dir))
+    tbl = canonicalize_entities(mentions, threshold=threshold).to_pandas()
+    return dict(zip(tbl["surface"], tbl["canonical"]))
+
+
+def run_full_kg_pipeline(sf_dir: str, out_dir: str,
+                         batch_size: int = 256,
+                         resume: bool = True,
+                         threshold: float = 0.6) -> dict:
+    """The complete north-star flow, resumable:
+
+    phase 1  entity canonicalization (min-hash + exact merge, salted) —
+             its mapping is itself checkpointed to out_dir;
+    phase 2  per input shard: derive turns → mention detection + linking
+             against the broadcast mapping → JSON-LD docs → expand →
+             toRDF → URDNA2015 → partitioned Parquet quads + lineage.
+
+    Returns metrics incl. triples/sec per shard.
+    """
+    import json as _json
+
+    files = _event_files(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # phase 1 (checkpointed: reuse when inputs unchanged)
+    all_fp = ckpt.fingerprint_inputs(files)
+    map_path = os.path.join(out_dir, "_entity_mapping.json")
+    mapping: dict | None = None
+    if resume and os.path.exists(map_path):
+        try:
+            with open(map_path) as f:
+                rec = _json.load(f)
+            if rec.get("input_fingerprint") == all_fp:
+                mapping = rec["mapping"]
+        except (OSError, _json.JSONDecodeError):
+            mapping = None
+    if mapping is None:
+        mapping = build_entity_mapping(sf_dir, threshold)
+        tmp = map_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"input_fingerprint": all_fp, "mapping": mapping}, f)
+        os.rename(tmp, map_path)
+
+    metrics = {"shards_total": len(files), "shards_skipped": 0,
+               "quads": 0, "wall_ms": 0, "entities": len(mapping),
+               "canonical_entities": len(set(mapping.values()))}
+
+    for shard_id, path in enumerate(files):
+        fp = ckpt.fingerprint_inputs([path])
+        if resume and ckpt.is_shard_done(out_dir, shard_id, fp):
+            metrics["shards_skipped"] += 1
+            continue
+        t0 = time.perf_counter()
+        quads = build_quads_with_mentions(
+            sf_dir, canonical_mapping=mapping, batch_size=batch_size,
+            files=[path])
+
+        rec = ckpt.ShardRecord(
+            shard_id=shard_id, inputs=[path], input_fingerprint=fp,
+            rows=0, quads=0, wall_ms=0)
+
+        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0) -> None:
+            quads.write_parquet(tmp_dir)
+            import pyarrow.parquet as pq
+            n = 0
+            for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
+                n += pq.ParquetFile(f).metadata.num_rows
+            rec.quads = n
+            rec.wall_ms = int((time.perf_counter() - t0) * 1000)
+
+        ckpt.write_shard_atomic(out_dir, shard_id, write, rec)
+        metrics["quads"] += rec.quads
+        metrics["wall_ms"] += rec.wall_ms
+    if metrics["wall_ms"]:
+        metrics["triples_per_sec"] = round(
+            metrics["quads"] / (metrics["wall_ms"] / 1000), 1)
+    return metrics

@@ -254,3 +254,39 @@ def test_canonical_mapping_flows_into_mention_iris(ray_session, sf_dir):
     assert ENTITY_NS + "CANON" in objs
     assert ENTITY_NS + "click" not in objs
     assert ENTITY_NS + "error" not in objs
+
+
+def test_full_pipeline_with_entity_canonicalization(
+        ray_session, sf_dir, tmp_path):
+    """North-star end-to-end: min-hash entity mapping (phase 1, itself
+    checkpointed) → mention-linked canonical quads → sharded sink →
+    resume skips everything."""
+    import json
+    import os
+
+    from jsonld_js_ray.pipelines.kg import run_full_kg_pipeline
+    from jsonld_js_ray.stages.assemble import CONV_VOCAB
+
+    out = str(tmp_path / "full")
+    m1 = run_full_kg_pipeline(sf_dir, out)
+    assert m1["quads"] > 8030          # flagship + mention triples
+    assert m1["entities"] >= m1["canonical_entities"] > 0
+    assert os.path.exists(os.path.join(out, "_entity_mapping.json"))
+    with open(os.path.join(out, "_entity_mapping.json")) as f:
+        rec = json.load(f)
+    assert rec["mapping"]
+    # all mention IRIs in the output use canonical surfaces
+    import pyarrow.parquet as pq
+    import glob as _glob
+    files = _glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+    assert files
+    tbl = pq.read_table(files[0])
+    df = tbl.to_pandas()
+    mentions = df[df["pred"] == CONV_VOCAB + "mentions"]["obj_value"]
+    canon = set(rec["mapping"].values())
+    for iri in mentions:
+        assert iri.rsplit("/", 1)[1] in canon
+
+    m2 = run_full_kg_pipeline(sf_dir, out)
+    assert m2["shards_skipped"] == m2["shards_total"]
+    assert m2["quads"] == 0
