@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": td.q_dedup_minhash,
         "dedup_simhash": td.q_dedup_simhash,
         "dedup_embedding": td.q_dedup_embedding,
+        "dedup_ngram": td.q_dedup_ngram,
         "knn_brute": td.q_knn_brute,
         "knn_lsh": td.q_knn_lsh,
         "text_stats": td.q_text_stats,

@@ -115,12 +115,9 @@ def _derive_link_assemble(group, mapping_ref=None):
 
 
 def assemble_group_with_mentions(turns, mentions_by_turn):
-    import json
-
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..stages.assemble import assemble_conversation
+    from ..stages.assemble import assembled_doc_rows
 
     g = turns.take(pc.sort_indices(turns,
                                    sort_keys=[("turn_idx", "ascending")]))
@@ -132,14 +129,7 @@ def assemble_group_with_mentions(turns, mentions_by_turn):
          "ts": cols["ts"][i]}
         for i in range(g.num_rows)
     ]
-    doc = assemble_conversation(conv_id, turn_rows, mentions_by_turn)
-    return pa.table({
-        "conv_id": pa.array([conv_id], pa.string()),
-        "n_turns": pa.array([len(turn_rows)], pa.int32()),
-        "doc_json": pa.array(
-            [json.dumps(doc, ensure_ascii=False, default=str)],
-            pa.large_string()),
-    })
+    return assembled_doc_rows(conv_id, turn_rows, mentions_by_turn)
 
 
 def build_quads_with_mentions(sf_dir: str,

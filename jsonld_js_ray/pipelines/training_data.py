@@ -110,3 +110,9 @@ def bench_queries():
         "knn_brute": run(q_knn_brute),
         "text_stats": run(q_text_stats),
     }
+
+
+def q_dedup_ngram(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir))

@@ -53,15 +53,23 @@ def format_ts(ts: Any) -> str:
     return str(ts)
 
 
+MAX_TURNS_PER_DOC = 4096
+
+
 def assemble_conversation(
     conv_id: str,
     turns: list[dict[str, Any]],
     mentions_by_turn: dict[int, list[str]] | None = None,
+    turn_count: int | None = None,
+    include_conv_meta: bool = True,
 ) -> dict[str, Any]:
     """Turn rows (already sorted by turn_idx) → JSON-LD document.
 
     ``mentions_by_turn`` optionally maps turn_idx → canonical entity IRIs
-    (output of the entity-linking stage).
+    (output of the entity-linking stage). For chunked giant conversations
+    (SURVEY.md §7.4.6), later chunks pass ``include_conv_meta=False`` so
+    the conversation-level triples (@type, turnCount) are emitted exactly
+    once; the union of chunk triple sets equals the unchunked set.
     """
     c_iri = conv_iri(conv_id)
     turn_nodes = []
@@ -82,18 +90,51 @@ def assemble_conversation(
             if ents:
                 node["mentions"] = ents
         turn_nodes.append(node)
-    return {
+    doc: dict[str, Any] = {
         "@context": TRANSCRIPT_CONTEXT,
         "@id": c_iri,
-        "@type": "Conversation",
-        "turnCount": len(turns),
-        "hasTurn": turn_nodes,
     }
+    if include_conv_meta:
+        doc["@type"] = "Conversation"
+        doc["turnCount"] = turn_count if turn_count is not None \
+            else len(turns)
+    doc["hasTurn"] = turn_nodes
+    return doc
+
+
+def assembled_doc_rows(
+    conv_id: str,
+    turn_rows: list[dict[str, Any]],
+    mentions_by_turn: dict[int, list[str]] | None = None,
+    max_turns_per_doc: int = MAX_TURNS_PER_DOC,
+) -> pa.Table:
+    """Sorted turn rows → one or more (conv_id, n_turns, doc_json) rows.
+
+    Conversations above ``max_turns_per_doc`` are chunked so one
+    pathological conversation cannot exceed a worker's heap; the union
+    of the chunks' triple sets equals the unchunked set (conversation
+    metadata only in chunk 0)."""
+    total = len(turn_rows)
+    chunks = [turn_rows[i:i + max_turns_per_doc]
+              for i in range(0, total, max_turns_per_doc)] or [[]]
+    out_docs = []
+    for i, chunk in enumerate(chunks):
+        doc = assemble_conversation(
+            conv_id, chunk, mentions_by_turn,
+            turn_count=total, include_conv_meta=(i == 0))
+        out_docs.append(json.dumps(doc, ensure_ascii=False, default=str))
+    return pa.table({
+        "conv_id": pa.array([conv_id] * len(out_docs), pa.string()),
+        "n_turns": pa.array(
+            [len(c) for c in chunks], pa.int32()),
+        "doc_json": pa.array(out_docs, pa.large_string()),
+    })
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
     """map_groups fn: one conversation's transcript rows → one
-    (conv_id, n_turns, doc_json) row. Sorts by turn_idx in-group."""
+    (conv_id, n_turns, doc_json) row per chunk. Sorts by turn_idx
+    in-group."""
     import pyarrow.compute as pc
 
     g = group.take(pc.sort_indices(group, sort_keys=[("turn_idx",
@@ -106,14 +147,7 @@ def assemble_group(group: pa.Table) -> pa.Table:
          "ts": cols["ts"][i]}
         for i in range(g.num_rows)
     ]
-    doc = assemble_conversation(conv_id, turns)
-    return pa.table({
-        "conv_id": pa.array([conv_id], pa.string()),
-        "n_turns": pa.array([len(turns)], pa.int32()),
-        "doc_json": pa.array([json.dumps(doc, ensure_ascii=False,
-                                         default=str)],
-                             pa.large_string()),
-    })
+    return assembled_doc_rows(conv_id, turns)
 
 
 def derive_and_assemble_events_group(group: pa.Table) -> pa.Table:

@@ -413,3 +413,96 @@ def embedding_dedup(embeddings, threshold: float = 0.95):
 
     return embeddings.map_batches(near_dup, batch_format="pyarrow",
                                   batch_size=2048)
+
+
+class CharGramMinHashStage:
+    """MinHash over character 3-grams (instead of word shingles) — the
+    banding front-end for the n-gram Jaccard dedup variant."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_band, out_hash, out_doc = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            grams = char_ngrams((text or ""), 3)
+            if grams:
+                base = np.array(
+                    [zlib.crc32(g.encode("utf-8")) for g in grams],
+                    dtype=np.uint64)
+                vals = (_MH_A[:, None] * base[None, :]
+                        + _MH_B[:, None]) % _MH_PRIME
+                sig = vals.min(axis=1)
+            else:
+                sig = np.zeros(NUM_PERMS, dtype=np.uint64)
+            for b in range(BANDS):
+                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+                out_band.append(b)
+                out_hash.append(
+                    zlib.crc32(chunk.tobytes(), 177 + b) & 0xFFFFFFFF)
+                out_doc.append(doc_id)
+        return pa.table({
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        })
+
+
+def ngram_jaccard_dedup(docs, threshold: float = 0.8):
+    """documents → (doc_id, cluster_id, keep): near-dup = character
+    3-gram Jaccard ≥ threshold, candidates via char-gram MinHash bands,
+    verified with the exact ``ngram_jaccard`` kernel."""
+    import ray
+
+    banded = docs.map_batches(CharGramMinHashStage(),
+                              batch_format="pyarrow", batch_size=256)
+    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+
+    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) \
+        else []
+    texts: dict[int, str] = {}
+    if cand_ids:
+        id_set = set(cand_ids)
+
+        def filter_cands(batch: pa.Table) -> pa.Table:
+            mask = pa.array([d in id_set
+                             for d in batch["doc_id"].to_pylist()])
+            return batch.filter(mask)
+
+        cand_tbl = docs.map_batches(
+            filter_cands, batch_format="pyarrow").to_pandas()
+        texts = dict(zip(cand_tbl["doc_id"].astype(int),
+                         cand_tbl["text"]))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
+        if ngram_jaccard(texts.get(int(a), ""),
+                         texts.get(int(b), "")) >= threshold:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+
+    cluster_of = {d: find(d) for d in parent}
+    ref = ray.put(cluster_of)
+
+    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import ray as _ray
+        mapping = _ray.get(_ref)
+        ids = [int(x) for x in batch["doc_id"].to_pylist()]
+        clusters = [mapping.get(d, d) for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
+        })
+
+    return docs.map_batches(label, batch_format="pyarrow",
+                            batch_size=8192)

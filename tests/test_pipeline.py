@@ -290,3 +290,32 @@ def test_full_pipeline_with_entity_canonicalization(
     m2 = run_full_kg_pipeline(sf_dir, out)
     assert m2["shards_skipped"] == m2["shards_total"]
     assert m2["quads"] == 0
+
+
+def test_giant_conversation_chunking_same_triple_set():
+    """SURVEY §7.4.6: chunked assembly of an over-cap conversation emits
+    exactly the unchunked triple set (conv metadata once)."""
+    import json
+
+    from jsonld_js_ray.stages.assemble import assembled_doc_rows
+    from jsonld_js_ray.stages.to_rdf_stage import ToRdfActor
+
+    turns = [{"turn_idx": i, "role": "user", "text": f"t{i}",
+              "tool": None, "ts": "2024-01-01T00:00:00.000000"}
+             for i in range(25)]
+    actor = ToRdfActor()
+
+    def quads_for(rows_tbl):
+        out = set()
+        for dj in rows_tbl["doc_json"].to_pylist():
+            out |= set(actor.doc_to_quads(json.loads(dj), "c1"))
+        return out
+
+    whole = assembled_doc_rows("c1", turns, max_turns_per_doc=10_000)
+    chunked = assembled_doc_rows("c1", turns, max_turns_per_doc=7)
+    assert whole.num_rows == 1 and chunked.num_rows == 4
+    assert quads_for(whole) == quads_for(chunked)
+    # turnCount appears exactly once and carries the TOTAL
+    docs = [json.loads(d) for d in chunked["doc_json"].to_pylist()]
+    counts = [d.get("turnCount") for d in docs if "turnCount" in d]
+    assert counts == [25]

@@ -216,3 +216,13 @@ def test_multimodal_synth_deterministic():
 
     assert synthesize_media_table(4, seed=9).equals(
         synthesize_media_table(4, seed=9))
+
+
+def test_ngram_jaccard_dedup_pipeline(docs_ds):
+    from jsonld_js_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(docs_ds, threshold=0.6).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_id[1] == 0            # exact dup pair clusters
+    assert by_id[2] == 0            # near dup (one word changed)
+    assert by_id[5] == 5            # tiny unrelated doc stays alone
