@@ -26,6 +26,9 @@ def _sha256(s: str) -> str:
 
 class _CanonState:
     def __init__(self, dataset: list[tuple]) -> None:
+        # drop invalid null-object quads (relative IRIs in lists — the
+        # reference's quad arrays can contain these; not valid RDF)
+        dataset = [q for q in dataset if q[2] is not None]
         self.dataset = dataset
         self.bnode_to_quads: dict[str, list[tuple]] = {}
         self.canonical_issuer = IdentifierIssuer("_:c14n")
@@ -125,7 +128,8 @@ class _CanonState:
 
 
 def relabel_dataset(dataset: list[tuple]) -> list[tuple]:
-    """Return dataset with blank nodes relabeled to canonical _:c14nN ids."""
+    """Return dataset with blank nodes relabeled to canonical _:c14nN ids
+    (null-object quads dropped — see _CanonState)."""
     state = _CanonState(dataset)
 
     # 1) issue canonical ids for unique first-degree hashes
@@ -159,7 +163,7 @@ def relabel_dataset(dataset: list[tuple]) -> list[tuple]:
 
     issued = state.canonical_issuer
     out = []
-    for quad in dataset:
+    for quad in state.dataset:
         out.append(tuple(
             ("BlankNode", issued.get_id(t[1])) if t[0] == "BlankNode" else t
             for t in quad

@@ -130,5 +130,10 @@ def serialize_quad(quad: tuple) -> str:
 
 
 def serialize(dataset: list[tuple]) -> str:
-    """Canonical N-Quads: sorted, deduplicated quad lines."""
-    return "".join(sorted(set(serialize_quad(q) for q in dataset)))
+    """Canonical N-Quads: sorted, deduplicated quad lines.
+
+    Quads with a null object (the reference emits these for relative
+    IRIs inside @list chains, toRdf.js:158-204 — invalid RDF) are
+    unserializable and skipped."""
+    return "".join(sorted(set(
+        serialize_quad(q) for q in dataset if q[2] is not None)))

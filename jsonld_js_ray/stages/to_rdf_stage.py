@@ -100,7 +100,7 @@ class ToRdfActor:
             quads = [
                 tuple(
                     ("BlankNode", _namespace_label(t[1], fp))
-                    if t[0] == "BlankNode" else t
+                    if (t is not None and t[0] == "BlankNode") else t
                     for t in q
                 )
                 for q in quads
@@ -124,6 +124,11 @@ class ToRdfActor:
             doc = json.loads(doc_json)
             for q in self.doc_to_quads(doc, conv_id):
                 s, p, o, g = q
+                if o is None:
+                    # relative IRI inside a @list — invalid RDF, dropped
+                    # at the columnar boundary (reference keeps a null
+                    # placeholder in its in-memory quad array)
+                    continue
                 subj.append(s[1])
                 pred.append(p[1])
                 if o[0] == "Literal":
