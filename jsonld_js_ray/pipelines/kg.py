@@ -33,13 +33,21 @@ def _event_files(sf_dir: str) -> list[str]:
     return files
 
 
+def _strip_meta(t):
+    """Drop parquet pandas-metadata from block schemas (zero-copy) — the
+    embedded dict breaks Ray's schema hashing and spams shuffle logs."""
+    return t.replace_schema_metadata(None)
+
+
 def assemble_docs(sf_dir: str, files: list[str] | None = None):
     """events parquet → (conv_id, n_turns, doc_json) Dataset."""
     import ray.data as rd
 
     paths = files or _event_files(sf_dir)
     events = rd.read_parquet(
-        paths, columns=["event_id", "ts", "user_id", "event_type", "props"])
+        paths, columns=["event_id", "ts", "user_id", "event_type", "props"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
     return events.groupby("user_id").map_groups(
         derive_and_assemble_events_group, batch_format="pyarrow")
 
@@ -150,7 +158,9 @@ def build_quads_with_mentions(sf_dir: str,
 
     events = rd.read_parquet(
         files or _event_files(sf_dir),
-        columns=["event_id", "ts", "user_id", "event_type", "props"])
+        columns=["event_id", "ts", "user_id", "event_type", "props"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
     from ..stages.to_rdf_stage import to_rdf_task_fn
 
     mapping_ref = ray.put(canonical_mapping) if canonical_mapping else None

@@ -92,7 +92,8 @@ def read_transcripts(sf_dir: str, parallelism: int | None = None):
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
-    )
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow", zero_copy_batch=True)
     return events.groupby("user_id").map_groups(
         derive_turns_from_events, batch_format="pyarrow")
 
