@@ -95,6 +95,12 @@ def _q_kg_compact_roundtrip(sf_dir: str):
     return compact_roundtrip_turn_counts(sf_dir)
 
 
+def _q_kg_flatten_counts(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import flatten_doc_node_counts
+
+    return flatten_doc_node_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from jsonld_js_ray.pipelines import training_data as td
 
@@ -109,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_canonical": _q_kg_entities_canonical,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
+        "kg_flatten_counts": _q_kg_flatten_counts,
         # training-data ops
         "dedup_exact": td.q_dedup_exact,
         "dedup_minhash": td.q_dedup_minhash,
@@ -179,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_compact_roundtrip": (
             "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + ") "
             "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns "
+            "FROM transcripts GROUP BY conv_id"),
+        "kg_flatten_counts": (
+            "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + ") "
+            "SELECT conv_id, CAST(count(*) + 1 AS BIGINT) AS n_nodes "
             "FROM transcripts GROUP BY conv_id"),
         "dedup_exact": DEDUP_EXACT_SQL,
         "knn_brute": KNN_BRUTE_SQL,

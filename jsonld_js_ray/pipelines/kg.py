@@ -363,3 +363,30 @@ def run_full_kg_pipeline(sf_dir: str, out_dir: str,
         metrics["triples_per_sec"] = round(
             metrics["quads"] / (metrics["wall_ms"] / 1000), 1)
     return metrics
+
+
+def flatten_doc_node_counts(sf_dir: str):
+    """Distributed flatten over the assembled docs: each conversation doc
+    flattens to 1 conversation node + n_turns message nodes (+ entity
+    reference nodes when mentions are linked). Oracle: turns-per-conv + 1."""
+    import json
+
+    import pyarrow as pa
+
+    from .. import api as _api
+
+    docs = assemble_docs(sf_dir)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        out = []
+        for doc_json in batch["doc_json"].to_pylist():
+            flattened = _api.flatten(json.loads(doc_json))
+            out.append(len(flattened))
+        return pa.table({
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "n_nodes": pa.array(out, pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=256)

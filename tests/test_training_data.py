@@ -226,3 +226,31 @@ def test_ngram_jaccard_dedup_pipeline(docs_ds):
     assert by_id[1] == 0            # exact dup pair clusters
     assert by_id[2] == 0            # near dup (one word changed)
     assert by_id[5] == 5            # tiny unrelated doc stays alone
+
+
+def test_knn_lsh_recall_vs_brute(ray_session):
+    """Measure LSH recall against the exact baseline on clustered data
+    (where ANN is meaningful); must clear a floor with multi-probe."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(11)
+    # 10 gaussian clusters → near neighbors share hyperplane signs
+    centers = rng.standard_normal((10, 16)) * 3
+    mat = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.5 for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    brute = knn_brute(ds, k=10, n_queries=5).to_pandas()
+    approx = knn_lsh(ds, k=10, n_queries=5).to_pandas()
+    recalls = []
+    for q in range(5):
+        truth = set(brute[brute["query_id"] == q]["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, recalls
