@@ -129,11 +129,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": td.q_quality,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
+        # joins / sort-limit (relational operator classes)
+        "join_broadcast": _q_join_broadcast,
+        "join_bucketed": _q_join_bucketed,
+        "topk_docs": _q_topk_docs,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
     }
+
+
+def _q_join_broadcast(sf_dir: str):
+    from jsonld_js_ray.stages.joins import broadcast_join_orders_customers
+
+    return broadcast_join_orders_customers(sf_dir)
+
+
+def _q_join_bucketed(sf_dir: str):
+    from jsonld_js_ray.stages.joins import bucketed_hash_join_lineitem_orders
+
+    return bucketed_hash_join_lineitem_orders(sf_dir)
+
+
+def _q_topk_docs(sf_dir: str):
+    from jsonld_js_ray.stages.joins import topk_docs_by_tokens
+
+    return topk_docs_by_tokens(sf_dir)
 
 
 def _events(sf_dir: str, columns):
@@ -172,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import LANG_ID_SQL, TEXT_STATS_SQL
+    from jsonld_js_ray.stages.joins import (
+        BROADCAST_JOIN_SQL, BUCKETED_JOIN_SQL, TOPK_DOCS_SQL,
+    )
     from jsonld_js_ray.stages.windows import TUMBLING_WINDOW_SQL
 
     return {
@@ -196,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
+        "join_broadcast": BROADCAST_JOIN_SQL,
+        "join_bucketed": BUCKETED_JOIN_SQL,
+        "topk_docs": TOPK_DOCS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
         #   kg_entities_canonical  (min-hash LSH merge)
         #   dedup_minhash / dedup_simhash / dedup_embedding (LSH/sketch)

@@ -1,0 +1,192 @@
+"""Join patterns (guide-idiomatic; SURVEY.md §2.4 joins/lookups row).
+
+- broadcast_join: small side (dimension table) via ray.put once +
+  per-batch vectorized lookup — no shuffle. Used for customer→orders.
+- bucketed_hash_join: both sides large → add bucket = crc32(key) % B to
+  each side, groupby bucket on the union, join per bucket in pandas.
+  The explicit partitioned hash join from the Ray guide (portable across
+  Ray versions without Dataset.join).
+
+Monetary aggregates use exact integer cents (float sums are
+order-nondeterministic and cannot be oracle-hashed).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join_orders_customers(sf_dir: str):
+    """orders ⋈ customer (broadcast) → orders + total cents per market
+    segment. One small groupby after a shuffle-free lookup."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(customers["c_custkey"].astype(int),
+                      customers["c_mktsegment"]))
+    ref = ray.put(seg_of)
+
+    def attach_segment(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        seg = _ray.get(ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "segment": pa.array([seg.get(int(k), "UNKNOWN")
+                                 for k in keys], pa.string()),
+            "cents": pa.array(
+                np.floor(price * 100 + 0.5).astype("int64")),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow", zero_copy_batch=True)
+    joined = orders.map_batches(attach_segment, batch_format="pyarrow",
+                                batch_size=65536)
+    return joined.groupby("segment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("cents", alias_name="total_cents"))
+
+
+BROADCAST_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+NUM_BUCKETS = 16
+
+
+def bucketed_hash_join_lineitem_orders(sf_dir: str):
+    """lineitem ⋈ orders on orderkey (both sides 'large') → revenue cents
+    per order priority.
+
+    Explicit partitioned hash join: tag each side, bucket by
+    crc32(orderkey) % B, union, groupby(bucket), pandas join per bucket,
+    then a tiny final aggregate. Per-bucket PARTIAL aggregation keeps the
+    final groupby at |priorities| × B rows."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(key_col):
+        def fn(batch: pa.Table, _col=key_col) -> pa.Table:
+            keys = batch[_col].to_numpy(zero_copy_only=False)
+            buckets = np.array(
+                [zlib.crc32(int(k).to_bytes(8, "little")) % NUM_BUCKETS
+                 for k in keys], dtype=np.int32)
+            return batch.append_column("bucket", pa.array(buckets))
+        return fn
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev_cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(
+            "int64")
+        return pa.table({
+            "key": batch["l_orderkey"],
+            "rev_cents": pa.array(rev_cents),
+            "priority": pa.array([None] * batch.num_rows, pa.string()),
+            "side": pa.array(["L"] * batch.num_rows, pa.string()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow", zero_copy_batch=True)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["o_orderkey"],
+            "rev_cents": pa.array([0] * batch.num_rows, pa.int64()),
+            "priority": batch["o_orderpriority"],
+            "side": pa.array(["O"] * batch.num_rows, pa.string()),
+        })
+
+    both = lineitem.map_batches(li_prep, batch_format="pyarrow") \
+        .union(orders.map_batches(o_prep, batch_format="pyarrow")) \
+        .map_batches(bucketize("key"), batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"]
+        right = g[g["side"] == "O"][["key", "priority"]]
+        merged = left.merge(right, on="key", suffixes=("", "_o"))
+        if merged.empty:
+            return pd.DataFrame({
+                "priority": pd.Series(dtype="object"),
+                "n_items": pd.Series(dtype="int64"),
+                "rev_cents": pd.Series(dtype="int64")})
+        agg = merged.groupby("priority_o").agg(
+            n_items=("key", "size"),
+            rev_cents=("rev_cents", "sum")).reset_index()
+        return agg.rename(columns={"priority_o": "priority"})
+
+    partials = both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas")
+    return partials.groupby("priority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("rev_cents", alias_name="rev_cents"))
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def topk_docs_by_tokens(sf_dir: str, k: int = 20):
+    """Global sort + limit: top-k documents by token count (ties broken
+    by doc_id — integer keys, oracle-exact)."""
+    import ray.data as rd
+
+    from .text import text_stats_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    stats = docs.map_batches(text_stats_batch, batch_format="pyarrow",
+                             batch_size=8192) \
+        .select_columns(["doc_id", "n_tokens"])
+
+    def negate(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_tokens",
+            pa.array((-batch["n_tokens"].to_numpy(
+                zero_copy_only=False)).astype("int64")))
+
+    return stats.map_batches(negate, batch_format="pyarrow") \
+        .sort(["neg_tokens", "doc_id"]) \
+        .limit(k) \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+TOPK_DOCS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+           AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id
+LIMIT 20
+"""

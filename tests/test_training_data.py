@@ -254,3 +254,29 @@ def test_knn_lsh_recall_vs_brute(ray_session):
         recalls.append(len(truth & got) / len(truth))
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, recalls
+
+
+def test_join_queries_match_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.stages.joins import (
+        BROADCAST_JOIN_SQL, BUCKETED_JOIN_SQL, TOPK_DOCS_SQL,
+        broadcast_join_orders_customers,
+        bucketed_hash_join_lineitem_orders, topk_docs_by_tokens,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    for fn, sql in (
+        (broadcast_join_orders_customers, BROADCAST_JOIN_SQL),
+        (bucketed_hash_join_lineitem_orders, BUCKETED_JOIN_SQL),
+        (topk_docs_by_tokens, TOPK_DOCS_SQL),
+    ):
+        mine = fn(sf_dir).to_pandas()
+        orc = con.sql(sql).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b.astype(a.dtypes.to_dict())), fn.__name__
