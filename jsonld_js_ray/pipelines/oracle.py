@@ -71,7 +71,7 @@ FROM (
   UNION ALL
   SELECT t_iri, '{CONV_VOCAB}text', 'literal', text, '{XSD}string', NULL,
          '@default', conv_id
-  FROM t
+  FROM t WHERE text IS NOT NULL
   UNION ALL
   SELECT t_iri, '{CONV_VOCAB}tool', 'literal', tool, '{XSD}string', NULL,
          '@default', conv_id
@@ -80,7 +80,7 @@ FROM (
   SELECT t_iri, '{CONV_VOCAB}ts', 'literal',
          strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '{XSD}dateTime', NULL,
          '@default', conv_id
-  FROM t
+  FROM t WHERE ts IS NOT NULL
   UNION ALL
   SELECT t_iri, '{CONV_VOCAB}partOf', 'iri', c_iri, NULL, NULL,
          '@default', conv_id

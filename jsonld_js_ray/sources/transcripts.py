@@ -74,8 +74,11 @@ def derive_turns_from_events(group: pa.Table) -> pa.Table:
         "turn_idx": pa.array(range(n), pa.int32()),
         "role": pa.array([ROLE_MAP.get(e, "other") for e in event_type],
                          pa.string()),
-        "text": pa.array([f"{e} {p}" for e, p in zip(event_type, props)],
-                         pa.large_string()),
+        # SQL-consistent null propagation: `event_type || ' ' || props`
+        # is NULL when either side is NULL
+        "text": pa.array(
+            [None if (e is None or p is None) else f"{e} {p}"
+             for e, p in zip(event_type, props)], pa.large_string()),
         "tool": pa.array(event_type, pa.string()),
         "ts": g["ts"].cast(pa.timestamp("us")),
     })

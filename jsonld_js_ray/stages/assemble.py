@@ -79,10 +79,14 @@ def assemble_conversation(
             "@type": "Message",
             "position": t["turn_idx"],
             "role": ROLE_NS + t["role"],
-            "text": t["text"],
-            "ts": format_ts(t["ts"]),
             "partOf": c_iri,
         }
+        # null columns emit no triple (JSON-LD drops nulls; matches the
+        # SQL oracle's IS NOT NULL guards)
+        if t.get("text") is not None:
+            node["text"] = t["text"]
+        if t.get("ts") is not None:
+            node["ts"] = format_ts(t["ts"])
         if t.get("tool") is not None:
             node["tool"] = t["tool"]
         if mentions_by_turn:
