@@ -15,7 +15,14 @@ import hashlib
 from itertools import permutations
 
 from . import nquads as _nq
+from .errors import JsonLdError
 from .util import IdentifierIssuer
+
+# Work-limit guard: symmetric blank-node structures (k-cliques of
+# indistinguishable bnodes) drive the hash-N-degree permutation search
+# factorial — k=8 already costs ~13 s. A malicious document must not be
+# able to hang a cluster worker; rdf-canonize grew the same guard.
+DEFAULT_MAX_WORK = 500_000
 
 _POSITIONS = ("s", "o", "g")
 
@@ -25,7 +32,10 @@ def _sha256(s: str) -> str:
 
 
 class _CanonState:
-    def __init__(self, dataset: list[tuple]) -> None:
+    def __init__(self, dataset: list[tuple],
+                 max_work: int = DEFAULT_MAX_WORK) -> None:
+        self.work = 0
+        self.max_work = max_work
         # drop invalid null-object quads (relative IRIs in lists — the
         # reference's quad arrays can contain these; not valid RDF)
         dataset = [q for q in dataset if q[2] is not None]
@@ -56,9 +66,19 @@ class _CanonState:
         self.hash_cache[bnode_id] = h
         return h
 
+    def _spend(self, units: int = 1) -> None:
+        self.work += units
+        if self.work > self.max_work:
+            raise JsonLdError(
+                "Canonicalization work limit exceeded (adversarially "
+                "symmetric blank-node structure).",
+                "jsonld.CanonizeError", code="complexity limit exceeded",
+                details={"max_work": self.max_work})
+
     # --- 4.7 Hash Related Blank Node ---
     def hash_related(self, related: str, quad: tuple,
                      issuer: IdentifierIssuer, position: str) -> str:
+        self._spend()
         if self.canonical_issuer.has_id(related):
             identifier = self.canonical_issuer.get_id(related)
         elif issuer.has_id(related):
@@ -88,6 +108,7 @@ class _CanonState:
             chosen_path = ""
             chosen_issuer: IdentifierIssuer | None = None
             for perm in permutations(hash_to_related[h]):
+                self._spend(len(perm))
                 issuer_copy = issuer.clone()
                 path = ""
                 recursion_list: list[str] = []
@@ -127,10 +148,12 @@ class _CanonState:
         return _sha256(data_to_hash), issuer
 
 
-def relabel_dataset(dataset: list[tuple]) -> list[tuple]:
+def relabel_dataset(dataset: list[tuple],
+                    max_work: int = DEFAULT_MAX_WORK) -> list[tuple]:
     """Return dataset with blank nodes relabeled to canonical _:c14nN ids
-    (null-object quads dropped — see _CanonState)."""
-    state = _CanonState(dataset)
+    (null-object quads dropped — see _CanonState). Raises JsonLdError
+    code='complexity limit exceeded' past ``max_work`` units."""
+    state = _CanonState(dataset, max_work=max_work)
 
     # 1) issue canonical ids for unique first-degree hashes
     hash_to_bnodes: dict[str, list[str]] = {}
@@ -171,6 +194,7 @@ def relabel_dataset(dataset: list[tuple]) -> list[tuple]:
     return out
 
 
-def canonize(dataset: list[tuple]) -> str:
+def canonize(dataset: list[tuple],
+             max_work: int = DEFAULT_MAX_WORK) -> str:
     """URDNA2015 → canonical N-Quads string (sorted, deduplicated)."""
-    return _nq.serialize(relabel_dataset(dataset))
+    return _nq.serialize(relabel_dataset(dataset, max_work=max_work))

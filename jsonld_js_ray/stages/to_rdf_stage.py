@@ -69,9 +69,17 @@ class ToRdfActor:
 
     def __init__(self, canonicalize: bool = True,
                  namespace_bnodes: bool = True,
-                 rdf_direction: str | None = None) -> None:
+                 rdf_direction: str | None = None,
+                 skip_errors: bool = False) -> None:
         self.canonicalize = canonicalize
         self.namespace_bnodes = namespace_bnodes
+        # poison-pill quarantine: with skip_errors=True a document that
+        # fails (malformed JSON-LD, canonicalization complexity limit)
+        # is logged and skipped instead of failing the whole shard —
+        # the 100 TB posture; correctness-gated queries keep the
+        # default raise
+        self.skip_errors = skip_errors
+        self.errors = 0
         # per-actor caches, warm across batches
         self.resolver = _ctx.ContextResolver(cache={})
         self.options: dict[str, Any] = {
@@ -121,8 +129,19 @@ class ToRdfActor:
         out_conv: list[str] = []
 
         for conv_id, doc_json in zip(conv_ids, docs):
-            doc = json.loads(doc_json)
-            for q in self.doc_to_quads(doc, conv_id):
+            try:
+                doc = json.loads(doc_json)
+                quads = self.doc_to_quads(doc, conv_id)
+            except Exception as e:
+                if not self.skip_errors:
+                    raise
+                import warnings
+                self.errors += 1
+                warnings.warn(
+                    f"skipping poisoned conversation {conv_id!r}: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                continue
+            for q in quads:
                 s, p, o, g = q
                 if o is None:
                     # relative IRI inside a @list — invalid RDF, dropped

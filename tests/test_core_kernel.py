@@ -191,3 +191,24 @@ def test_tordf_fromrdf_roundtrip() -> None:
     back = api.from_rdf(quads)
     quads2 = api.to_rdf(back, {"skipExpansion": True})
     assert canonize_mod.canonize(quads) == canonize_mod.canonize(quads2)
+
+
+def test_canonize_work_limit_guards_adversarial_cliques():
+    """Symmetric bnode cliques drive hash-N-degree factorial; the work
+    limit turns a multi-minute hang into a coded error."""
+    from jsonld_js_ray.core import canonize as cz
+    from jsonld_js_ray.core.errors import JsonLdError
+
+    def clique(k):
+        return [(("BlankNode", f"_:n{i}"), ("NamedNode", "http://e/p"),
+                 ("BlankNode", f"_:n{j}"), ("DefaultGraph", ""))
+                for i in range(k) for j in range(k) if i != j]
+
+    # small symmetric structures still canonize fine
+    assert "_:c14n5" in cz.canonize(clique(6))
+    with pytest.raises(JsonLdError) as e:
+        cz.canonize(clique(10))
+    assert e.value.code == "complexity limit exceeded"
+    # raised budget allows medium cases
+    out = cz.canonize(clique(7), max_work=10_000_000)
+    assert "_:c14n6" in out

@@ -58,8 +58,21 @@ def _gen_context(rng: random.Random) -> dict:
         elif roll < 0.8:
             ctx[term] = {"@id": EX + f"p{i}",
                          "@language": rng.choice(["en", "de", None])}
-        else:
+        elif roll < 0.9:
             ctx[term] = {"@reverse": EX + f"rev{i}"}
+        elif roll < 0.95:
+            # property-scoped context
+            ctx[term] = {"@id": EX + f"p{i}",
+                         "@context": {"inner": EX + f"scoped{i}"}}
+        else:
+            # type-scoped context on a type term
+            ctx[f"Type{i}"] = {"@id": EX + f"T{i}",
+                               "@context": {"tq": EX + f"typed{i}"}}
+            ctx[term] = EX + f"p{i}"
+    if rng.random() < 0.15:
+        ctx["@protected"] = True
+    if rng.random() < 0.1:
+        ctx["alias_id"] = "@id"
     return ctx
 
 
@@ -99,7 +112,8 @@ def _gen_node(rng: random.Random, depth: int) -> dict:
             [EX + "T1", [EX + "T1", EX + "T2"], "t0"])
     for i in range(rng.randrange(1, 4)):
         key = rng.choice([f"t{rng.randrange(5)}", "ex:raw",
-                          EX + "absolute", "unmapped"])
+                          EX + "absolute", "unmapped", "inner", "tq",
+                          f"Type{rng.randrange(3)}"])
         if rng.random() < 0.15:
             # container-shaped values for mapped terms
             node[key] = {rng.choice(["en", "de", "i1", "@none"]):
