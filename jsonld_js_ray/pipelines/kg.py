@@ -56,7 +56,8 @@ def build_quads(sf_dir: str, files: list[str] | None = None,
                 concurrency: int | tuple | None = None,
                 batch_size: int = 256,
                 canonicalize: bool = True,
-                compute: str = "tasks"):
+                compute: str = "tasks",
+                skip_errors: bool = False):
     """Full lazy pipeline: events → docs → canonical quad Dataset.
 
     ``compute='tasks'`` (default) runs the ToRdf stage as elastic tasks
@@ -83,7 +84,8 @@ def build_quads(sf_dir: str, files: list[str] | None = None,
             "concurrency": concurrency if concurrency else (1, 8),
         }
         return docs.map_batches(ToRdfActor, **kwargs)
-    fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize)
+    fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize,
+                           skip_errors=skip_errors)
     return docs.map_batches(fn, batch_format="pyarrow",
                             batch_size=batch_size)
 
@@ -144,7 +146,8 @@ def build_quads_with_mentions(sf_dir: str,
                               canonical_mapping: dict | None = None,
                               concurrency: int | None = None,
                               batch_size: int = 256,
-                              files: list[str] | None = None):
+                              files: list[str] | None = None,
+                              skip_errors: bool = False):
     """Flagship + entity linking: mention IRIs embedded per turn.
 
     ``canonical_mapping`` (surface → canonical surface, from the min-hash
@@ -169,9 +172,11 @@ def build_quads_with_mentions(sf_dir: str,
     if concurrency is not None:
         return docs.map_batches(
             ToRdfActor, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency)
-    return docs.map_batches(to_rdf_task_fn, batch_format="pyarrow",
-                            batch_size=batch_size)
+            concurrency=concurrency,
+            fn_constructor_kwargs={"skip_errors": skip_errors})
+    return docs.map_batches(
+        functools.partial(to_rdf_task_fn, skip_errors=skip_errors),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def run_kg_pipeline(sf_dir: str, out_dir: str,
@@ -197,7 +202,7 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
             continue
         t0 = time.perf_counter()
         quads = build_quads(sf_dir, files=[path], concurrency=concurrency,
-                            batch_size=batch_size)
+                            batch_size=batch_size, skip_errors=True)
 
         rec = ckpt.ShardRecord(
             shard_id=shard_id, inputs=[path], input_fingerprint=fp,
@@ -341,7 +346,7 @@ def run_full_kg_pipeline(sf_dir: str, out_dir: str,
         t0 = time.perf_counter()
         quads = build_quads_with_mentions(
             sf_dir, canonical_mapping=mapping, batch_size=batch_size,
-            files=[path])
+            files=[path], skip_errors=True)
 
         rec = ckpt.ShardRecord(
             shard_id=shard_id, inputs=[path], input_fingerprint=fp,

@@ -40,7 +40,8 @@ QUAD_SCHEMA = pa.schema([
 _WORKER_SINGLETON: "ToRdfActor | None" = None
 
 
-def to_rdf_task_fn(batch: pa.Table, canonicalize: bool = True) -> pa.Table:
+def to_rdf_task_fn(batch: pa.Table, canonicalize: bool = True,
+                   skip_errors: bool = False) -> pa.Table:
     """Task-pool variant of the ToRdf stage: a per-WORKER-PROCESS
     singleton holds the context caches (Ray reuses worker processes, so
     state stays warm across tasks like an actor, but scheduling remains
@@ -51,8 +52,10 @@ def to_rdf_task_fn(batch: pa.Table, canonicalize: bool = True) -> pa.Table:
     genuinely expensive per-worker state (real linker models)."""
     global _WORKER_SINGLETON
     if _WORKER_SINGLETON is None or \
-            _WORKER_SINGLETON.canonicalize != canonicalize:
-        _WORKER_SINGLETON = ToRdfActor(canonicalize=canonicalize)
+            _WORKER_SINGLETON.canonicalize != canonicalize or \
+            _WORKER_SINGLETON.skip_errors != skip_errors:
+        _WORKER_SINGLETON = ToRdfActor(canonicalize=canonicalize,
+                                       skip_errors=skip_errors)
     return _WORKER_SINGLETON(batch)
 
 
