@@ -8,7 +8,6 @@ still uses at toRdf.js:50, nodeMap.js:28, frame.js:43.
 
 from __future__ import annotations
 
-import copy
 from typing import Any
 
 from . import types as _t
