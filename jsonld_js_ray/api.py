@@ -172,13 +172,24 @@ def to_rdf(input_: Any, options: dict | None = None) -> list[tuple]:
 
 
 def from_rdf(dataset: Any, options: dict | None = None) -> list:
-    """Convert an RDF dataset (quads or N-Quads string) to expanded JSON-LD
-    (lib/jsonld.js:620-650)."""
+    """Convert an RDF dataset (quads or a serialized string) to expanded
+    JSON-LD (lib/jsonld.js:620-650).
+
+    String input is parsed via the pluggable RDF-parser registry keyed by
+    ``options['format']`` (default application/n-quads), mirroring the
+    reference's registerRDFParser surface (lib/jsonld.js:631-649)."""
     options = _setup_options(options)
     options.setdefault("useRdfType", False)
     options.setdefault("useNativeTypes", False)
     if isinstance(dataset, str):
-        dataset = _nq.parse(dataset)
+        fmt = options.get("format") or "application/n-quads"
+        parser = _rdf_parsers.get(fmt)
+        if parser is None:
+            raise JsonLdError(
+                f"Unknown input format: {fmt}",
+                "jsonld.UnknownFormat", code="unknown format",
+                details={"format": fmt})
+        dataset = parser(dataset)
     return _from_rdf_mod.from_rdf(dataset, options)
 
 

@@ -492,3 +492,36 @@ CASES += [
                             EX + "p": [{"@value": "v"}]}]}],
      "ctx": {"ex": EX}},
 ]
+
+# --- option matrix ---
+CASES += [
+    {"name": "tordf-generalized-rdf", "op": "toRdf",
+     "options": {"produceGeneralizedRdf": True},
+     "input": {"@context": {"bp": "_:bpred"}, "@id": EX + "s",
+               "_:bpred": "v"}},
+    {"name": "tordf-no-generalized-rdf", "op": "toRdf",
+     "options": {"produceGeneralizedRdf": False},
+     "input": {"@context": {"bp": "_:bpred"}, "@id": EX + "s",
+               "_:bpred": "v"}},
+    {"name": "compact-no-compact-arrays", "op": "compact",
+     "options": {"compactArrays": False},
+     "input": {"@id": EX + "s", EX + "p": [{"@value": "single"}]},
+     "ctx": {"p": EX + "p"}},
+    {"name": "compact-graph-option", "op": "compact",
+     "options": {"graph": True},
+     "input": [{"@id": EX + "s", EX + "p": [{"@value": "v"}]}],
+     "ctx": {"p": EX + "p"}},
+    {"name": "frame-omit-graph-false", "op": "frame",
+     "options": {"omitGraph": False},
+     "input": {"@context": {"ex": EX},
+               "@id": EX + "a", "@type": "ex:T", "ex:p": "v"},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T"}},
+    {"name": "frame-omit-default", "op": "frame",
+     "options": {"omitDefault": True},
+     "input": {"@context": {"ex": EX}, "@id": EX + "a", "@type": "ex:T"},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T",
+               "ex:absent": {"@default": "x"}}},
+    {"name": "expand-keep-free-floating", "op": "expand",
+     "options": {"keepFreeFloatingNodes": True},
+     "input": [{"@id": EX + "only-id"}, {"@value": "fv"}]},
+]
