@@ -525,3 +525,84 @@ CASES += [
      "options": {"keepFreeFloatingNodes": True},
      "input": [{"@id": EX + "only-id"}, {"@value": "fv"}]},
 ]
+
+# --- error-code matrix (negative-evaluation parity, SURVEY §7.4.7) ---
+CASES += [
+    {"name": "err-bad-container-combo", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p",
+                           "@container": ["@list", "@set"]}}, "p": "v"}},
+    {"name": "err-bad-container-value", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@container": "@bogus"}},
+        "p": "v"}},
+    {"name": "err-invalid-prefix-value", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@prefix": "yes"}},
+        "p": "v"}},
+    {"name": "err-invalid-nest-value", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@nest": "@id"}}, "p": "v"}},
+    {"name": "err-invalid-propagate", "op": "expand", "input": {
+        "@context": {"@propagate": "yes", "ex": EX}, "ex:p": "v"}},
+    {"name": "err-invalid-import-value", "op": "expand", "input": {
+        "@context": {"@import": 5, "ex": EX}, "ex:p": "v"}},
+    {"name": "err-invalid-base", "op": "expand", "input": {
+        "@context": {"@base": 5, "ex": EX}, "ex:p": "v"}},
+    {"name": "err-invalid-vocab", "op": "expand", "input": {
+        "@context": {"@vocab": 7}, "p": "v"}},
+    {"name": "err-invalid-default-language", "op": "expand", "input": {
+        "@context": {"@language": 5, "ex": EX}, "ex:p": "v"}},
+    {"name": "err-invalid-language-tagged-string", "op": "expand",
+     "input": {"@context": {"ex": EX},
+               "ex:p": {"@value": "v", "@language": 7}}},
+    {"name": "err-invalid-term-language", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@language": 9}}, "p": "v"}},
+    {"name": "err-invalid-index-value", "op": "expand", "input": {
+        "@context": {"ex": EX}, "ex:p": {"@value": "v", "@index": 5},
+        "@id": EX + "s"}},
+    {"name": "err-invalid-reverse-obj", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@id": EX + "s", "@reverse": "notobj"}},
+    {"name": "err-invalid-reverse-def", "op": "expand", "input": {
+        "@context": {"r": {"@reverse": EX + "r", "@id": EX + "x"}},
+        "r": "v"}},
+    {"name": "err-reverse-relative", "op": "expand", "input": {
+        "@context": {"r": {"@reverse": "notabsolute"}}, "r": "v"}},
+    {"name": "err-set-with-extra", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@set": ["a"], "@id": EX + "x"}}},
+    {"name": "err-list-with-extra", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@list": ["a"], "ex:q": "b"}}},
+    {"name": "err-value-with-extra", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": "v", "ex:extra": 1}}},
+    {"name": "err-value-object-value", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": {"not": "scalar"}}}},
+    {"name": "err-bnode-typed-value", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": "v", "@type": "_:b0"}}},
+    {"name": "err-keyword-as-reverse-prop", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "@id": EX + "s", "@reverse": {"@type": EX + "T"}}},
+    {"name": "err-term-def-unknown-key", "op": "expand", "input": {
+        "@context": {"p": {"@id": EX + "p", "@bogus": 1}}, "p": "v"}},
+    {"name": "err-term-def-nonobject", "op": "expand", "input": {
+        "@context": {"p": 42}, "p": "v"}},
+    {"name": "err-empty-term", "op": "expand", "input": {
+        "@context": {"": EX + "empty"}, "x": "v"}},
+    {"name": "err-graph-scalar", "op": "expand", "input": {
+        "@context": {"ex": EX}, "@graph": "scalar"}},
+    {"name": "err-direction-bad", "op": "expand", "input": {
+        "@context": {"ex": EX},
+        "ex:p": {"@value": "v", "@direction": "up"}}},
+    {"name": "err-ctx-direction-bad", "op": "expand", "input": {
+        "@context": {"@direction": "sideways", "ex": EX}, "ex:p": "v"}},
+    {"name": "err-alias-context", "op": "expand", "input": {
+        "@context": {"c": "@context"}, EX + "p": "v"}},
+    {"name": "err-index-container-nonstring-index", "op": "expand",
+     "input": {"@context": {"p": {"@id": EX + "p",
+                                  "@container": "@index",
+                                  "@index": "@bad"}},
+               "p": {"i": "v"}}},
+    {"name": "err-nest-value-nonobject", "op": "expand", "input": {
+        "@context": {"@vocab": EX, "meta": "@nest"},
+        "@id": EX + "s", "meta": "scalar"}},
+]
