@@ -208,8 +208,18 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
             shard_id=shard_id, inputs=[path], input_fingerprint=fp,
             rows=0, quads=0, wall_ms=0)
 
-        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0) -> None:
-            quads.write_parquet(tmp_dir)
+        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0,
+                  shard_id=shard_id) -> None:
+            import pyarrow as pa
+
+            def add_part(batch: pa.Table, _pid=shard_id) -> pa.Table:
+                # FIXTURES.md §2 provenance column
+                return batch.append_column(
+                    "part_id", pa.array([_pid] * batch.num_rows,
+                                        pa.int32()))
+
+            quads.map_batches(add_part, batch_format="pyarrow",
+                              zero_copy_batch=True).write_parquet(tmp_dir)
             # count written quads from file metadata (stream stayed lazy)
             import pyarrow.parquet as pq
             n = 0
@@ -352,8 +362,18 @@ def run_full_kg_pipeline(sf_dir: str, out_dir: str,
             shard_id=shard_id, inputs=[path], input_fingerprint=fp,
             rows=0, quads=0, wall_ms=0)
 
-        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0) -> None:
-            quads.write_parquet(tmp_dir)
+        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0,
+                  shard_id=shard_id) -> None:
+            import pyarrow as pa
+
+            def add_part(batch: pa.Table, _pid=shard_id) -> pa.Table:
+                # FIXTURES.md §2 provenance column
+                return batch.append_column(
+                    "part_id", pa.array([_pid] * batch.num_rows,
+                                        pa.int32()))
+
+            quads.map_batches(add_part, batch_format="pyarrow",
+                              zero_copy_batch=True).write_parquet(tmp_dir)
             import pyarrow.parquet as pq
             n = 0
             for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
