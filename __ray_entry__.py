@@ -197,7 +197,10 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.joins import (
         BROADCAST_JOIN_SQL, BUCKETED_JOIN_SQL, TOPK_DOCS_SQL,
     )
-    from jsonld_js_ray.stages.windows import TUMBLING_WINDOW_SQL
+    from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
+    from jsonld_js_ray.stages.windows import (
+        SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
+    )
 
     return {
         "transcripts": TRANSCRIPTS_ORACLE_SQL,
@@ -221,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
+        "window_sliding": SLIDING_WINDOW_SQL,
+        "window_session": SESSION_WINDOW_SQL,
+        "dedup_embedding": EMBEDDING_DEDUP_SQL,
         "join_broadcast": BROADCAST_JOIN_SQL,
         "join_bucketed": BUCKETED_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,

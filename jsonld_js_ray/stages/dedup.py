@@ -506,3 +506,23 @@ def ngram_jaccard_dedup(docs, threshold: float = 0.8):
 
     return docs.map_batches(label, batch_format="pyarrow",
                             batch_size=8192)
+
+
+# Oracle for embedding_dedup: cluster = min EARLIER vec_id with cosine >=
+# threshold (else self). Random float32 vectors give wide margins at the
+# 0.95 boundary, so the double-precision self-join agrees exactly.
+EMBEDDING_DEDUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vid,
+         min(b.vec_id) AS cluster_candidate
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < a.vec_id
+   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id AS vec_id,
+       CAST(coalesce(p.cluster_candidate, e.vec_id) AS BIGINT)
+           AS cluster_id,
+       coalesce(p.cluster_candidate, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN pairs p ON p.vid = e.vec_id
+"""

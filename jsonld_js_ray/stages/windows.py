@@ -133,3 +133,43 @@ def session_window(events, gap_s: int = 1800):
 
     return events.groupby("user_id").map_groups(
         sessions, batch_format="pandas")
+
+
+SLIDING_WINDOW_SQL = """
+WITH ids AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 1800) AS BIGINT) AS base
+  FROM events
+),
+exploded AS (
+  SELECT user_id, base - off AS window_id
+  FROM ids, (SELECT unnest([0, 1]) AS off)
+)
+SELECT user_id, window_id, CAST(count(*) AS BIGINT) AS n_events
+FROM exploded GROUP BY user_id, window_id
+"""
+
+SESSION_WINDOW_SQL = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) AS BIGINT) AS end_us
+FROM sessions GROUP BY user_id, session_idx
+"""
