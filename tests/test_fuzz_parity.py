@@ -54,7 +54,11 @@ def _gen_context(rng: random.Random) -> dict:
         elif roll < 0.65:
             ctx[term] = {"@id": EX + f"p{i}",
                          "@container": rng.choice(
-                             ["@list", "@set", "@index", "@language"])}
+                             ["@list", "@set", "@index", "@language",
+                              "@graph", "@id", "@type",
+                              ["@graph", "@index"], ["@graph", "@id"],
+                              ["@index", "@set"], ["@language", "@set"],
+                              ["@id", "@set"]])}
         elif roll < 0.8:
             ctx[term] = {"@id": EX + f"p{i}",
                          "@language": rng.choice(["en", "de", None])}

@@ -319,3 +319,65 @@ def test_giant_conversation_chunking_same_triple_set():
     docs = [json.loads(d) for d in chunked["doc_json"].to_pylist()]
     counts = [d.get("turnCount") for d in docs if "turnCount" in d]
     assert counts == [25]
+
+
+def test_list_variant_flagship_bnode_chains(ray_session, sf_dir):
+    """Bnode-heavy variant: turns as an rdf:List (@list container) —
+    exercises cons-chain generation + URDNA2015 + conv namespacing on
+    real corpus data, cross-checked against the reference per document."""
+    import json
+    import os
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    from jsonld_js_ray.core import canonize as cz
+    from jsonld_js_ray.pipelines.kg import assemble_docs
+    from jsonld_js_ray.stages.to_rdf_stage import ToRdfActor
+
+    doc_rows = assemble_docs(sf_dir).to_pandas().head(5)
+    actor = ToRdfActor(namespace_bnodes=False)
+
+    list_docs = []
+    for doc_json in doc_rows["doc_json"]:
+        doc = json.loads(doc_json)
+        doc["@context"]["turnList"] = {"@id": "https://w3id.org/conv#turnList",
+                                       "@container": "@list"}
+        doc["turnList"] = [t["@id"] for t in doc["hasTurn"]]
+        list_docs.append(doc)
+
+    engine_sets = []
+    for conv_id, doc in zip(doc_rows["conv_id"], list_docs):
+        quads = actor.doc_to_quads(json.loads(json.dumps(doc)), conv_id)
+        n_bnodes = len({t[1] for q in quads for t in q
+                        if t and t[0] == "BlankNode"})
+        assert n_bnodes == len(doc["turnList"])   # one cons cell per item
+        engine_sets.append(set(cz.canonize(quads).split("\n")))
+
+    if shutil.which("node") is None or \
+            not os.path.isdir("/root/reference/lib"):
+        _pytest.skip("reference oracle unavailable")
+    harness = os.path.join(os.path.dirname(__file__), "refharness")
+    lines = "\n".join(json.dumps({"op": "toRdf", "input": d})
+                      for d in list_docs)
+    proc = subprocess.run(
+        ["node", os.path.join(harness, "ref_run.js")], input=lines,
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ,
+             "NODE_PATH": os.path.join(harness, "node_modules")})
+    assert proc.returncode == 0, proc.stderr
+
+    def term(t):
+        if t["termType"] == "Literal":
+            return ("Literal", t["value"], t["datatype"]["value"],
+                    t.get("language") or None)
+        return (t["termType"], t.get("value", ""))
+
+    for i, line in enumerate(proc.stdout.strip().split("\n")):
+        rec = json.loads(line)
+        assert rec["ok"], rec
+        ref_quads = [(term(q["subject"]), term(q["predicate"]),
+                      term(q["object"]), term(q["graph"]))
+                     for q in rec["result"]]
+        assert set(cz.canonize(ref_quads).split("\n")) == engine_sets[i]
