@@ -71,6 +71,12 @@ def create_node_map(
     if name is None:
         name = issuer.get_id(input_.get("@id")) if is_blank_node(input_) \
             else input_.get("@id")
+        if name is None:
+            # a non-node object in node position (e.g. a bare @list inside
+            # @graph): the reference indexes it under the stringified JS
+            # `undefined` key (nodeMap.js:97-99 via subjects[name]), which
+            # toRDF later drops as a relative IRI — replicate exactly
+            name = "undefined"
 
     if list_ is not None:
         list_.append({"@id": name})

@@ -212,3 +212,15 @@ def test_canonize_work_limit_guards_adversarial_cliques():
     # raised budget allows medium cases
     out = cz.canonize(clique(7), max_work=10_000_000)
     assert "_:c14n6" in out
+
+
+def test_list_object_inside_graph_container_drops_like_reference():
+    """A bare @list as a @graph element is indexed under the JS
+    'undefined' key and dropped as a relative IRI by toRDF — the engine
+    replicates the reference (found by mega-fuzz; was a crash)."""
+    doc = {"@context": {"g": {"@id": "http://e/g",
+                              "@container": "@graph"}},
+           "@id": "http://e/s", "g": {"@list": ["x"]}}
+    quads = api.to_rdf(doc)
+    lines = canonize_mod.canonize(quads).strip().split("\n")
+    assert lines == ["<http://e/s> <http://e/g> _:c14n0 ."]

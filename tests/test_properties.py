@@ -118,10 +118,11 @@ def test_canonize_invariant_under_labels_and_order(doc, rng):
 
     # relabel blank nodes consistently
     labels = sorted({t[1] for q in quads for t in q
-                     if t[0] == "BlankNode"})
+                     if t is not None and t[0] == "BlankNode"})
     mapping = {l: f"_:renamed{i}" for i, l in enumerate(reversed(labels))}
     relabeled = [
-        tuple(("BlankNode", mapping[t[1]]) if t[0] == "BlankNode" else t
+        tuple(("BlankNode", mapping[t[1]])
+              if (t is not None and t[0] == "BlankNode") else t
               for t in q)
         for q in shuffled
     ]
