@@ -101,6 +101,12 @@ def _q_kg_flatten_counts(sf_dir: str):
     return flatten_doc_node_counts(sf_dir)
 
 
+def _q_kg_merged_node_props(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import distributed_merge_node_props
+
+    return distributed_merge_node_props(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from jsonld_js_ray.pipelines import training_data as td
 
@@ -116,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
+        "kg_merged_node_props": _q_kg_merged_node_props,
         # training-data ops
         "dedup_exact": td.q_dedup_exact,
         "dedup_minhash": td.q_dedup_minhash,
@@ -215,6 +222,26 @@ def oracle_sql() -> dict[str, str]:
             "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + ") "
             "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns "
             "FROM transcripts GROUP BY conv_id"),
+        "kg_merged_node_props": (
+            "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + "), "
+            "t AS (SELECT *, 'https://w3id.org/conv/id/' || conv_id "
+            "      || '/t/' || CAST(turn_idx AS VARCHAR) AS t_iri, "
+            "      'https://w3id.org/conv/id/' || conv_id AS c_iri "
+            "      FROM transcripts) "
+            "SELECT t_iri AS subj, "
+            "       CAST(6 + CASE WHEN tool IS NULL THEN 0 ELSE 1 END "
+            "            + CASE WHEN text IS NULL THEN -1 ELSE 0 END "
+            "            + CASE WHEN ts IS NULL THEN -1 ELSE 0 END "
+            "            AS BIGINT) AS n_props, "
+            "       CAST(6 + CASE WHEN tool IS NULL THEN 0 ELSE 1 END "
+            "            + CASE WHEN text IS NULL THEN -1 ELSE 0 END "
+            "            + CASE WHEN ts IS NULL THEN -1 ELSE 0 END "
+            "            AS BIGINT) AS n_values "
+            "FROM t "
+            "UNION ALL "
+            "SELECT c_iri, CAST(3 AS BIGINT), "
+            "       CAST(2 + count(*) AS BIGINT) "
+            "FROM t GROUP BY c_iri"),
         "kg_flatten_counts": (
             "WITH transcripts AS (" + TRANSCRIPTS_ORACLE_SQL + ") "
             "SELECT conv_id, CAST(count(*) + 1 AS BIGINT) AS n_nodes "

@@ -53,6 +53,14 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
             for entry in link[element["@id"]]:
                 if entry["expanded"] is element:
                     return entry["compacted"]
+        if isinstance(link, dict):
+            # identity guard beyond the reference's @id-keyed link map:
+            # @embed:@link output can be cyclic through nodes whose @ids
+            # were pruned as single-use bnodes; re-entrant elements return
+            # their (in-construction) compacted dict instead of recursing
+            in_progress = options.setdefault("_compactInProgress", {})
+            if id(element) in in_progress:
+                return in_progress[id(element)]
 
         if is_value(element) or is_subject_reference(element):
             rval = compact_value(active_ctx, active_property, element,
@@ -71,6 +79,8 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
 
         inside_reverse = active_property == "@reverse"
         rval: dict[str, Any] = {}
+        if isinstance(link, dict):
+            options.setdefault("_compactInProgress", {})[id(element)] = rval
 
         input_ctx = active_ctx
         if not is_value(element) and not is_subject_reference(element):
@@ -375,6 +385,15 @@ def compact_iri(active_ctx: _ctx.ActiveContext, iri: str | None,
     if iri is None:
         return iri
 
+    # a value object's @type can be a LIST (set by @type-container index
+    # maps, expand.js:1095-1100). The reference survives because JS `in`
+    # and object-key lookups coerce arrays to their comma-joined string
+    # (a 1-element array behaves like its element); vocab-suffix/CURIE/
+    # prefix checks silently no-op on arrays. Replicate: use the coerced
+    # key for inverse lookups, skip string-only paths, and fall through
+    # to returning the original list.
+    lookup_iri = iri if isinstance(iri, str) else ",".join(map(str, iri))
+
     inverse_ctx = active_ctx.get_inverse()
 
     # keyword alias
@@ -384,7 +403,7 @@ def compact_iri(active_ctx: _ctx.ActiveContext, iri: str | None,
             "@none" in inverse_ctx[iri]["@none"]["@type"]:
         return inverse_ctx[iri]["@none"]["@type"]["@none"]
 
-    if vocab and iri in inverse_ctx:
+    if vocab and lookup_iri in inverse_ctx:
         default_language = active_ctx.language or "@none"
 
         containers: list[str] = []
@@ -482,10 +501,13 @@ def compact_iri(active_ctx: _ctx.ActiveContext, iri: str | None,
         if is_value(value) and len(value) == 1:
             containers.extend(["@language", "@language@set"])
 
-        term = _select_term(active_ctx, iri, value, containers,
+        term = _select_term(active_ctx, lookup_iri, value, containers,
                             type_or_language, type_or_language_value)
         if term is not None:
             return term
+
+    if not isinstance(iri, str):
+        return iri
 
     # @vocab prefix
     if vocab and active_ctx.vocab is not None:
@@ -619,7 +641,9 @@ def _select_term(active_ctx: _ctx.ActiveContext, iri: str, value: Any,
         else:
             prefs.extend(["@id", "@vocab"])
     else:
-        prefs.append(type_or_language_value)
+        prefs.append(type_or_language_value
+                     if isinstance(type_or_language_value, str)
+                     else ",".join(map(str, type_or_language_value)))
         lang_dir = next((p for p in prefs
                          if isinstance(p, str) and "_" in p), None)
         if lang_dir:

@@ -227,14 +227,33 @@ def do_frame(state: dict, subjects: list[str], frame: Any, parent: Any,
         state["subjectStack"].pop()
 
 
+def _js_truthy(v: Any) -> bool:
+    """JS truthiness for cleanupNull's array filter (frame.js:349
+    ``noNulls.filter(v => v)``): null/''/0/false/NaN are dropped; empty
+    arrays/objects are truthy in JS and kept."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, str):
+        return v != ""
+    if isinstance(v, (int, float)):
+        return v != 0 and v == v
+    return True
+
+
 def cleanup_null(input_: Any, options: dict) -> Any:
-    """Replace @null with null (frame.js:333-367)."""
+    """Replace @null with null, filtering JS-falsy array entries
+    (frame.js:333-367)."""
     if isinstance(input_, list):
         return [v for v in (cleanup_null(i, options) for i in input_)
-                if v is not None]
+                if _js_truthy(v)]
     if input_ == "@null":
         return None
     if isinstance(input_, dict):
+        # identity cycle guard (see _cleanup_preserve docstring)
+        in_progress = options.setdefault("_cleanupNullInProgress", set())
+        if id(input_) in in_progress:
+            return input_
+        in_progress.add(id(input_))
         if "@id" in input_:
             id_ = input_["@id"]
             link = options.setdefault("link", {})
@@ -247,6 +266,7 @@ def cleanup_null(input_: Any, options: dict) -> Any:
                 link[id_] = [input_]
         for key in list(input_.keys()):
             input_[key] = cleanup_null(input_[key], options)
+        in_progress.discard(id(input_))
     return input_
 
 
@@ -433,10 +453,29 @@ def _remove_embed(state: dict, id_: str) -> None:
 
 
 def _cleanup_preserve(input_: Any, options: dict) -> Any:
-    """(frame.js:700-745)"""
+    """(frame.js:700-745)
+
+    Extra cycle guard over the reference: @embed:@link can produce
+    shared/cyclic structures whose @ids are pruned as single-use blank
+    nodes; the reference's id-keyed link guard cannot terminate those
+    (rare randomized-frame cases), so re-entrant objects are returned
+    as-is instead of recursing forever."""
     if isinstance(input_, list):
         return [_cleanup_preserve(v, options) for v in input_]
     if isinstance(input_, dict):
+        in_progress = options.setdefault("_cleanupInProgress", set())
+        if id(input_) in in_progress:
+            return input_
+        in_progress.add(id(input_))
+        try:
+            return _cleanup_preserve_dict(input_, options)
+        finally:
+            in_progress.discard(id(input_))
+    return input_
+
+
+def _cleanup_preserve_dict(input_: dict, options: dict) -> Any:
+    if True:
         if "@preserve" in input_:
             return input_["@preserve"][0]
         if is_value(input_):

@@ -415,3 +415,63 @@ def flatten_doc_node_counts(sf_dir: str):
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             batch_size=256)
+
+
+def distributed_merge_node_props(sf_dir: str):
+    """jsonld.merge at cluster scale (SURVEY §2.1 merge row: "groupby
+    (subject_iri) union-merge"): expand every conversation doc to flat
+    (subject, property, value-json) rows, hash-shuffle on the subject
+    IRI, union-merge each subject's values with addValue dedup (the
+    reference's merge semantics, lib/jsonld.js:803-830), and emit
+    (subj, n_props, n_values) per merged node."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .. import api as _api
+    from ..core.types import is_keyword
+    from ..core.util import add_value
+
+    docs = assemble_docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        subjects, props, values = [], [], []
+        for doc_json in batch["doc_json"].to_pylist():
+            expanded = _api.expand(json.loads(doc_json))
+            from ..core.nodemap import create_node_map
+            from ..core.util import IdentifierIssuer
+            graphs: dict = {"@default": {}}
+            create_node_map(expanded, graphs, "@default",
+                            IdentifierIssuer("_:b"))
+            for subj, node in graphs["@default"].items():
+                for prop, vals in node.items():
+                    if prop == "@id":
+                        continue
+                    for v in (vals if isinstance(vals, list) else [vals]):
+                        subjects.append(subj)
+                        props.append(prop)
+                        values.append(json.dumps(v, sort_keys=True))
+        return pa.table({
+            "subj": pa.array(subjects, pa.string()),
+            "prop": pa.array(props, pa.string()),
+            "value_json": pa.array(values, pa.large_string()),
+        })
+
+    rows = docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=256)
+
+    def merge_subject(g: pd.DataFrame) -> pd.DataFrame:
+        node: dict = {}
+        for prop, vj in zip(g["prop"], g["value_json"]):
+            add_value(node, prop, json.loads(vj),
+                      property_is_array=True, allow_duplicate=False)
+        n_values = sum(len(v) for v in node.values())
+        return pd.DataFrame({
+            "subj": [g["subj"].iloc[0]],
+            "n_props": [len(node)],
+            "n_values": [n_values],
+        })
+
+    return rows.groupby("subj").map_groups(merge_subject,
+                                           batch_format="pandas")
