@@ -381,3 +381,19 @@ def test_list_variant_flagship_bnode_chains(ray_session, sf_dir):
                       term(q["object"]), term(q["graph"]))
                      for q in rec["result"]]
         assert set(cz.canonize(ref_quads).split("\n")) == engine_sets[i]
+
+
+def test_distributed_merge_matches_oracle(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_merged_node_props"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_merged_node_props"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
