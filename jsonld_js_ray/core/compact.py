@@ -542,14 +542,13 @@ def compact_iri(active_ctx: _ctx.ActiveContext, iri: str | None,
                 f'Absolute IRI "{iri}" confused with prefix "{term}".',
                 "jsonld.SyntaxError", code="IRI confused with prefix")
 
-    # relative to base
+    # relative to base (compact.js:941-951: '@base' is always present on
+    # an initialized context; null/'' means "do not relativize")
     if not vocab:
-        if active_ctx.original_base is not None or active_ctx.base is not None:
-            if not active_ctx.original_base:
-                return iri
-            return _url.remove_base(
-                _url.prepend_base(base, active_ctx.original_base), iri)
-        return _url.remove_base(base, iri)
+        if not active_ctx.original_base:
+            return iri
+        return _url.remove_base(
+            _url.prepend_base(base, active_ctx.original_base), iri)
 
     return iri
 

@@ -32,7 +32,7 @@ class ActiveContext:
     __slots__ = (
         "mappings", "base", "original_base", "vocab", "language", "direction",
         "processing_mode", "previous_context", "protected", "_inverse", "_uid",
-        "_fast_curie", "_iri_cache",
+        "_fast_curie", "_iri_cache", "_finalized",
     )
 
     def __init__(self, options: dict | None = None) -> None:
@@ -50,6 +50,10 @@ class ActiveContext:
         self._inverse: dict | None = None
         self._fast_curie: dict | None = None
         self._iri_cache: dict = {}
+        # expansion results may only be memoized on a FINALIZED context;
+        # during processing (@vocab/@base handlers run before term
+        # definitions exist) a cached result would go stale silently
+        self._finalized = True
         self._uid = next(_counter)
 
     def clone(self) -> "ActiveContext":
@@ -64,6 +68,7 @@ class ActiveContext:
         child.previous_context = self.previous_context
         child.protected = dict(self.protected)
         child._iri_cache = {}
+        child._finalized = True
         return child
 
     def get_inverse(self) -> dict:
@@ -214,6 +219,7 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
                  override_protected: bool, propagate: bool,
                  cycles: frozenset) -> ActiveContext:
     rval = active_ctx.clone()
+    rval._finalized = False
     rval._uid = next(_counter)
 
     # @propagate
@@ -349,6 +355,8 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
             pass
 
     rval._inverse = None
+    rval._iri_cache = {}
+    rval._finalized = True
     return rval
 
 
@@ -744,7 +752,8 @@ def _expand_iri(active_ctx: ActiveContext, value: Any, base: bool = False,
 
     # memoize on the (immutable-after-processing) active context; only
     # safe outside term-definition creation (local_ctx is None then)
-    if local_ctx is None:
+    # and once processing finished (_finalized)
+    if local_ctx is None and active_ctx._finalized:
         cached = active_ctx._iri_cache.get((value, vocab, base))
         if cached is not None:
             return cached[0]

@@ -156,7 +156,11 @@ def expand(
                            options=options) == "@type":
             type_key = type_key or key
             value = element[key]
-            types = sorted(value) if isinstance(value, list) else [value]
+            # JS Array.sort stringifies members; frames may mix dicts in
+            types = sorted(
+                value,
+                key=lambda v: v if isinstance(v, str) else "[object Object]"
+            ) if isinstance(value, list) else [value]
             for t in types:
                 ctx = _ctx.get_context_value(
                     type_scoped_context, t if isinstance(t, str) else None,

@@ -475,30 +475,29 @@ def _cleanup_preserve(input_: Any, options: dict) -> Any:
 
 
 def _cleanup_preserve_dict(input_: dict, options: dict) -> Any:
-    if True:
-        if "@preserve" in input_:
-            return input_["@preserve"][0]
-        if is_value(input_):
-            return input_
-        if is_list(input_):
-            input_["@list"] = _cleanup_preserve(input_["@list"], options)
-            return input_
-        if "@id" in input_:
-            id_ = input_["@id"]
-            link = options.setdefault("link", {})
-            if id_ in link:
-                for existing in link[id_]:
-                    if existing is input_:
-                        return existing
-                link[id_].append(input_)
-            else:
-                link[id_] = [input_]
-        for prop in list(input_.keys()):
-            if prop == "@id" and \
-                    input_[prop] in options.get("bnodesToClear", []):
-                del input_["@id"]
-                continue
-            input_[prop] = _cleanup_preserve(input_[prop], options)
+    if "@preserve" in input_:
+        return input_["@preserve"][0]
+    if is_value(input_):
+        return input_
+    if is_list(input_):
+        input_["@list"] = _cleanup_preserve(input_["@list"], options)
+        return input_
+    if "@id" in input_:
+        id_ = input_["@id"]
+        link = options.setdefault("link", {})
+        if id_ in link:
+            for existing in link[id_]:
+                if existing is input_:
+                    return existing
+            link[id_].append(input_)
+        else:
+            link[id_] = [input_]
+    for prop in list(input_.keys()):
+        if prop == "@id" and \
+                input_[prop] in options.get("bnodesToClear", []):
+            del input_["@id"]
+            continue
+        input_[prop] = _cleanup_preserve(input_[prop], options)
     return input_
 
 

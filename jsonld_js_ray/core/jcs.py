@@ -52,20 +52,29 @@ def es_number_to_string(v: float | int) -> str:
         return "0"
     if float(v).is_integer() and abs(v) < 1e21:
         return str(int(v))
-    # Python repr gives the shortest round-trip form, like ES; fix exponent
-    # formatting differences ('1e-07' → '1e-7'; ES uses 'e+21' like Python).
+    # Python repr gives the shortest round-trip digits, like ES, but
+    # switches to exponent form at 1e-5 where ES stays decimal: ES uses
+    # decimal notation for 1e-6 <= |x| < 1e21 (Number::toString step 8),
+    # exponent notation outside.
     s = repr(float(v))
-    if "e" in s:
-        mant, exp = s.split("e")
-        expi = int(exp)
-        # ES: exponent >= 21 → 'e+N'; exponent <= -7 → 'e-N'
-        if expi >= 0:
-            s = f"{mant}e+{expi}"
+    if "e" not in s:
+        return s
+    mant, exp = s.split("e")
+    expi = int(exp)
+    neg = mant.startswith("-")
+    digits = mant.lstrip("-").replace(".", "").rstrip("0") or "0"
+    if -7 < expi < 21:
+        # expand to plain decimal (repr only uses e-notation for
+        # |exp| >= 5ish, so expi < 0 here in practice)
+        if expi < 0:
+            zeros = -expi - 1
+            s = "0." + "0" * zeros + digits
         else:
-            s = f"{mant}e-{-expi}"
-        if mant.endswith(".0"):
-            s = s.replace(".0e", "e")
-    return s
+            s = digits + "0" * (expi - len(digits) + 1)
+        return ("-" + s) if neg else s
+    if mant.endswith(".0"):
+        mant = mant[:-2]
+    return f"{mant}e+{expi}" if expi >= 0 else f"{mant}e-{-expi}"
 
 
 def canonicalize(value: Any) -> str:
@@ -79,6 +88,8 @@ def canonicalize(value: Any) -> str:
     if isinstance(value, str):
         return _escape_string(value)
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and (value != value or math.isinf(value)):
+            return "null"   # JSON.stringify(NaN/Infinity) — npm canonicalize
         return es_number_to_string(value)
     if isinstance(value, list):
         return "[" + ",".join(canonicalize(v) for v in value) + "]"

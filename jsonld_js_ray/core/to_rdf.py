@@ -33,9 +33,28 @@ Term = tuple
 Quad = tuple
 
 
+_PARSE_FLOAT_RE = __import__("re").compile(
+    r"^[\s]*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def parse_float_js(v) -> float:
+    """ES ``parseFloat``: longest numeric prefix, else NaN."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    m = _PARSE_FLOAT_RE.match(str(v))
+    return float(m.group(0)) if m else float("nan")
+
+
 def double_canonical(value: float) -> str:
     """Canonical xsd:double form: ES ``toExponential(15)`` then
     ``/(\\d)0*e\\+?/ → '$1E'`` (toRdf.js:242)."""
+    value = float(value)
+    if value != value:
+        return "NaN"
+    if value == float("inf"):
+        return "Infinity"
+    if value == float("-inf"):
+        return "-Infinity"
     s = f"{float(value):.15e}"
     mant, exp = s.split("e")
     expi = int(exp)
@@ -150,12 +169,23 @@ def _object_to_rdf(item: Any, issuer: IdentifierIssuer, dataset: list,
                     datatype or XSD_BOOLEAN, None)
         if is_double(value) or datatype == XSD_DOUBLE:
             if not is_number(value):
-                value = float(value)
+                # reference: parseFloat, NaN for non-numeric strings
+                value = parse_float_js(value)
             return ("Literal", double_canonical(value),
                     datatype or XSD_DOUBLE, None)
         if is_number(value):
-            return ("Literal", f"{value:.0f}" if isinstance(value, float)
-                    else str(value), datatype or XSD_INTEGER, None)
+            if isinstance(value, float):
+                if value != value:
+                    lex = "NaN"           # (NaN).toFixed(0)
+                elif value == float("inf"):
+                    lex = "Infinity"
+                elif value == float("-inf"):
+                    lex = "-Infinity"
+                else:
+                    lex = f"{value:.0f}"
+            else:
+                lex = str(value)
+            return ("Literal", lex, datatype or XSD_INTEGER, None)
         if rdf_direction == "i18n-datatype" and "@direction" in item:
             dt = ("https://www.w3.org/ns/i18n#"
                   + (item.get("@language") or "")

@@ -59,7 +59,9 @@ def is_double(v: Any) -> bool:
     # values AND for bare-mantissa exponent forms like 1e-7, which the
     # reference therefore treats as integers (toFixed(0)).
     if v != v or v in (float("inf"), float("-inf")):
-        return True
+        # String(NaN)='NaN', String(Infinity)='Infinity' — no '.', so the
+        # reference types these as integers (toFixed(0) → 'NaN'/'Infinity')
+        return False
     if abs(v) >= 1e21:
         return True
     from .jcs import es_number_to_string

@@ -179,6 +179,39 @@ def build_quads_with_mentions(sf_dir: str,
         batch_format="pyarrow", batch_size=batch_size)
 
 
+
+
+def _write_shard(quads, out_dir: str, shard_id: int, path: str,
+                 fp: str) -> "ckpt.ShardRecord":
+    """Write one shard's quad Dataset atomically with part_id provenance
+    and a lineage record (shared by both pipeline runners)."""
+    t0 = time.perf_counter()
+    rec = ckpt.ShardRecord(
+        shard_id=shard_id, inputs=[path], input_fingerprint=fp,
+        rows=0, quads=0, wall_ms=0)
+
+    def write(tmp_dir: str) -> None:
+        import pyarrow as pa
+
+        def add_part(batch: pa.Table, _pid=shard_id) -> pa.Table:
+            # FIXTURES.md §2 provenance column
+            return batch.append_column(
+                "part_id", pa.array([_pid] * batch.num_rows, pa.int32()))
+
+        quads.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True).write_parquet(tmp_dir)
+        import pyarrow.parquet as pq
+        n = 0
+        for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
+            n += pq.ParquetFile(f).metadata.num_rows
+        rec.quads = n
+        rec.rows = n
+        rec.wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    ckpt.write_shard_atomic(out_dir, shard_id, write, rec)
+    return rec
+
+
 def run_kg_pipeline(sf_dir: str, out_dir: str,
                     concurrency: int | None = None,
                     batch_size: int = 256,
@@ -193,42 +226,16 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     metrics = {"shards_total": len(files), "shards_skipped": 0,
-               "rows": 0, "quads": 0, "wall_ms": 0}
+               "quads": 0, "wall_ms": 0}
 
     for shard_id, path in enumerate(files):
         fp = ckpt.fingerprint_inputs([path])
         if resume and ckpt.is_shard_done(out_dir, shard_id, fp):
             metrics["shards_skipped"] += 1
             continue
-        t0 = time.perf_counter()
         quads = build_quads(sf_dir, files=[path], concurrency=concurrency,
                             batch_size=batch_size, skip_errors=True)
-
-        rec = ckpt.ShardRecord(
-            shard_id=shard_id, inputs=[path], input_fingerprint=fp,
-            rows=0, quads=0, wall_ms=0)
-
-        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0,
-                  shard_id=shard_id) -> None:
-            import pyarrow as pa
-
-            def add_part(batch: pa.Table, _pid=shard_id) -> pa.Table:
-                # FIXTURES.md §2 provenance column
-                return batch.append_column(
-                    "part_id", pa.array([_pid] * batch.num_rows,
-                                        pa.int32()))
-
-            quads.map_batches(add_part, batch_format="pyarrow",
-                              zero_copy_batch=True).write_parquet(tmp_dir)
-            # count written quads from file metadata (stream stayed lazy)
-            import pyarrow.parquet as pq
-            n = 0
-            for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
-                n += pq.ParquetFile(f).metadata.num_rows
-            rec.quads = n
-            rec.wall_ms = int((time.perf_counter() - t0) * 1000)
-
-        ckpt.write_shard_atomic(out_dir, shard_id, write, rec)
+        rec = _write_shard(quads, out_dir, shard_id, path, fp)
         metrics["quads"] += rec.quads
         metrics["wall_ms"] += rec.wall_ms
     return metrics
@@ -353,35 +360,10 @@ def run_full_kg_pipeline(sf_dir: str, out_dir: str,
         if resume and ckpt.is_shard_done(out_dir, shard_id, fp):
             metrics["shards_skipped"] += 1
             continue
-        t0 = time.perf_counter()
         quads = build_quads_with_mentions(
             sf_dir, canonical_mapping=mapping, batch_size=batch_size,
             files=[path], skip_errors=True)
-
-        rec = ckpt.ShardRecord(
-            shard_id=shard_id, inputs=[path], input_fingerprint=fp,
-            rows=0, quads=0, wall_ms=0)
-
-        def write(tmp_dir: str, quads=quads, rec=rec, t0=t0,
-                  shard_id=shard_id) -> None:
-            import pyarrow as pa
-
-            def add_part(batch: pa.Table, _pid=shard_id) -> pa.Table:
-                # FIXTURES.md §2 provenance column
-                return batch.append_column(
-                    "part_id", pa.array([_pid] * batch.num_rows,
-                                        pa.int32()))
-
-            quads.map_batches(add_part, batch_format="pyarrow",
-                              zero_copy_batch=True).write_parquet(tmp_dir)
-            import pyarrow.parquet as pq
-            n = 0
-            for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
-                n += pq.ParquetFile(f).metadata.num_rows
-            rec.quads = n
-            rec.wall_ms = int((time.perf_counter() - t0) * 1000)
-
-        ckpt.write_shard_atomic(out_dir, shard_id, write, rec)
+        rec = _write_shard(quads, out_dir, shard_id, path, fp)
         metrics["quads"] += rec.quads
         metrics["wall_ms"] += rec.wall_ms
     if metrics["wall_ms"]:

@@ -93,8 +93,11 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     return terms_to_rows(quads)
 
 
-def write_nquads(quads_ds, out_dir: str) -> None:
-    """Quad Dataset → directory of .nq part files."""
+def write_nquads(quads_ds, out_dir: str):
+    """Quad Dataset → directory of .nq part files.
+
+    Executes eagerly (the write is a side effect) and returns the
+    manifest as a pandas DataFrame (path, rows per part file)."""
     lines = quads_ds.map_batches(serialize_batch, batch_format="pyarrow",
                                  batch_size=65536)
     import os
@@ -113,7 +116,7 @@ def write_nquads(quads_ds, out_dir: str) -> None:
                          "rows": pa.array([batch.num_rows], pa.int64())})
 
     return lines.map_batches(write_block, batch_format="pyarrow",
-                             batch_size=65536)
+                             batch_size=65536).to_pandas()
 
 
 def read_nquads(paths) -> "ray.data.Dataset":  # noqa: F821

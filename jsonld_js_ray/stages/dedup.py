@@ -129,6 +129,75 @@ class MinHashStage:
         })
 
 
+
+
+class _UnionFind:
+    """Path-halving union-find keeping the SMALLEST member as root —
+    shared by every near-dup variant (cluster id = min of cluster)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        p.setdefault(x, x)
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            self.parent[hi] = lo
+
+    def cluster_map(self) -> dict[int, int]:
+        return {x: self.find(x) for x in self.parent}
+
+
+def _label_clusters(docs, cluster_of: dict[int, int]):
+    """Broadcast the (small) cluster map and emit
+    (doc_id, cluster_id, keep) for every document."""
+    import ray
+    import pyarrow as pa
+
+    ref = ray.put(cluster_of)
+
+    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import ray as _ray
+        mapping = _ray.get(_ref)
+        ids = [int(x) for x in batch["doc_id"].to_pylist()]
+        clusters = [mapping.get(d, d) for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
+        })
+
+    return docs.map_batches(label, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+def _fetch_candidate_texts(docs, pairs) -> dict[int, str]:
+    """Semi-join: pull only candidate docs' texts (broadcast id set)."""
+    import pyarrow as pa
+
+    if not len(pairs):
+        return {}
+    id_set = set(int(x) for x in pairs["a"]) | \
+        set(int(x) for x in pairs["b"])
+
+    def filter_cands(batch: pa.Table) -> pa.Table:
+        mask = pa.array([d in id_set
+                         for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    tbl = docs.map_batches(filter_cands,
+                           batch_format="pyarrow").to_pandas()
+    return dict(zip(tbl["doc_id"].astype(int), tbl["text"]))
+
+
 def _pairs_from_buckets(banded, key_cols: list[str]):
     """(key_cols..., doc_id) rows → candidate-pair DataFrame.
 
@@ -182,74 +251,23 @@ def _bucket_pairs(g, log_drops: list | None = None):
 def minhash_lsh_dedup(docs, threshold: float = 0.7):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
-    Stages: minhash+band explode (map_batches) → groupby(band_id,
-    band_hash) pair generation → exact Jaccard verify (broadcast text
-    lookup for verified pairs happens inside the verify stage) →
-    union-find over verified pairs (pair list ≪ corpus) → cluster labels.
-    """
-    import pandas as pd
-    import ray
-
+    Stages: minhash+band explode (map_batches) → bucket-count prefilter →
+    candidate pairs → exact shingle-Jaccard verify (texts fetched by
+    semi-join, broadcast as a dict) → union-find over verified pairs
+    (pair list ≪ corpus) → cluster labels."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
                               batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+    texts = _fetch_candidate_texts(docs, pairs)
 
-    # verify candidates with exact shingle Jaccard (only candidate docs'
-    # texts are pulled — a semi-join by id set, broadcast as a dict)
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) \
-        else []
-    texts: dict[int, str] = {}
-    if cand_ids:
-        id_set = set(cand_ids)
-
-        def filter_cands(batch: pa.Table) -> pa.Table:
-            mask = pa.array([d in id_set
-                             for d in batch["doc_id"].to_pylist()])
-            return batch.filter(mask)
-
-        cand_tbl = docs.map_batches(
-            filter_cands, batch_format="pyarrow").to_pandas()
-        texts = dict(zip(cand_tbl["doc_id"].astype(int),
-                         cand_tbl["text"]))
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-
+    uf = _UnionFind()
     for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
         sa = word_shingles(texts.get(int(a), ""))
         sb = word_shingles(texts.get(int(b), ""))
         un = len(sa | sb)
         if un and len(sa & sb) / un >= threshold:
-            union(int(a), int(b))
-
-    cluster_of = {d: find(d) for d in parent}
-    ref = ray.put(cluster_of)
-
-    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        import ray as _ray
-        mapping = _ray.get(_ref)
-        ids = [int(x) for x in batch["doc_id"].to_pylist()]
-        clusters = [mapping.get(d, d) for d in ids]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(clusters, pa.int64()),
-            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
-        })
-
-    return docs.map_batches(label, batch_format="pyarrow",
-                            batch_size=8192)
+            uf.union(int(a), int(b))
+    return _label_clusters(docs, uf.cluster_map())
 
 
 # --- SimHash ---
@@ -297,10 +315,8 @@ def simhash_dedup(docs, max_hamming: int = 3):
     """documents → (doc_id, cluster_id, keep) via SimHash banding.
 
     Hamming ≤ 3 over 64 bits guarantees at least one of the four 16-bit
-    bands matches exactly (pigeonhole) — each band is a groupby bucket.
-    """
+    bands matches exactly (pigeonhole) — each band is a groupby bucket."""
     import pandas as pd
-    import ray
 
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
                             batch_size=256)
@@ -316,40 +332,13 @@ def simhash_dedup(docs, max_hamming: int = 3):
         (t := sigs.select_columns(["doc_id", "simhash"]).to_pandas())
         ["doc_id"].astype(int), t["simhash"].astype(np.uint64)))
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    uf = _UnionFind()
     for a, b in zip(all_pairs.get("a", []), all_pairs.get("b", [])):
         ha = int(sig_map.get(int(a), 0))
         hb = int(sig_map.get(int(b), 0))
         if bin(ha ^ hb).count("1") <= max_hamming:
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                lo, hi = sorted((ra, rb))
-                parent[hi] = lo
-
-    cluster_of = {d: find(d) for d in parent}
-    ref = ray.put(cluster_of)
-
-    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        import ray as _ray
-        mapping = _ray.get(_ref)
-        ids = [int(x) for x in batch["doc_id"].to_pylist()]
-        clusters = [mapping.get(d, d) for d in ids]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(clusters, pa.int64()),
-            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
-        })
-
-    return docs.map_batches(label, batch_format="pyarrow",
-                            batch_size=8192)
+            uf.union(int(a), int(b))
+    return _label_clusters(docs, uf.cluster_map())
 
 
 # --- n-gram Jaccard (exact verification kernel) ---
@@ -451,61 +440,17 @@ def ngram_jaccard_dedup(docs, threshold: float = 0.8):
     """documents → (doc_id, cluster_id, keep): near-dup = character
     3-gram Jaccard ≥ threshold, candidates via char-gram MinHash bands,
     verified with the exact ``ngram_jaccard`` kernel."""
-    import ray
-
     banded = docs.map_batches(CharGramMinHashStage(),
                               batch_format="pyarrow", batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+    texts = _fetch_candidate_texts(docs, pairs)
 
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) \
-        else []
-    texts: dict[int, str] = {}
-    if cand_ids:
-        id_set = set(cand_ids)
-
-        def filter_cands(batch: pa.Table) -> pa.Table:
-            mask = pa.array([d in id_set
-                             for d in batch["doc_id"].to_pylist()])
-            return batch.filter(mask)
-
-        cand_tbl = docs.map_batches(
-            filter_cands, batch_format="pyarrow").to_pandas()
-        texts = dict(zip(cand_tbl["doc_id"].astype(int),
-                         cand_tbl["text"]))
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    uf = _UnionFind()
     for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
         if ngram_jaccard(texts.get(int(a), ""),
                          texts.get(int(b), "")) >= threshold:
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                lo, hi = sorted((ra, rb))
-                parent[hi] = lo
-
-    cluster_of = {d: find(d) for d in parent}
-    ref = ray.put(cluster_of)
-
-    def label(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        import ray as _ray
-        mapping = _ray.get(_ref)
-        ids = [int(x) for x in batch["doc_id"].to_pylist()]
-        clusters = [mapping.get(d, d) for d in ids]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(clusters, pa.int64()),
-            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
-        })
-
-    return docs.map_batches(label, batch_format="pyarrow",
-                            batch_size=8192)
+            uf.union(int(a), int(b))
+    return _label_clusters(docs, uf.cluster_map())
 
 
 # Oracle for embedding_dedup: cluster = min EARLIER vec_id with cosine >=

@@ -205,7 +205,7 @@ def test_nquads_io_roundtrip(ray_session, sf_dir, tmp_path):
     from jsonld_js_ray.sources.nquads_io import read_nquads, write_nquads
 
     out = str(tmp_path / "nq")
-    res = write_nquads(build_quads(sf_dir), out).to_pandas()
+    res = write_nquads(build_quads(sf_dir), out)   # eager; returns manifest
     assert res["rows"].sum() == 8030
     back = read_nquads(out).to_pandas()
     assert len(back) == 8030
