@@ -140,13 +140,17 @@ def _build_scaling_input() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/graft_scaling_input_x{SCALING_COPIES}"
+    src_path = os.path.join(SF_DIR, "events.parquet")
+    st = os.stat(src_path)
+    src_key = (f"{os.path.basename(os.path.normpath(SF_DIR))}-"
+               f"{st.st_size}-{int(st.st_mtime)}")
+    out_dir = f"/tmp/graft_scaling_input_{src_key}_x{SCALING_COPIES}"
     events_dir = os.path.join(out_dir, "events")
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(events_dir, exist_ok=True)
-    src = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    src = pq.read_table(src_path)
     n = src.num_rows
     for copy in range(SCALING_COPIES):
         shifted = src.set_column(

@@ -80,14 +80,18 @@ def build_quads(sf_dir: str, files: list[str] | None = None,
         kwargs: dict[str, Any] = {
             "batch_format": "pyarrow",
             "batch_size": batch_size,
-            "fn_constructor_kwargs": {"canonicalize": canonicalize},
+            "fn_constructor_kwargs": {"canonicalize": canonicalize,
+                                      "skip_errors": skip_errors},
             "concurrency": concurrency if concurrency else (1, 8),
         }
         return docs.map_batches(ToRdfActor, **kwargs)
     fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize,
                            skip_errors=skip_errors)
-    return docs.map_batches(fn, batch_format="pyarrow",
-                            batch_size=batch_size)
+    task_kwargs: dict[str, Any] = {"batch_format": "pyarrow",
+                                   "batch_size": batch_size}
+    if concurrency is not None:
+        task_kwargs["concurrency"] = concurrency
+    return docs.map_batches(fn, **task_kwargs)
 
 
 def _derive_link_assemble(group, mapping_ref=None):
@@ -296,8 +300,14 @@ def compact_roundtrip_turn_counts(sf_dir: str):
             "n_turns": pa.array(out_n, pa.int64()),
         })
 
-    return docs.map_batches(per_batch, batch_format="pyarrow",
-                            batch_size=256)
+    from ray.data.aggregate import Sum
+
+    per_chunk = docs.map_batches(per_batch, batch_format="pyarrow",
+                                 batch_size=256)
+    # chunked giant conversations emit one row per chunk; the oracle is
+    # per conversation — sum of chunk turn counts == total
+    return per_chunk.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"))
 
 
 def build_entity_mapping(sf_dir: str, threshold: float = 0.6) -> dict:
@@ -393,10 +403,27 @@ def flatten_doc_node_counts(sf_dir: str):
         return pa.table({
             "conv_id": pa.array(conv_ids, pa.string()),
             "n_nodes": pa.array(out, pa.int64()),
+            "n_chunks": pa.array([1] * len(out), pa.int64()),
         })
 
-    return docs.map_batches(per_batch, batch_format="pyarrow",
-                            batch_size=256)
+    from ray.data.aggregate import Sum
+
+    per_chunk = docs.map_batches(per_batch, batch_format="pyarrow",
+                                 batch_size=256)
+    # each chunk's flatten includes the conversation node, so the
+    # per-conversation total is sum(n_nodes) - (n_chunks - 1)
+    agg = per_chunk.groupby("conv_id").aggregate(
+        Sum("n_nodes", alias_name="sum_nodes"),
+        Sum("n_chunks", alias_name="n_chunks"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.add(pc.subtract(batch["sum_nodes"], batch["n_chunks"]),
+                   pa.scalar(1, pa.int64()))
+        return pa.table({"conv_id": batch["conv_id"],
+                         "n_nodes": n.cast(pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def distributed_merge_node_props(sf_dir: str):

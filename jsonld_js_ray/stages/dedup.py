@@ -36,10 +36,6 @@ ROWS_PER_BAND = NUM_PERMS // BANDS
 MAX_PAIRS_PER_BUCKET = 10_000
 
 
-def _crc(data: str, seed: int) -> int:
-    return zlib.crc32(data.encode("utf-8"), seed) & 0xFFFFFFFF
-
-
 # --- exact dedup ---
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
@@ -172,7 +168,8 @@ def _label_clusters(docs, cluster_of: dict[int, int]):
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "cluster_id": pa.array(clusters, pa.int64()),
-            "keep": pa.array([c == d for d, c in zip(ids, clusters)]),
+            "keep": pa.array([c == d for d, c in zip(ids, clusters)],
+                             pa.bool_()),
         })
 
     return docs.map_batches(label, batch_format="pyarrow",
@@ -190,8 +187,9 @@ def _fetch_candidate_texts(docs, pairs) -> dict[int, str]:
 
     def filter_cands(batch: pa.Table) -> pa.Table:
         mask = pa.array([d in id_set
-                         for d in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
+                         for d in batch["doc_id"].to_pylist()],
+                        pa.bool_())   # typed: empty blocks otherwise
+        return batch.filter(mask)     # produce a null-typed mask
 
     tbl = docs.map_batches(filter_cands,
                            batch_format="pyarrow").to_pandas()
@@ -210,6 +208,9 @@ def _pairs_from_buckets(banded, key_cols: list[str]):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
+    # the banded Dataset is consumed twice (count aggregate + hot
+    # filter); pin it so the signature stage doesn't re-execute
+    banded = banded.materialize()
     counts = banded.groupby(key_cols).aggregate(Count(alias_name="n"))
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)),
@@ -221,7 +222,7 @@ def _pairs_from_buckets(banded, key_cols: list[str]):
 
     def only_hot(t, _keys=hot_keys, _cols=key_cols):
         cols = [t[c].to_pylist() for c in _cols]
-        mask = pa.array([k in _keys for k in zip(*cols)])
+        mask = pa.array([k in _keys for k in zip(*cols)], pa.bool_())
         return t.filter(mask)
 
     hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
@@ -230,8 +231,11 @@ def _pairs_from_buckets(banded, key_cols: list[str]):
     return pairs_ds.to_pandas().drop_duplicates()
 
 
-def _bucket_pairs(g, log_drops: list | None = None):
-    """One LSH bucket's doc_ids → candidate pairs (capped, sorted)."""
+def _bucket_pairs(g):
+    """One LSH bucket's doc_ids → candidate pairs (capped, WARNED —
+    no silent truncation)."""
+    import warnings
+
     import pandas as pd
 
     ids = sorted(set(int(x) for x in g["doc_id"]))
@@ -240,8 +244,11 @@ def _bucket_pairs(g, log_drops: list | None = None):
         for j in range(i + 1, len(ids)):
             pairs.append((ids[i], ids[j]))
             if len(pairs) >= MAX_PAIRS_PER_BUCKET:
-                if log_drops is not None:
-                    log_drops.append(len(ids))
+                warnings.warn(
+                    f"LSH bucket with {len(ids)} docs exceeded "
+                    f"MAX_PAIRS_PER_BUCKET={MAX_PAIRS_PER_BUCKET}; "
+                    f"candidate pairs truncated — consider more bands "
+                    f"or a higher cap")
                 return pd.DataFrame(pairs, columns=["a", "b"])
     return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else \
         pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -319,7 +326,7 @@ def simhash_dedup(docs, max_hamming: int = 3):
     import pandas as pd
 
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
-                            batch_size=256)
+                            batch_size=256).materialize()
     frames = [
         _pairs_from_buckets(
             sigs.select_columns([f"band{band}", "doc_id"]), [f"band{band}"])

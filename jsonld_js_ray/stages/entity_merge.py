@@ -24,6 +24,8 @@ import zlib
 
 import pyarrow as pa
 
+from .dedup import _MH_A, _MH_B, _MH_PRIME
+
 NUM_PERMS = 64
 BANDS = 16          # 16 bands × 4 rows
 ROWS_PER_BAND = NUM_PERMS // BANDS
@@ -41,11 +43,16 @@ def shingles(s: str, k: int = 3) -> set[str]:
 
 
 def minhash_signature(s: str, num_perms: int = NUM_PERMS) -> list[int]:
+    """Vectorized universal-hash MinHash (shares dedup.py's kernel: one
+    crc per shingle + the (A, B) permutation matrix)."""
+    import numpy as np
+
     sh = shingles(s)
-    sig = []
-    for p in range(num_perms):
-        sig.append(min(_crc(g, p + 1) for g in sh))
-    return sig
+    base = np.array([zlib.crc32(g.encode("utf-8")) for g in sh],
+                    dtype=np.uint64)
+    vals = (_MH_A[:num_perms, None] * base[None, :]
+            + _MH_B[:num_perms, None]) % _MH_PRIME
+    return [int(x) for x in vals.min(axis=1)]
 
 
 def band_hashes(sig: list[int]) -> list[int]:
@@ -136,10 +143,13 @@ def build_canonical_mapping(surfaces: list[str],
         if len(members) < 2:
             continue
         members = sorted(set(members))
-        head = members[0]
-        for other in members[1:]:
-            if jaccard(head, other) >= threshold:
-                union(head, other)
+        # verify ALL in-bucket pairs: head-only verification under-merges
+        # when two members are near-dups of each other but not of the
+        # bucket minimum
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if jaccard(members[i], members[j]) >= threshold:
+                    union(members[i], members[j])
     return {s: find(s) for s in surfaces}
 
 

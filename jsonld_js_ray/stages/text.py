@@ -32,8 +32,12 @@ PUNCT_CHARS = ".,;:!?'\"()-"
 
 
 def _token_lists(texts: pa.Array) -> pa.Array:
-    """string array → list<string> of lowercase whitespace tokens."""
-    lowered = pc.utf8_lower(texts)
+    """string array → list<string> of lowercase whitespace tokens.
+
+    Note: splitting on \s+ yields phantom '' tokens at string boundaries
+    (and [''] for empty text); every consumer must EXCLUDE empty tokens
+    to match the SQL oracle's '\S+' extraction."""
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
     return pc.split_pattern_regex(lowered, pattern=TOKEN_SPLIT)
 
 
@@ -52,17 +56,21 @@ def _hits_per_row(tokens: pa.Array, vocab: list[str],
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → integer stats row per doc (oracle-checkable)."""
-    texts = batch["text"]
+    texts = pc.fill_null(batch["text"], "")
     n = batch.num_rows
     tokens = _token_lists(texts)
-    n_tokens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
 
-    # distinct tokens per row
     combined = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) \
         else tokens
-    flat = pc.list_flatten(combined).to_numpy(zero_copy_only=False)
-    parents = pc.list_parent_indices(combined).to_numpy(
+    flat_arr = pc.list_flatten(combined)
+    parents_arr = pc.list_parent_indices(combined)
+    # drop phantom '' boundary tokens (see _token_lists)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
+    parents = pc.filter(parents_arr, nonempty).to_numpy(
         zero_copy_only=False)
+
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
     n_distinct = np.zeros(n, dtype=np.int64)
     if len(flat):
         pairs = np.unique(
@@ -76,7 +84,8 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     n_stop = _hits_per_row(tokens, STOPWORDS["en"], n)
     # punctuation characters per doc
     n_punct = np.zeros(n, dtype=np.int64)
-    texts_py = texts.to_pylist()
+    texts_py = texts.to_pylist() if not isinstance(texts, pa.ChunkedArray) \
+        else texts.combine_chunks().to_pylist()
     punct = set(PUNCT_CHARS)
     for i, t in enumerate(texts_py):
         if t:
