@@ -42,7 +42,7 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
 
     # scoped context on active_property
     ctx = _ctx.get_context_value(active_ctx, active_property, "@context")
-    if ctx is not None:
+    if ctx is not _ctx.UNDEFINED:
         active_ctx = _ctx.process_context(
             active_ctx, ctx, options, propagate=True, override_protected=True)
 
@@ -88,7 +88,7 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
 
         property_scoped_ctx = _ctx.get_context_value(
             input_ctx, active_property, "@context")
-        if property_scoped_ctx is not None:
+        if property_scoped_ctx is not _ctx.UNDEFINED:
             active_ctx = _ctx.process_context(
                 active_ctx, property_scoped_ctx, options, propagate=True,
                 override_protected=True)
@@ -106,7 +106,7 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
             compacted_type = compact_iri(type_context, type_, vocab=True)
             ctx2 = _ctx.get_context_value(input_ctx, compacted_type,
                                           "@context")
-            if ctx2 is not None:
+            if ctx2 is not _ctx.UNDEFINED:
                 active_ctx = _ctx.process_context(
                     active_ctx, ctx2, options, propagate=False)
 

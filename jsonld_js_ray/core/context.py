@@ -63,7 +63,10 @@ class ActiveContext:
         child.original_base = self.original_base
         child.vocab = self.vocab
         child.language = self.language
-        child.direction = self.direction
+        # the reference's clone copies only @base/@language/@vocab
+        # (context.js:1230-1246): the default @direction does NOT survive
+        # into subsequent context folds or reverts
+        child.direction = None
         child.processing_mode = self.processing_mode
         child.previous_context = self.previous_context
         child.protected = dict(self.protected)
@@ -82,7 +85,9 @@ class ActiveContext:
         return self._fast_curie or []
 
     def revert_to_previous(self) -> "ActiveContext":
-        return self.previous_context if self.previous_context else self
+        # reference returns previousContext.clone() (context.js:1252-1257)
+        return self.previous_context.clone() if self.previous_context \
+            else self
 
 
 class ContextResolver:
@@ -103,6 +108,8 @@ class ContextResolver:
         self.documents = documents or {}
         self.loader = loader
         self.process_cache: dict = cache if cache is not None else {}
+        self.max_cache = 256   # LRU-ish bound (reference uses an LRU,
+        #                        jsonld.js:86-89); evicts oldest insert
 
     def fetch(self, url: str) -> Any:
         if url in self.documents:
@@ -161,11 +168,12 @@ def process_context(
                     "Tried to nullify a context with protected terms outside "
                     "of a term definition.", "jsonld.SyntaxError",
                     code="invalid context nullification")
-            prev = rval
+            # the reference resets to a bare initial context and does
+            # NOT record previousContext here, even under propagate:false
+            # (context.js:141-143) — so a later type-scoped revert cannot
+            # resurrect the nullified terms
             rval = ActiveContext(options)
             rval.processing_mode = active_ctx.processing_mode
-            if propagate is False:
-                rval.previous_context = prev
             continue
 
         if isinstance(ctx, dict) and "@context" in ctx:
@@ -211,6 +219,10 @@ def process_context(
                             propagate=propagate, cycles=cycles)
 
     if cache_key is not None:
+        cachemax = getattr(resolver, "max_cache", 256)
+        if len(resolver.process_cache) >= cachemax:
+            resolver.process_cache.pop(
+                next(iter(resolver.process_cache)))
         resolver.process_cache[cache_key] = rval
     return rval
 
@@ -402,7 +414,7 @@ def create_term_definition(
             value.get("@container", "@set") == "@set" and \
             _processing_mode(active_ctx, 1.1):
         valid_keys = ("@container", "@id", "@protected")
-        if not all(k in valid_keys for k in value):
+        if len(value) == 0 or not all(k in valid_keys for k in value):
             raise JsonLdError(
                 "Keywords cannot be overridden.", "jsonld.SyntaxError",
                 code="keyword redefinition", details={"term": term})
@@ -557,6 +569,13 @@ def create_term_definition(
                     details={"term": term})
             mapping["@id"] = active_ctx.vocab + term
 
+    # @protected (after the keyword-like early returns, context.js:684-688,
+    # so ignored terms never leave phantom protection entries)
+    if value.get("@protected") or (
+            defined.get("@protected") and value.get("@protected") is not False):
+        active_ctx.protected[term] = True
+        mapping["protected"] = True
+
     # IRI mapping now defined
     defined[term] = True
 
@@ -691,8 +710,8 @@ def create_term_definition(
                 "jsonld.SyntaxError", code="invalid @prefix value")
         mapping["_prefix"] = value["@prefix"]
 
-    # @direction
-    if "@direction" in value and "@type" not in value:
+    # @direction (unconditional — no @type guard in the reference)
+    if "@direction" in value:
         direction = value["@direction"]
         if direction is not None and direction not in ("ltr", "rtl"):
             raise JsonLdError(
@@ -781,7 +800,9 @@ def _expand_iri_uncached(active_ctx: ActiveContext, value: str,
 
     if vocab:
         mapping = active_ctx.mappings.get(value)
-        if mapping is not None:
+        # in-progress definitions have no '@id' yet — fall through to
+        # prefix handling like the reference (context.js:1002-1010)
+        if mapping is not None and "@id" in mapping:
             return mapping["@id"]
 
     colon = value.find(":", 1)
@@ -809,12 +830,15 @@ def _expand_iri_uncached(active_ctx: ActiveContext, value: str,
     return value
 
 
+UNDEFINED = object()    # "entry absent" sentinel (JS undefined vs null)
+
+
 def get_context_value(active_ctx: ActiveContext, key: str | None,
                       kind: str) -> Any:
     """Lookup a term attribute with context defaults
     (reference lib/context.js:1410-1447)."""
     if key is None:
-        return None
+        return UNDEFINED if kind == "@context" else None
     mapping = active_ctx.mappings.get(key)
     if mapping is not None and kind in mapping:
         return mapping[kind]
@@ -822,7 +846,9 @@ def get_context_value(active_ctx: ActiveContext, key: str | None,
         return active_ctx.language
     if kind == "@direction" and active_ctx.direction is not None:
         return active_ctx.direction
-    return None
+    # JS returns undefined for @context so callers can distinguish an
+    # explicit scoped `"@context": null` (stored as None above)
+    return UNDEFINED if kind == "@context" else None
 
 
 # --- inverse context (for compaction) ---

@@ -136,8 +136,9 @@ def expand(
     if must_revert:
         active_ctx = active_ctx.revert_to_previous()
 
-    # apply property-scoped context
-    if property_scoped_ctx is not None:
+    # apply property-scoped context (explicit null resets — only the
+    # UNDEFINED sentinel means "no scoped context")
+    if property_scoped_ctx is not _ctx.UNDEFINED:
         active_ctx = _ctx.process_context(
             active_ctx, property_scoped_ctx, options,
             propagate=True, override_protected=True)
@@ -165,7 +166,7 @@ def expand(
                 ctx = _ctx.get_context_value(
                     type_scoped_context, t if isinstance(t, str) else None,
                     "@context")
-                if ctx is not None:
+                if ctx is not _ctx.UNDEFINED:
                     active_ctx = _ctx.process_context(
                         active_ctx, ctx, options, propagate=False)
 
@@ -201,7 +202,10 @@ def expand(
                 "@json" in type_vals and len(type_vals) == 1:
             pass  # any @value ok for @json literals
         elif len(values) == 0:
-            rval = None
+            mapped = _map_unmappable(
+                options, unmappedValue=rval,
+                activeProperty=active_property, insideList=inside_list)
+            rval = None if mapped is _SENTINEL else mapped
         elif not all(is_string(v) or is_empty_object(v) for v in values) and \
                 "@language" in rval:
             raise JsonLdError(
@@ -232,7 +236,10 @@ def expand(
             keys = list(rval.keys()) if isinstance(rval, dict) else []
             count = len(keys)
     elif count == 1 and "@language" in rval:
-        rval = None
+        mapped = _map_unmappable(
+            options, unmappedValue=rval,
+            activeProperty=active_property, insideList=inside_list)
+        rval = None if mapped is _SENTINEL else mapped
 
     # drop certain free-floating top-level objects (expand.js:367-389)
     if isinstance(rval, dict) and not options.get("keepFreeFloatingNodes") \
@@ -476,7 +483,7 @@ def _expand_object(
         # scoped context for this key
         term_ctx = active_ctx
         ctx = _ctx.get_context_value(active_ctx, key, "@context")
-        if ctx is not None:
+        if ctx is not _ctx.UNDEFINED:
             term_ctx = _ctx.process_context(
                 active_ctx, ctx, options, propagate=True,
                 override_protected=True)
@@ -665,7 +672,7 @@ def _expand_index_map(active_ctx: _ctx.ActiveContext, options: dict,
     for key in sorted(value.keys()):
         if is_type_index:
             ctx = _ctx.get_context_value(active_ctx, key, "@context")
-            if ctx is not None:
+            if ctx is not _ctx.UNDEFINED:
                 active_ctx = _ctx.process_context(
                     active_ctx, ctx, options, propagate=False)
 

@@ -93,10 +93,10 @@ def do_frame(state: dict, subjects: list[str], frame: Any, parent: Any,
             add_value(state["bnodeMap"], id_, output, property_is_array=True)
         link[id_] = output
 
-        if flags["embed"] in ("@first", "@last") and options.get("is11"):
-            raise JsonLdError(
-                "invalid value of @embed.", "jsonld.SyntaxError",
-                code="invalid @embed value", details={"frame": frame})
+        # NOTE: the spec says @first/@last are invalid in 1.1 mode, but
+        # the reference's check reads state.is11 which is never set
+        # (jsonld.js:495 stores is11 on options) — dead code, so frames
+        # using @first/@last are accepted and behave like @once/@last
 
         if not state["embedded"] and \
                 id_ in state["uniqueEmbeds"][state["graph"]]:

@@ -606,3 +606,43 @@ CASES += [
         "@context": {"@vocab": EX, "meta": "@nest"},
         "@id": EX + "s", "meta": "scalar"}},
 ]
+
+# --- high-effort review regression cases ---
+CASES += [
+    {"name": "expand-prefix-form-term-with-id", "op": "expand", "input": {
+        "@context": {"foaf": "http://xmlns.com/foaf/0.1/",
+                     "foaf:name": {"@id": "http://xmlns.com/foaf/0.1/name"}},
+        "foaf:name": "Alice", "foaf:age": 30}},
+    {"name": "expand-scoped-context-null", "op": "expand", "input": {
+        "@context": {"@vocab": "http://v/",
+                     "term": {"@id": "http://v/term", "@context": None}},
+        "term": {"a": "x"}, "b": "y"}},
+    {"name": "expand-term-direction-with-type", "op": "expand", "input": {
+        "@context": {"p": {"@id": "http://ex/p",
+                           "@container": "@language",
+                           "@direction": "rtl"}},
+        "p": {"en": "hello"}}},
+    {"name": "expand-direction-lost-across-contexts", "op": "expand",
+     "input": {"@context": [{"@vocab": "http://v/", "@direction": "rtl"},
+                            {"@language": "en"}],
+               "p": "x"}},
+    {"name": "err-type-redefine-empty-object", "op": "expand", "input": {
+        "@context": {"@type": {}}, "http://e/p": "v"}},
+    {"name": "expand-protected-then-ignored-term-then-null", "op": "expand",
+     "input": {"@context": [{"@protected": True,
+                             "term": {"@id": "@future"}},
+                            None,
+                            {"q": "http://e/q"}],
+               "q": "v"}},
+    {"name": "frame-embed-first-accepted", "op": "frame", "input": {
+        "@context": {"ex": EX},
+        "@graph": [{"@id": EX + "a", "@type": "ex:T",
+                    "ex:p": {"@id": EX + "b"}},
+                   {"@id": EX + "b", "ex:q": "v"}]},
+     "frame": {"@context": {"ex": EX}, "@type": "ex:T",
+               "@embed": "@first"}},
+    {"name": "compact-scoped-context-null", "op": "compact",
+     "input": [{"http://v/term": [{"http://v/a": [{"@value": "x"}]}]}],
+     "ctx": {"@vocab": "http://v/",
+             "term": {"@id": "http://v/term", "@context": None}}},
+]

@@ -39,6 +39,8 @@ def _gen_context(rng: random.Random) -> dict:
         ctx["@language"] = rng.choice(["en", "de", "FR"])
     if rng.random() < 0.2:
         ctx["@base"] = "http://base.example/dir/"
+    if rng.random() < 0.15:
+        ctx["@direction"] = rng.choice(["ltr", "rtl"])
     ctx["ex"] = EX
     for i in range(rng.randrange(1, 5)):
         term = f"t{i}"
@@ -65,9 +67,12 @@ def _gen_context(rng: random.Random) -> dict:
         elif roll < 0.9:
             ctx[term] = {"@reverse": EX + f"rev{i}"}
         elif roll < 0.95:
-            # property-scoped context
+            # property-scoped context (sometimes an explicit null)
             ctx[term] = {"@id": EX + f"p{i}",
-                         "@context": {"inner": EX + f"scoped{i}"}}
+                         "@context": (None if rng.random() < 0.3 else
+                                      {"inner": EX + f"scoped{i}"})}
+            if rng.random() < 0.2:
+                ctx[f"ex:pref{i}"] = {"@id": EX + f"pref{i}"}
         else:
             # type-scoped context on a type term
             ctx[f"Type{i}"] = {"@id": EX + f"T{i}",
