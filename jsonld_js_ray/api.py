@@ -39,9 +39,20 @@ def _initial_ctx(options: dict) -> _ctx.ActiveContext:
 
 
 def expand(input_: Any, options: dict | None = None) -> list:
-    """Expand a JSON-LD document (lib/jsonld.js:268-354)."""
+    """Expand a JSON-LD document (lib/jsonld.js:268-354).
+
+    String input is a URL: dereferenced via options['documents'] /
+    options['documentLoader'] (jsonld.js:301-316), with the document URL
+    becoming the base when none was given."""
     options = _setup_options(options)
-    doc = deep_clone(input_)
+    if isinstance(input_, str):
+        remote = load_document(input_, options)
+        doc = deep_clone(remote["document"])
+        if not options.get("base"):
+            options = {**options,
+                       "base": remote.get("documentUrl") or input_}
+    else:
+        doc = deep_clone(input_)
     active_ctx = _initial_ctx(options)
     if options.get("expandContext") is not None:
         ec = deep_clone(options["expandContext"])
@@ -166,8 +177,13 @@ def to_rdf(input_: Any, options: dict | None = None) -> list[tuple]:
     else:
         expanded = expand(input_, options)
     dataset = _to_rdf_mod.to_rdf(expanded, options)
-    if options.get("format") == "application/n-quads":
+    fmt = options.get("format")
+    if fmt in ("application/n-quads", "application/nquads"):
         return _nq.serialize(dataset)
+    if fmt:
+        raise JsonLdError(
+            f"Unknown output format: {fmt}", "jsonld.UnknownFormat",
+            code="unknown format", details={"format": fmt})
     return dataset
 
 
@@ -197,8 +213,14 @@ def canonize(input_: Any, options: dict | None = None) -> str:
     """URDNA2015 canonical N-Quads of a JSON-LD document
     (lib/jsonld.js:563-602; algorithm reimplemented, see core/canonize.py)."""
     options = _setup_options(options)
-    if options.get("inputFormat") == "application/n-quads":
+    in_fmt = options.get("inputFormat")
+    if in_fmt in ("application/n-quads", "application/nquads"):
         dataset = _nq.parse(input_)
+    elif in_fmt:
+        raise JsonLdError(
+            f"Unknown canonicalization input format: {in_fmt}",
+            "jsonld.CanonizeError", code="unknown format",
+            details={"format": in_fmt})
     else:
         dataset = to_rdf(input_, {**options, "format": None,
                                   "produceGeneralizedRdf": False})
@@ -221,33 +243,25 @@ def merge(docs: list, ctx: Any = None, options: dict | None = None) -> Any:
 
     expanded_docs = [expand(doc, options) for doc in docs]
 
+    # single pass (jsonld.js:803-830): each doc's bnodes get a doc-scoped
+    # namespace, then its node map merges into the accumulator; with
+    # mergeNodes=False, later docs only contribute ids not yet present
     graphs: dict[str, dict] = {"@default": {}}
     issuer = IdentifierIssuer("_:b")
     for i, doc in enumerate(expanded_docs):
-        # relabel bnodes with a doc-scoped namespace (jsonld.js:805-807)
         doc = relabel_blank_nodes(
             deep_clone(doc), IdentifierIssuer(f"_:b{i}-"))
-        _nodemap.create_node_map(doc, graphs, "@default", issuer)
-
-    default_graph = graphs["@default"]
-    if not merge_nodes:
-        # only add new nodes from docs>0 (jsonld.js:811-829 semantics):
-        # rebuild keeping first-doc nodes and ids new to later docs
-        graphs2: dict[str, dict] = {"@default": {}}
-        issuer2 = IdentifierIssuer("_:b")
-        for i, doc in enumerate(expanded_docs):
-            doc = relabel_blank_nodes(
-                deep_clone(doc), IdentifierIssuer(f"_:b{i}-"))
+        if merge_nodes or i == 0:
+            _nodemap.create_node_map(doc, graphs, "@default", issuer)
+        else:
             sub_graphs: dict[str, dict] = {"@default": {}}
-            _nodemap.create_node_map(doc, sub_graphs, "@default", issuer2)
+            _nodemap.create_node_map(doc, sub_graphs, "@default", issuer)
             for gname, nodes in sub_graphs.items():
-                target = graphs2.setdefault(gname, {})
+                target = graphs.setdefault(gname, {})
                 for nid, node in nodes.items():
-                    if i == 0 or nid not in target:
+                    if nid not in target:
                         target[nid] = node
-        default_graph = _nodemap.merge_node_maps(graphs2)
-    else:
-        default_graph = _nodemap.merge_node_maps(graphs)
+    default_graph = _nodemap.merge_node_maps(graphs)
 
     flattened = []
     for key in sorted(default_graph.keys()):

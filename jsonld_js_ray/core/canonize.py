@@ -61,7 +61,8 @@ class _CanonState:
                 for t in quad
             )
             nquads.append(_nq.serialize_quad(copy))
-        nquads.sort()
+        # JS Array.sort compares UTF-16 code units
+        nquads.sort(key=lambda line: line.encode("utf-16-be"))
         h = _sha256("".join(nquads))
         self.hash_cache[bnode_id] = h
         return h

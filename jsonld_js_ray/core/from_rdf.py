@@ -179,20 +179,27 @@ def _rdf_to_object(o: tuple, use_native_types: bool,
     elif rdf_direction == "i18n-datatype" and \
             type_.startswith("https://www.w3.org/ns/i18n#"):
         parts = re.split(r"[#_]", type_)
-        lang, direction = parts[1], parts[2]
+        lang = parts[1] if len(parts) > 1 else ""
+        direction = parts[2] if len(parts) > 2 else None
         if lang:
             rval["@language"] = lang
             if not REGEX_BCP47.match(lang):
                 warnings.warn(f"@language must be valid BCP47: {lang}")
-        rval["@direction"] = direction
+        if direction is not None:
+            # a missing direction is JS `undefined` → key dropped on
+            # serialization; omit it here
+            rval["@direction"] = direction
     elif type_ != XSD_STRING:
         rval["@type"] = type_
     return rval
 
 
+_NUMERIC_RE = re.compile(
+    r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+
 def _is_numeric(v: str) -> bool:
-    try:
-        float(v)
-        return True
-    except (TypeError, ValueError):
-        return False
+    """JS isNumeric (util: !isNaN(parseFloat(v)) && isFinite(v)):
+    Number() coercion of the WHOLE string must be finite — rejects
+    'NaN', 'Infinity', '1_0' (Python float() would accept all three)."""
+    return isinstance(v, str) and bool(_NUMERIC_RE.match(v.strip()))

@@ -51,7 +51,8 @@ def parse(input_: str) -> list[tuple]:
     """Parse an N-Quads string into a list of quads (comments allowed)."""
     dataset: list[tuple] = []
     seen: set[tuple] = set()
-    for line_no, line in enumerate(input_.split("\n"), 1):
+    for line_no, line in enumerate(
+            re.split(r"\r\n|\n|\r", input_), 1):
         if _EMPTY_RE.match(line):
             continue
         m = _QUAD_RE.match(line)
@@ -135,5 +136,6 @@ def serialize(dataset: list[tuple]) -> str:
     Quads with a null object (the reference emits these for relative
     IRIs inside @list chains, toRdf.js:158-204 — invalid RDF) are
     unserializable and skipped."""
-    return "".join(sorted(set(
-        serialize_quad(q) for q in dataset if q[2] is not None)))
+    return "".join(sorted(
+        set(serialize_quad(q) for q in dataset if q[2] is not None),
+        key=lambda line: line.encode("utf-16-be")))

@@ -37,11 +37,19 @@ _PARSE_FLOAT_RE = __import__("re").compile(
     r"^[\s]*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 
+_PARSE_INF_RE = __import__("re").compile(r"^\s*([+-]?)Infinity")
+
+
 def parse_float_js(v) -> float:
-    """ES ``parseFloat``: longest numeric prefix, else NaN."""
+    """ES ``parseFloat``: longest numeric prefix (incl. Infinity),
+    else NaN."""
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         return float(v)
-    m = _PARSE_FLOAT_RE.match(str(v))
+    s = str(v)
+    m = _PARSE_INF_RE.match(s)
+    if m:
+        return float("-inf") if m.group(1) == "-" else float("inf")
+    m = _PARSE_FLOAT_RE.match(s)
     return float(m.group(0)) if m else float("nan")
 
 
@@ -55,6 +63,8 @@ def double_canonical(value: float) -> str:
         return "Infinity"
     if value == float("-inf"):
         return "-Infinity"
+    if value == 0:
+        value = 0.0    # JS -0 prints unsigned ('0.0E0')
     s = f"{float(value):.15e}"
     mant, exp = s.split("e")
     expi = int(exp)
@@ -181,6 +191,8 @@ def _object_to_rdf(item: Any, issuer: IdentifierIssuer, dataset: list,
                     lex = "Infinity"
                 elif value == float("-inf"):
                     lex = "-Infinity"
+                elif value == 0:
+                    lex = "0"          # (-0).toFixed(0) === '0'
                 else:
                     lex = f"{value:.0f}"
             else:

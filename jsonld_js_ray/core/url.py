@@ -48,9 +48,11 @@ def parse_url(s: str) -> ParsedUrl:
     # strip default ports
     port = g[7]
     if (p.scheme == "https" and port == "443") or (p.scheme == "http" and port == "80"):
-        p.href = p.href.replace(":" + port, "")
+        # JS String.replace: FIRST occurrence only (a ':443' later in the
+        # path must survive)
+        p.href = p.href.replace(":" + port, "", 1)
         if p.authority is not None:
-            p.authority = p.authority.replace(":" + port, "")
+            p.authority = p.authority.replace(":" + port, "", 1)
     p.normalized_path = remove_dot_segments(p.path)
     return p
 

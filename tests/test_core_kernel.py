@@ -224,3 +224,94 @@ def test_list_object_inside_graph_container_drops_like_reference():
     quads = api.to_rdf(doc)
     lines = canonize_mod.canonize(quads).strip().split("\n")
     assert lines == ["<http://e/s> <http://e/g> _:c14n0 ."]
+
+
+def test_crlf_nquads_accepted():
+    out = api.from_rdf('<http://a/s> <http://a/p> "c" .\r\n'
+                       '<http://a/s> <http://a/p> "d" .\r')
+    assert len(out[0]["http://a/p"]) == 2
+
+
+def test_url_string_input_dereferences():
+    from jsonld_js_ray.core.errors import JsonLdError
+    docs = {"http://ex.org/doc": {
+        "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+        "@id": "node", "p": "other"}}
+    out = api.expand("http://ex.org/doc", {"documents": docs})
+    # document URL becomes the base for relative IRIs
+    assert out[0]["@id"] == "http://ex.org/node"
+    with pytest.raises(JsonLdError) as e:
+        api.expand("http://nope.example/x")
+    assert e.value.code == "loading document failed"
+
+
+def test_format_aliases_and_unknown_formats():
+    from jsonld_js_ray.core.errors import JsonLdError
+
+    doc = {"@id": "http://e/s", "http://e/p": "v"}
+    nq1 = api.to_rdf(doc, {"format": "application/nquads"})
+    nq2 = api.to_rdf(doc, {"format": "application/n-quads"})
+    assert isinstance(nq1, str) and nq1 == nq2
+    with pytest.raises(JsonLdError):
+        api.to_rdf(doc, {"format": "text/turtle"})
+    nq = '<http://a/s> <http://a/p> "c" .\n'
+    assert api.canonize(nq, {"inputFormat": "application/nquads"}) == nq
+    with pytest.raises(JsonLdError):
+        api.canonize(nq, {"inputFormat": "text/turtle"})
+
+
+def test_i18n_datatype_without_direction():
+    quads = [(("NamedNode", "http://a/s"), ("NamedNode", "http://a/p"),
+              ("Literal", "x", "https://www.w3.org/ns/i18n#en", None),
+              ("DefaultGraph", ""))]
+    out = api.from_rdf(quads, {"rdfDirection": "i18n-datatype"})
+    v = out[0]["http://a/p"][0]
+    assert v == {"@value": "x", "@language": "en"}
+
+
+def test_native_types_reject_nonfinite_strings():
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    quads = [(("NamedNode", "http://a/s"), ("NamedNode", "http://a/p"),
+              ("Literal", lex, xsd + "double", None), ("DefaultGraph", ""))
+             for lex in ("NaN", "Infinity", "1_0")]
+    out = api.from_rdf(quads, {"useNativeTypes": True})
+    vals = out[0]["http://a/p"]
+    for v in vals:
+        assert isinstance(v["@value"], str)     # NOT coerced to float
+        # reference quirk: under useNativeTypes the xsd:double @type is
+        # dropped even when conversion failed (fromRdf.js "do not add
+        # native type" applies to the whole XSD set)
+        assert "@type" not in v
+
+
+def test_negative_zero_and_infinity_literals():
+    from jsonld_js_ray.core.to_rdf import double_canonical, parse_float_js
+
+    assert double_canonical(-0.0) == "0.0E0"
+    assert parse_float_js("Infinity") == float("inf")
+    assert parse_float_js("-Infinity") == float("-inf")
+    q = api.to_rdf({"@id": "http://e/s",
+                    "http://e/p": {"@value": "Infinity",
+                                   "@type": "http://www.w3.org/2001/XMLSchema#double"}})
+    assert q[0][2][1] == "Infinity"
+
+
+def test_default_port_strip_keeps_path_colons():
+    from jsonld_js_ray.core.url import parse_url
+
+    p = parse_url("https://example.com:443/a:443/b")
+    assert p.href == "https://example.com/a:443/b"
+
+
+def test_utf16_code_unit_sort_in_canonical_nquads():
+    quads = [
+        (("NamedNode", "http://a/s"), ("NamedNode", "http://a/p"),
+         ("Literal", "", "http://www.w3.org/2001/XMLSchema#string",
+          None), ("DefaultGraph", "")),
+        (("NamedNode", "http://a/s"), ("NamedNode", "http://a/p"),
+         ("Literal", "\U00010000", "http://www.w3.org/2001/XMLSchema#string",
+          None), ("DefaultGraph", "")),
+    ]
+    lines = nquads.serialize(quads).rstrip("\n").split("\n")
+    # JS sorts the astral char first (surrogate 0xD800 < 0xE000)
+    assert "\U00010000" in lines[0] and "" in lines[1]
