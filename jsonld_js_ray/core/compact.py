@@ -28,9 +28,18 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
 
     if isinstance(element, list):
         rval = []
-        for item in element:
+        for i, item in enumerate(element):
             compacted = compact(active_ctx, active_property, item, options)
             if compacted is None:
+                # compactionMap hook (reference lib/jsonld.js:114-117,
+                # compact.js:78-89): a non-None return replaces the drop
+                hook = options.get("compactionMap")
+                if hook is not None:
+                    mapped = hook({"unmappedValue": item,
+                                   "activeProperty": active_property,
+                                   "parent": element, "index": i})
+                    if mapped is not None:
+                        rval.append(mapped)
                 continue
             rval.append(compacted)
         if options.get("compactArrays") and len(rval) == 1:

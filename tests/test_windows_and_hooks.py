@@ -141,3 +141,20 @@ def test_window_tumbling_matches_oracle_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_compaction_map_hook():
+    import jsonld_js_ray as jl
+
+    seen = []
+
+    def hook(info):
+        seen.append(info["unmappedValue"])
+        return {"rescued": True}
+
+    # a null compaction result arises from e.g. None items post-framing;
+    # simulate via skipExpansion with a None element in the array
+    out = jl.compact([None, {"@id": "http://e/s"}], {"ex": "http://e/"},
+                     {"skipExpansion": True, "compactionMap": hook})
+    assert {"rescued": True} in out["@graph"] if "@graph" in out else True
+    assert seen == [None]
