@@ -229,6 +229,7 @@ def run_kg_pipeline(sf_dir: str, out_dir: str,
     files = _event_files(sf_dir)
 
     os.makedirs(out_dir, exist_ok=True)
+    ckpt.reconcile_shards(out_dir, len(files))
     metrics = {"shards_total": len(files), "shards_skipped": 0,
                "quads": 0, "wall_ms": 0}
 
@@ -361,6 +362,7 @@ def run_full_kg_pipeline(sf_dir: str, out_dir: str,
             _json.dump({"input_fingerprint": all_fp, "mapping": mapping}, f)
         os.rename(tmp, map_path)
 
+    ckpt.reconcile_shards(out_dir, len(files))
     metrics = {"shards_total": len(files), "shards_skipped": 0,
                "quads": 0, "wall_ms": 0, "entities": len(mapping),
                "canonical_entities": len(set(mapping.values()))}

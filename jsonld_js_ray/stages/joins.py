@@ -19,6 +19,12 @@ import numpy as np
 import pyarrow as pa
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop parquet pandas-metadata (zero-copy) — see
+    pipelines/kg._strip_meta for the Ray schema-hashing rationale."""
+    return t.replace_schema_metadata(None)
+
+
 def broadcast_join_orders_customers(sf_dir: str):
     """orders ⋈ customer (broadcast) → orders + total cents per market
     segment. One small groupby after a shuffle-free lookup."""
@@ -38,18 +44,24 @@ def broadcast_join_orders_customers(sf_dir: str):
         seg = _ray.get(ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        # INNER-join semantics (matches BROADCAST_JOIN_SQL): orders with
+        # no customer row are dropped, not bucketed as UNKNOWN
+        segments, cents = [], []
+        for k, p in zip(keys, price):
+            s = seg.get(int(k))
+            if s is not None:
+                segments.append(s)
+                cents.append(int(np.floor(p * 100 + 0.5)))
         return pa.table({
-            "segment": pa.array([seg.get(int(k), "UNKNOWN")
-                                 for k in keys], pa.string()),
-            "cents": pa.array(
-                np.floor(price * 100 + 0.5).astype("int64")),
+            "segment": pa.array(segments, pa.string()),
+            "cents": pa.array(cents, pa.int64()),
         })
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"]
-    ).map_batches(lambda t: t.replace_schema_metadata(None),
-                  batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
     joined = orders.map_batches(attach_segment, batch_format="pyarrow",
                                 batch_size=65536)
     return joined.groupby("segment").aggregate(
@@ -93,8 +105,8 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(lambda t: t.replace_schema_metadata(None),
-                  batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
     def li_prep(batch: pa.Table) -> pa.Table:
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -111,8 +123,8 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"]
-    ).map_batches(lambda t: t.replace_schema_metadata(None),
-                  batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
     def o_prep(batch: pa.Table) -> pa.Table:
         return pa.table({

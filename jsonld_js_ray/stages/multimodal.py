@@ -87,17 +87,32 @@ class ImageDecodeActor:
                     "no image codec in this environment; install PIL or "
                     "use the fake codec (strict=False)")
 
+    def _decode(self, payload: bytes):
+        if payload.startswith(MAGIC):
+            return _decode_fake(payload)
+        if self.pil is not None:
+            import io
+            img = self.pil.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img)
+            return arr.shape[1], arr.shape[0], arr.shape[2], arr
+        raise ValueError(
+            "payload is neither FAKEIMG1 nor decodable (no codec)")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         item_ids = batch["item_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
         widths, heights, chans = [], [], []
         means = []
         for p in payloads:
-            w, h, c, px = _decode_fake(p)
+            w, h, c, px = self._decode(p)
             widths.append(w)
             heights.append(h)
             chans.append(c)
-            means.append(px.reshape(-1, c).mean(axis=0))
+            m = px.reshape(-1, c).mean(axis=0)
+            if len(m) < 3:            # grayscale/2-channel payloads
+                m = np.pad(m, (0, 3 - len(m)), constant_values=m[0]
+                           if len(m) else 0.0)
+            means.append(m[:3])
         means = np.stack(means) if means else np.zeros((0, 3))
         return pa.table({
             "item_id": pa.array(item_ids, pa.int64()),

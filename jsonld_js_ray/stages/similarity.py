@@ -77,29 +77,32 @@ class BruteTopK:
         })
 
 
+def _merge_topk(g, k: int):
+    """Per-query merge of partial candidates → ranked top-k (shared by
+    brute and LSH variants; ties broken by vec_id like the oracle)."""
+    import pandas as pd
+
+    g = g.sort_values(["score", "vec_id"],
+                      ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype("int64"),
+        "rank": np.arange(1, len(g) + 1, dtype="int64"),
+        "vec_id": g["vec_id"].astype("int64"),
+    })
+
+
 def knn_brute(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES):
     """embeddings Dataset → (query_id, rank, vec_id) exact top-k."""
     import functools
 
-    import pandas as pd
     import ray
 
     ids_mat = _query_matrix(embeddings, n_queries)
     ref = ray.put(ids_mat)
     partial = embeddings.map_batches(
         BruteTopK(ref, k), batch_format="pyarrow", batch_size=4096)
-
-    def merge(g: pd.DataFrame, k: int = k) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"],
-                          ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": g["query_id"].astype("int64"),
-            "rank": np.arange(1, len(g) + 1, dtype="int64"),
-            "vec_id": g["vec_id"].astype("int64"),
-        })
-
     return partial.groupby("query_id").map_groups(
-        merge, batch_format="pandas")
+        functools.partial(_merge_topk, k=k), batch_format="pandas")
 
 
 KNN_BRUTE_SQL = f"""
@@ -187,14 +190,7 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
     cands = embeddings.map_batches(candidates, batch_format="pyarrow",
                                    batch_size=4096)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"],
-                          ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": g["query_id"].astype("int64"),
-            "rank": np.arange(1, len(g) + 1, dtype="int64"),
-            "vec_id": g["vec_id"].astype("int64"),
-        })
+    import functools
 
-    return cands.groupby("query_id").map_groups(merge,
-                                                batch_format="pandas")
+    return cands.groupby("query_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pandas")

@@ -31,20 +31,18 @@ def _tumbling_partial(batch: pa.Table, width_s: int) -> pa.Table:
     keys = np.stack([user, window], axis=1)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
     n = len(uniq)
+    mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    maxs = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(mins, inv, cents)     # O(n_rows), not O(rows x keys)
+    np.maximum.at(maxs, inv, cents)
     return pa.table({
         "user_id": pa.array(uniq[:, 0]),
         "window_id": pa.array(uniq[:, 1]),
         "n_events": pa.array(np.bincount(inv, minlength=n).astype("int64")),
         "sum_cents": pa.array(np.bincount(inv, weights=cents,
                                           minlength=n).astype("int64")),
-        "min_cents": pa.array(
-            np.full(n, 2**62, dtype=np.int64) if n == 0 else
-            np.array([cents[inv == i].min() for i in range(n)],
-                     dtype=np.int64)),
-        "max_cents": pa.array(
-            np.zeros(n, dtype=np.int64) if n == 0 else
-            np.array([cents[inv == i].max() for i in range(n)],
-                     dtype=np.int64)),
+        "min_cents": pa.array(mins),
+        "max_cents": pa.array(maxs),
     })
 
 

@@ -42,7 +42,7 @@ def fingerprint_inputs(paths: list[str]) -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{int(st.st_mtime)}".encode())
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
@@ -76,7 +76,16 @@ def write_shard_atomic(out_dir: str, shard_id: int, write_fn,
     commit the lineage record. ``write_fn`` must write all shard output
     files into the given temp directory."""
     final_dir = shard_data_dir(out_dir, shard_id)
-    tmp_dir = final_dir + f".tmp-{os.getpid()}-{int(time.time() * 1000)}"
+    # dot-prefixed temp name: invisible to shard=* globs and pyarrow/ray
+    # dataset discovery even if a hard kill leaves it behind
+    tmp_dir = os.path.join(
+        out_dir, f".tmp-shard-{shard_id:05d}-{os.getpid()}-"
+                 f"{int(time.time() * 1000)}")
+    # clean leftovers from crashed writers of this shard
+    for stale in os.listdir(out_dir):
+        if stale.startswith(f".tmp-shard-{shard_id:05d}-"):
+            shutil.rmtree(os.path.join(out_dir, stale),
+                          ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     try:
         write_fn(tmp_dir)
@@ -105,3 +114,28 @@ def read_manifest(out_dir: str) -> list[dict]:
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def reconcile_shards(out_dir: str, n_shards: int) -> list[int]:
+    """Remove shard outputs + manifests whose shard_id is no longer in
+    the input set (inputs deleted/renamed between runs) so consumers of
+    ``out_dir`` never read stale quads. Returns removed shard ids."""
+    import warnings
+
+    removed = []
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return removed
+    for name in os.listdir(mdir):
+        if not name.startswith("shard-") or not name.endswith(".json"):
+            continue
+        shard_id = int(name[len("shard-"):-len(".json")])
+        if shard_id >= n_shards:
+            shutil.rmtree(shard_data_dir(out_dir, shard_id),
+                          ignore_errors=True)
+            os.remove(os.path.join(mdir, name))
+            removed.append(shard_id)
+            warnings.warn(
+                f"removed orphaned shard {shard_id} (input no longer "
+                f"present)")
+    return removed
