@@ -44,19 +44,9 @@ def _q_kg_quads_with_mentions(sf_dir: str):
 
 
 def _q_kg_quad_stats(sf_dir: str):
-    import pandas as pd
+    from jsonld_js_ray.pipelines.kg import build_quads, quad_stats
 
-    from jsonld_js_ray.pipelines.kg import build_quads
-
-    def per_pred(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "pred": [g["pred"].iloc[0]],
-            "n": [len(g)],
-            "n_subj": [g["subj"].nunique()],
-        })
-
-    return build_quads(sf_dir).groupby("pred").map_groups(
-        per_pred, batch_format="pandas")
+    return quad_stats(build_quads(sf_dir))
 
 
 def _q_kg_mentions(sf_dir: str):

@@ -486,3 +486,52 @@ def distributed_merge_node_props(sf_dir: str):
 
     return rows.groupby("subj").map_groups(merge_subject,
                                            batch_format="pandas")
+
+
+def quad_stats(quads):
+    """quads Dataset → (pred, n, n_subj) — per-predicate quad count and
+    distinct-subject count.
+
+    Skew-proof two-phase aggregation (pred has ~9 values, so a naive
+    ``groupby("pred").map_groups`` would funnel billions of rows into one
+    pandas frame at scale):
+
+      phase A  per-batch ``pyarrow`` group_by (pred, subj) → partial
+               counts — the batch-local combiner;
+      phase B  ``groupby([pred, subj])`` over partials (high-cardinality
+               key: no skew) → one row per distinct (pred, subj);
+      phase C  per-batch group_by pred (n += sum, n_subj += rows), then a
+               tiny ``groupby(pred)`` over ≤ |preds|·n_blocks rows.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial_pair_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["pred", "subj"]) \
+            .group_by(["pred", "subj"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "pred": g["pred"],
+            "subj": g["subj"],
+            "n_part": g["count_all"].cast(pa.int64()),
+        })
+
+    pair_totals = quads.map_batches(
+        partial_pair_counts, batch_format="pyarrow", batch_size=65536
+    ).groupby(["pred", "subj"]).aggregate(
+        Sum("n_part", alias_name="n_part"))
+
+    def partial_pred_stats(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["pred"]).aggregate(
+            [("n_part", "sum"), ([], "count_all")])
+        return pa.table({
+            "pred": g["pred"],
+            "n": g["n_part_sum"].cast(pa.int64()),
+            "n_subj": g["count_all"].cast(pa.int64()),
+        })
+
+    return pair_totals.map_batches(
+        partial_pred_stats, batch_format="pyarrow", batch_size=65536
+    ).groupby("pred").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_subj", alias_name="n_subj"))

@@ -182,14 +182,16 @@ def _fetch_candidate_texts(docs, pairs) -> dict[int, str]:
 
     if not len(pairs):
         return {}
-    id_set = set(int(x) for x in pairs["a"]) | \
-        set(int(x) for x in pairs["b"])
+    import pyarrow.compute as pc
+
+    id_set = pa.array(
+        sorted(set(int(x) for x in pairs["a"])
+               | set(int(x) for x in pairs["b"])), pa.int64())
 
     def filter_cands(batch: pa.Table) -> pa.Table:
-        mask = pa.array([d in id_set
-                         for d in batch["doc_id"].to_pylist()],
-                        pa.bool_())   # typed: empty blocks otherwise
-        return batch.filter(mask)     # produce a null-typed mask
+        mask = pc.is_in(batch["doc_id"].cast(pa.int64()),
+                        value_set=id_set)
+        return batch.filter(mask)
 
     tbl = docs.map_batches(filter_cands,
                            batch_format="pyarrow").to_pandas()

@@ -40,20 +40,19 @@ def broadcast_join_orders_customers(sf_dir: str):
     ref = ray.put(seg_of)
 
     def attach_segment(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         import ray as _ray
         seg = _ray.get(ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
         # INNER-join semantics (matches BROADCAST_JOIN_SQL): orders with
-        # no customer row are dropped, not bucketed as UNKNOWN
-        segments, cents = [], []
-        for k, p in zip(keys, price):
-            s = seg.get(int(k))
-            if s is not None:
-                segments.append(s)
-                cents.append(int(np.floor(p * 100 + 0.5)))
+        # no customer row are dropped, not bucketed as UNKNOWN.
+        # Vectorized: one hashed map pass + one numpy cents op.
+        segments = pd.Series(keys).map(seg)
+        mask = segments.notna().to_numpy()
+        cents = np.floor(price[mask] * 100 + 0.5).astype(np.int64)
         return pa.table({
-            "segment": pa.array(segments, pa.string()),
+            "segment": pa.array(segments[mask], pa.string()),
             "cents": pa.array(cents, pa.int64()),
         })
 
@@ -170,8 +169,11 @@ GROUP BY o.o_orderpriority
 
 
 def topk_docs_by_tokens(sf_dir: str, k: int = 20):
-    """Global sort + limit: top-k documents by token count (ties broken
-    by doc_id — integer keys, oracle-exact)."""
+    """Top-k documents by token count (ties broken by doc_id).
+
+    Per-batch PARTIAL top-k (each batch keeps only its local best k), so
+    the final global ``sort().limit(k)`` runs over ≤ k·n_blocks rows —
+    a tiny exchange — instead of an all-to-all over the whole corpus."""
     import ray.data as rd
 
     from .text import text_stats_batch
@@ -182,13 +184,20 @@ def topk_docs_by_tokens(sf_dir: str, k: int = 20):
                              batch_size=8192) \
         .select_columns(["doc_id", "n_tokens"])
 
-    def negate(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "neg_tokens",
-            pa.array((-batch["n_tokens"].to_numpy(
-                zero_copy_only=False)).astype("int64")))
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(
+            "int64")
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            "int64")
+        # lexsort: primary -n_tokens (desc), secondary doc_id (asc)
+        order = np.lexsort((did, -nt))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[order]),
+            "n_tokens": pa.array(nt[order]),
+            "neg_tokens": pa.array(-nt[order]),
+        })
 
-    return stats.map_batches(negate, batch_format="pyarrow") \
+    return stats.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["neg_tokens", "doc_id"]) \
         .limit(k) \
         .select_columns(["doc_id", "n_tokens"])

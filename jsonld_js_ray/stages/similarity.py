@@ -23,8 +23,14 @@ LSH_BITS = 6
 
 
 def _query_matrix(embeddings, n_queries: int):
-    tbl = embeddings.to_pandas()
-    tbl = tbl[tbl["vec_id"] < n_queries].sort_values("vec_id")
+    """Pull ONLY the query rows to the driver (distributed filter first —
+    never a full-table to_pandas)."""
+    import pyarrow.compute as pc
+
+    tbl = embeddings.map_batches(
+        lambda t, _n=n_queries: t.filter(pc.less(t["vec_id"], _n)),
+        batch_format="pyarrow").to_pandas()
+    tbl = tbl.sort_values("vec_id")
     ids = tbl["vec_id"].astype(int).to_numpy()
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),

@@ -32,7 +32,7 @@ PUNCT_CHARS = ".,;:!?'\"()-"
 
 
 def _token_lists(texts: pa.Array) -> pa.Array:
-    """string array → list<string> of lowercase whitespace tokens.
+    r"""string array → list<string> of lowercase whitespace tokens.
 
     Note: splitting on \s+ yields phantom '' tokens at string boundaries
     (and [''] for empty text); every consumer must EXCLUDE empty tokens
@@ -82,14 +82,13 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
     n_stop = _hits_per_row(tokens, STOPWORDS["en"], n)
-    # punctuation characters per doc
-    n_punct = np.zeros(n, dtype=np.int64)
-    texts_py = texts.to_pylist() if not isinstance(texts, pa.ChunkedArray) \
-        else texts.combine_chunks().to_pylist()
-    punct = set(PUNCT_CHARS)
-    for i, t in enumerate(texts_py):
-        if t:
-            n_punct[i] = sum(ch in punct for ch in t)
+    # punctuation chars per doc, vectorized: strip the punct class with
+    # one regex pass and diff the codepoint lengths (mirrors the SQL
+    # oracle's regexp_replace formulation)
+    stripped = pc.replace_substring_regex(
+        texts, pattern=r"[.,;:!?'\"()\-]", replacement="")
+    n_punct = (n_chars - pc.utf8_length(stripped).to_numpy(
+        zero_copy_only=False)).astype(np.int64)
 
     return pa.table({
         "doc_id": batch["doc_id"],
