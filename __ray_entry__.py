@@ -73,6 +73,17 @@ def _q_kg_entities_canonical(sf_dir: str):
     return canonicalize_entities(detect_mentions(read_transcripts(sf_dir)))
 
 
+def _q_kg_entities_canonical_planted(sf_dir: str):
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.entity_merge import (
+        canonicalize_entities_planted,
+    )
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    return canonicalize_entities_planted(
+        detect_mentions(read_transcripts(sf_dir)))
+
+
 def _q_kg_quads_roundtrip(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import roundtrip_quads
 
@@ -109,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_entities": _q_kg_entities,
         "kg_entities_canonical": _q_kg_entities_canonical,
+        "kg_entities_canonical_planted": _q_kg_entities_canonical_planted,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -199,8 +211,17 @@ def oracle_sql() -> dict[str, str]:
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
     )
 
+    from jsonld_js_ray.stages.entity_merge import (
+        _entities_canonical_planted_sql,
+        _entities_canonical_sql,
+    )
+
     return {
         "transcripts": TRANSCRIPTS_ORACLE_SQL,
+        # construction-based: real vocab has pairwise Jaccard 0 →
+        # identity mapping; planted variant has known clusters
+        "kg_entities_canonical": _entities_canonical_sql(),
+        "kg_entities_canonical_planted": _entities_canonical_planted_sql(),
         "kg_quads": KG_QUADS_ORACLE_SQL,
         "kg_quads_with_mentions": KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
@@ -248,8 +269,6 @@ def oracle_sql() -> dict[str, str]:
         "join_bucketed": BUCKETED_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
-        #   kg_entities_canonical  (min-hash LSH merge)
-        #   dedup_minhash / dedup_simhash / dedup_embedding (LSH/sketch)
         #   knn_lsh (approximate), quality (float scores),
         #   fingerprint (rolling-hash winnowing),
         #   multimodal_features (synthetic binary decode)

@@ -11,11 +11,24 @@ Two-phase aggregation (SURVEY.md §4.3 skew row):
   phase B  groupby(surface) over the ~S·|vocab| partials — a tiny,
            skew-free shuffle.
 
-Near-dup merge: character-3-gram MinHash (crc32-based permutations —
-process-stable, unlike Python's salted hash()) → LSH bands →
-groupby(band) candidate pairs → Jaccard verify → iterative min-label
-propagation (bounded rounds of tiny groupbys — no driver-side union-find
-over an unbounded vocabulary).
+Near-dup merge — fully distributed, no driver-side vocabulary
+materialization:
+
+  1. character-3-gram MinHash (crc32-based permutations —
+     process-stable, unlike Python's salted hash()) → LSH band explode
+     (map_batches over the aggregated vocab);
+  2. ``groupby(band_id, band_hash)`` — IN-BUCKET Jaccard verification
+     (the surfaces are the group rows, so no text fetch) → verified
+     edge Dataset;
+  3. bounded-round min-label propagation over the edge graph: each
+     round is a bucketed hash-join (edges ⋈ labels on src) + a
+     ``groupby(node).aggregate(Min)`` — connected components with the
+     lexicographic-min surface as the canonical label.  Convergence is
+     detected with a per-round label checksum (a scalar aggregate);
+     rounds are capped at ``max_rounds`` (label needs diameter hops).
+
+Only scalars (checksums) and Dataset handles touch the driver; every
+per-row structure stays in the object store.
 """
 
 from __future__ import annotations
@@ -30,6 +43,8 @@ NUM_PERMS = 64
 BANDS = 16          # 16 bands × 4 rows
 ROWS_PER_BAND = NUM_PERMS // BANDS
 DEFAULT_SALTS = 16
+JOIN_BUCKETS = 32   # label-propagation hash-join fan-out
+MAX_ROUNDS = 10
 
 
 def _crc(data: str, seed: int = 0) -> int:
@@ -111,14 +126,241 @@ def surface_stats(mentions, num_salts: int = DEFAULT_SALTS):
         Sum("n", alias_name="n_mentions"))
 
 
-# --- near-dup canonical mapping ---
+# --- distributed near-dup edge generation ---
+
+class SigBandExplode:
+    """map_batches over the vocab: (surface, ...) → BANDS rows
+    (band_id, band_hash, surface)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        out_band: list[int] = []
+        out_hash: list[int] = []
+        out_surf: list[str] = []
+        for s in surfaces:
+            for b_idx, bh in enumerate(band_hashes(minhash_signature(s))):
+                out_band.append(b_idx)
+                out_hash.append(bh)
+                out_surf.append(s)
+        return pa.table({
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "surface": pa.array(out_surf, pa.string()),
+        })
+
+
+def _bucket_edges(g, threshold: float):
+    """One LSH bucket's surfaces → verified SYMMETRIC edges (src, dst)
+    for label propagation. Verification is IN-BUCKET: both strings are
+    group rows, no driver fetch. Returns a TYPED arrow table so every
+    downstream block is arrow (mixed block types break Ray's sort)."""
+    members = sorted(set(g["surface"]))
+    src: list[str] = []
+    dst: list[str] = []
+    for i in range(len(members)):
+        for j in range(i + 1, len(members)):
+            if jaccard(members[i], members[j]) >= threshold:
+                src.extend((members[i], members[j]))
+                dst.extend((members[j], members[i]))
+    return pa.table({"src": pa.array(src, pa.string()),
+                     "dst": pa.array(dst, pa.string())})
+
+
+def verified_edges(stats, threshold: float = 0.6):
+    """vocab Dataset (surface, ...) → deduplicated verified edge Dataset
+    (src, dst), symmetric. Banding + verification run inside the band
+    groupby; the (band-deduplicated) edge set comes from a second tiny
+    groupby — nothing vocabulary-sized reaches the driver."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    banded = stats.map_batches(SigBandExplode(), batch_format="pyarrow",
+                               batch_size=8192)
+    edges = banded.groupby(["band_id", "band_hash"]).map_groups(
+        functools.partial(_bucket_edges, threshold=threshold),
+        batch_format="pandas")
+    # same pair often fires in several bands → dedupe with a groupby
+    return edges.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+
+
+# --- bounded min-label propagation (distributed connected components) ---
+
+def _bucketed(ds, col: str, num_buckets: int):
+    def add_bucket(batch: pa.Table, _col=col) -> pa.Table:
+        vals = batch[_col].to_pylist()
+        return batch.append_column(
+            "bucket", pa.array([_crc(v) % num_buckets for v in vals],
+                               pa.int32()))
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def _label_checksum(labels) -> int:
+    """Order-independent scalar fingerprint of a (node, label) Dataset —
+    the per-round convergence probe (a tiny aggregate, not a download)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        total = sum(_crc(f"{n}\x00{v}")
+                    for n, v in zip(batch["node"].to_pylist(),
+                                    batch["label"].to_pylist()))
+        return pa.table({"h": pa.array([total], pa.int64())})
+
+    out = labels.map_batches(partial, batch_format="pyarrow").sum("h")
+    return int(out or 0)
+
+
+def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
+                         num_buckets: int = JOIN_BUCKETS):
+    """nodes: Dataset with column ``node``; edges: symmetric Dataset
+    (src, dst). → Dataset (node, label) where label = min node in the
+    connected component.
+
+    Each round: bucketed hash-join (edges ⋈ labels ON src) pushes every
+    node's current label to its neighbours, then
+    ``groupby(node).aggregate(Min)`` takes the best seen. Min-label needs
+    ``diameter`` rounds; rounds are capped and convergence is detected by
+    an order-independent checksum (scalar per round)."""
+    import warnings
+
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"],
+                         "label": batch["node"]})
+
+    labels = nodes.map_batches(init_labels,
+                               batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return labels
+
+    def tag(side: str):
+        def fn(batch: pa.Table, _s=side) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([_s] * batch.num_rows, pa.string()))
+        return fn
+
+    edges_tagged = _bucketed(edges, "src", num_buckets).map_batches(
+        tag("E"), batch_format="pyarrow").materialize()
+
+    def join_bucket(g: pd.DataFrame):
+        e = g[g["side"] == "E"]
+        l = g[g["side"] == "L"]
+        if e.empty or l.empty:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "label": pa.array([], pa.string())})
+        m = e[["src", "dst"]].merge(
+            l[["node", "label"]], left_on="src", right_on="node")
+        return pa.table({"node": pa.array(m["dst"], pa.string()),
+                         "label": pa.array(m["label"], pa.string())})
+
+    prev_sum = _label_checksum(labels)
+    for _round in range(max_rounds):
+        labels_tagged = _bucketed(labels, "node", num_buckets) \
+            .map_batches(tag("L"), batch_format="pyarrow")
+        # schema-align for union: E rows carry (src, dst), L rows
+        # carry (node, label); pad each side with the other's columns
+        def pad_e(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return batch.append_column(
+                "node", pa.array([None] * n, pa.string())).append_column(
+                "label", pa.array([None] * n, pa.string()))
+
+        def pad_l(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return batch.append_column(
+                "src", pa.array([None] * n, pa.string())).append_column(
+                "dst", pa.array([None] * n, pa.string()))
+
+        unioned = edges_tagged.map_batches(
+            pad_e, batch_format="pyarrow").union(
+            labels_tagged.map_batches(pad_l, batch_format="pyarrow"))
+        pushed = unioned.groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas")
+        labels = labels.union(pushed).groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur_sum = _label_checksum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    warnings.warn(
+        f"min-label propagation hit max_rounds={max_rounds} without "
+        f"converging (cluster diameter > rounds); labels may be "
+        f"partially merged")
+    return labels
+
+
+def canonicalize_entities(mentions, threshold: float = 0.6,
+                          num_salts: int = DEFAULT_SALTS):
+    """mentions Dataset → (surface, n_mentions, canonical) Dataset.
+
+    End-to-end distributed: salted two-phase count → band explode →
+    in-bucket verified edges → bounded min-label propagation → bucketed
+    join of labels back onto the stats rows. No vocabulary-sized
+    structure ever reaches the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    stats = surface_stats(mentions, num_salts).materialize()
+    edges = verified_edges(stats, threshold)
+
+    def as_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["surface"]})
+
+    nodes = stats.map_batches(as_nodes, batch_format="pyarrow")
+    labels = propagate_min_labels(nodes, edges)
+
+    # final vocab-sized join: stats ⋈ labels ON surface == node, bucketed
+    def stats_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "surface": batch["surface"],
+            "n_mentions": batch["n_mentions"].cast(pa.int64()),
+            "label": pa.array([None] * n, pa.string()),
+            "side": pa.array(["S"] * n, pa.string()),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "surface": batch["node"],
+            "n_mentions": pa.array([0] * n, pa.int64()),
+            "label": batch["label"],
+            "side": pa.array(["L"] * n, pa.string()),
+        })
+
+    unioned = _bucketed(
+        stats.map_batches(stats_rows, batch_format="pyarrow").union(
+            labels.map_batches(label_rows, batch_format="pyarrow")),
+        "surface", JOIN_BUCKETS)
+
+    def join_canonical(g: pd.DataFrame):
+        s = g[g["side"] == "S"]
+        l = g[g["side"] == "L"][["surface", "label"]]
+        m = s[["surface", "n_mentions"]].merge(l, on="surface",
+                                               how="left")
+        return pa.table({
+            "surface": pa.array(m["surface"], pa.string()),
+            "n_mentions": pa.array(
+                m["n_mentions"].astype("int64"), pa.int64()),
+            "canonical": pa.array(
+                m["label"].fillna(m["surface"]), pa.string()),
+        })
+
+    return unioned.groupby("bucket").map_groups(
+        join_canonical, batch_format="pandas")
+
+
+# --- small-vocab broadcast helper (kg.build_entity_mapping) ---
 
 def build_canonical_mapping(surfaces: list[str],
                             threshold: float = 0.6) -> dict[str, str]:
     """surface vocabulary → canonical surface (min of its near-dup
-    cluster). Pure function over the (already aggregated, small) vocab;
-    the banding mirrors the distributed path in ``canonicalize_entities``.
-    """
+    cluster). DRIVER-SIDE helper for the broadcast-linking path
+    (``pipelines.kg.build_entity_mapping``) where the mapping must become
+    one ``ray.put`` object — use ONLY on an already-aggregated small
+    vocabulary; the distributed equivalent is ``canonicalize_entities``.
+    Same banding + in-bucket verification, so the two paths agree."""
     buckets: dict[tuple[int, int], list[str]] = {}
     for s in surfaces:
         for b_idx, bh in enumerate(band_hashes(minhash_signature(s))):
@@ -153,20 +395,68 @@ def build_canonical_mapping(surfaces: list[str],
     return {s: find(s) for s in surfaces}
 
 
-def canonicalize_entities(mentions, threshold: float = 0.6,
-                          num_salts: int = DEFAULT_SALTS):
-    """mentions Dataset → (surface, n_mentions, canonical) Dataset.
+# --- construction-based oracles (driver CORRECTNESS gate) ---
+#
+# The real mention vocabulary {click, error, purchase, signup, view} has
+# pairwise char-3-gram Jaccard 0 (verified; the tokens share no trigram),
+# so canonicalize_entities provably returns the identity mapping on it —
+# SQL-expressible. The *planted* query unions a near-dup variant
+# (surface || 's') for every surface of length ≥ PLANT_MIN_LEN: those
+# pairs have Jaccard ≥ 0.75 (k/(k+1) over ≥3 trigrams), where the
+# 16-band×4-row LSH miss probability is ≤ (1-0.75⁴)¹⁶ ≈ 0.2% — and the
+# crc-seeded pipeline is fully deterministic, so the (verified) outcome
+# is stable. Shorter surfaces (J = 0.667 for a 4-char token) sit in the
+# LSH coin-flip zone and are excluded BY THE SAME RULE in the SQL.
+# Expected clusters are known by construction: each {s, s+'s'} pair
+# merges with canonical = s (a proper prefix sorts first).
 
-    Vocabulary-sized work only after the salted pre-aggregation; the
-    near-dup clustering runs over the aggregated vocab (small by
-    construction — post-agg rows, not raw mentions). For vocabularies too
-    large for one node, the same band structure shards by
-    ``groupby(band_hash)`` and label-propagates; the events-derived corpus
-    never reaches that regime.
-    """
-    stats = surface_stats(mentions, num_salts)
-    tbl = stats.to_pandas()          # |vocab| rows — small by construction
-    mapping = build_canonical_mapping(list(tbl["surface"]), threshold)
-    tbl["canonical"] = tbl["surface"].map(mapping)
-    import ray.data as rd
-    return rd.from_pandas(tbl)
+PLANT_MIN_LEN = 5
+
+
+def planted_variant_mentions(mentions):
+    """mentions ∪ near-dup variant mentions (surface → surface || 's'
+    where len(surface) ≥ PLANT_MIN_LEN), same conv_id (salting key) —
+    the planted corpus for the construction-based oracle."""
+    import pyarrow.compute as pc
+
+    def plant(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.utf8_length(batch["surface"]), PLANT_MIN_LEN)
+        batch = batch.filter(keep)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["surface"] = pc.binary_join_element_wise(
+            batch["surface"].cast(pa.string()), "s", "")
+        return pa.table(cols)
+
+    return mentions.union(
+        mentions.map_batches(plant, batch_format="pyarrow"))
+
+
+def canonicalize_entities_planted(mentions, threshold: float = 0.6):
+    return canonicalize_entities(planted_variant_mentions(mentions),
+                                 threshold)
+
+
+def _entities_canonical_sql() -> str:
+    from .linker import MENTIONS_SQL
+
+    return f"""
+WITH m AS ({MENTIONS_SQL})
+SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions,
+       surface AS canonical
+FROM m GROUP BY surface
+"""
+
+
+def _entities_canonical_planted_sql() -> str:
+    from .linker import MENTIONS_SQL
+
+    return f"""
+WITH m AS ({MENTIONS_SQL}),
+base AS (SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions
+         FROM m GROUP BY surface)
+SELECT surface, n_mentions, surface AS canonical FROM base
+UNION ALL
+SELECT surface || 's' AS surface, n_mentions, surface AS canonical
+FROM base WHERE length(surface) >= {PLANT_MIN_LEN}
+"""

@@ -397,3 +397,59 @@ def test_distributed_merge_matches_oracle(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_label_propagation_chain_cluster(ray_session):
+    """Chain A—B—C where A,C are NOT direct near-dups: distributed
+    min-label propagation must still fold the whole chain onto A
+    (needs >1 round — exercises the convergence loop)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.entity_merge import (
+        build_canonical_mapping, canonicalize_entities, jaccard,
+    )
+
+    # sliding 10-char windows shifted by 1: consecutive Jaccard 0.78,
+    # chain-end Jaccard 0.45 — a true multi-hop chain
+    chain = ["abcdefghij", "bcdefghijk", "cdefghijkl", "defghijklm"]
+    surfs = chain * 2 + ["gamma"] * 4 + ["zzzyyyxxx"] * 2
+    m = rd.from_arrow(pa.table({
+        "surface": pa.array(surfs, pa.string()),
+        "conv_id": pa.array([f"c{i}" for i in range(len(surfs))],
+                            pa.string()),
+    }))
+    out = canonicalize_entities(m, threshold=0.6).to_pandas()
+    by = dict(zip(out["surface"], out["canonical"]))
+    for s in chain:
+        assert by[s] == "abcdefghij", by
+    assert by["gamma"] == "gamma"
+    assert by["zzzyyyxxx"] == "zzzyyyxxx"
+    # the distributed path agrees with the driver-side broadcast helper
+    mapping = build_canonical_mapping(sorted(set(surfs)), 0.6)
+    assert mapping == by
+    # chain ends really are not direct near-dups (propagation mattered)
+    assert jaccard(chain[0], chain[-1]) < 0.6
+    assert jaccard(chain[0], chain[1]) >= 0.6
+
+
+def test_entities_canonical_planted_oracle(ray_session, sf_dir):
+    """Construction-based oracle: planted surface||'s' variants merge
+    onto their base; everything else is identity."""
+    import duckdb
+
+    from jsonld_js_ray.sources.transcripts import read_transcripts
+    from jsonld_js_ray.stages.entity_merge import (
+        _entities_canonical_planted_sql, canonicalize_entities_planted,
+    )
+    from jsonld_js_ray.stages.linker import detect_mentions
+
+    mine = canonicalize_entities_planted(
+        detect_mentions(read_transcripts(sf_dir))).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(_entities_canonical_planted_sql()).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
