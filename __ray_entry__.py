@@ -131,6 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": td.q_dedup_simhash,
         "dedup_embedding": td.q_dedup_embedding,
         "dedup_ngram": td.q_dedup_ngram,
+        # planted-duplicate corpora (construction-based oracles for the
+        # otherwise non-SQL-expressible LSH/sketch variants)
+        "dedup_minhash_planted": td.q_dedup_minhash_planted,
+        "dedup_ngram_planted": td.q_dedup_ngram_planted,
+        "dedup_simhash_planted": td.q_dedup_simhash_planted,
+        "fingerprint_classes_planted": td.q_fingerprint_classes_planted,
         "knn_brute": td.q_knn_brute,
         "knn_lsh": td.q_knn_lsh,
         "text_stats": td.q_text_stats,
@@ -199,7 +205,12 @@ def oracle_sql() -> dict[str, str]:
         TRANSCRIPTS_ORACLE_SQL,
         TRIPLE_STATS_ORACLE_SQL,
     )
-    from jsonld_js_ray.stages.dedup import DEDUP_EXACT_SQL
+    from jsonld_js_ray.stages.dedup import (
+        DEDUP_EXACT_SQL,
+        DEDUP_PLANTED_SQL,
+        FINGERPRINT_CLASSES_PLANTED_SQL,
+        SIMHASH_PLANTED_SQL,
+    )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import LANG_ID_SQL, TEXT_STATS_SQL
@@ -258,6 +269,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, CAST(count(*) + 1 AS BIGINT) AS n_nodes "
             "FROM transcripts GROUP BY conv_id"),
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_planted": DEDUP_PLANTED_SQL,
+        "dedup_ngram_planted": DEDUP_PLANTED_SQL,
+        "dedup_simhash_planted": SIMHASH_PLANTED_SQL,
+        "fingerprint_classes_planted": FINGERPRINT_CLASSES_PLANTED_SQL,
         "knn_brute": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         "lang_id": LANG_ID_SQL,

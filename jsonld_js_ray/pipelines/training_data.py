@@ -116,3 +116,59 @@ def q_dedup_ngram(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_dedup
 
     return ngram_jaccard_dedup(_docs(sf_dir))
+
+
+def q_dedup_minhash_planted(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_dedup_planted
+
+    return minhash_lsh_dedup_planted(_docs(sf_dir))
+
+
+def q_dedup_ngram_planted(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_dedup_planted
+
+    return ngram_jaccard_dedup_planted(_docs(sf_dir))
+
+
+def q_dedup_simhash_planted(sf_dir: str):
+    from ..stages.dedup import simhash_dedup_planted
+
+    return simhash_dedup_planted(_docs(sf_dir))
+
+
+def q_fingerprint_classes_planted(sf_dir: str):
+    """Winnowing-fingerprint equality classes on the planted corpus:
+    (doc_id, class_id) where class_id = min doc_id sharing the
+    fingerprint. Exact copies share it by construction; the interleaved
+    doc-unique char makes cross-doc equality impossible."""
+    import pyarrow as pa
+
+    from ..stages.dedup import planted_documents
+    from ..stages.text import Fingerprinter
+
+    import zlib
+
+    corpus = planted_documents(_docs(sf_dir), include_suffix=False)
+    fps = corpus.map_batches(Fingerprinter, batch_format="pyarrow",
+                             batch_size=4096, concurrency=(1, 4))
+
+    # one uniform shuffle keyed by hash-bucket(fingerprint); the class
+    # assignment is a VECTORIZED pandas transform inside each of the
+    # NUM_BUCKETS groups — no corpus-sized driver structure
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        fs = batch["fingerprint"].to_pylist()
+        return batch.append_column("bucket", pa.array(
+            [zlib.crc32(f.encode()) % num_buckets for f in fs],
+            pa.int32()))
+
+    def per_bucket(g):
+        cls = g.groupby("fingerprint")["doc_id"].transform("min")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].astype("int64"), pa.int64()),
+            "class_id": pa.array(cls.astype("int64"), pa.int64()),
+        })
+
+    return fps.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")

@@ -79,25 +79,44 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
-# universal-hash permutation constants: h_p(x) = (A_p·x + B_p) mod P.
-# A < 2^29 keeps A·x + B < 2^62 inside uint64 (x is a 32-bit crc).
-_MH_PRIME = np.uint64((1 << 61) - 1)
+# multiply-shift permutation family: h_p(x) = (A_p·x + B_p) mod 2^64
+# with A_p a random ODD 64-bit multiplier and x a 64-bit shingle hash.
+# The product wraps 2^64 many times for any x, so the per-permutation
+# rank orders are decorrelated. (The previous (A·x+B) mod (2^61-1) form
+# with A < 2^29 and a 32-bit x almost never wrapped the modulus — h was
+# monotone in x for most permutations, i.e. every "permutation" agreed
+# on which shingle was the minimum, silently collapsing LSH recall.)
 _mh_rng = np.random.RandomState(0xC0FFEE)
-_MH_A = (_mh_rng.randint(1, 1 << 28, size=NUM_PERMS).astype(np.uint64)
-         * np.uint64(2) + np.uint64(1))
-_MH_B = _mh_rng.randint(0, 1 << 61, size=NUM_PERMS).astype(np.uint64)
+_MH_A = ((_mh_rng.randint(0, 1 << 62, size=NUM_PERMS).astype(np.uint64)
+          << np.uint64(1)) | np.uint64(1))
+_MH_B = (_mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
+         << np.uint64(32)) \
+    | _mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
+
+
+def shingle_hash64(g: str) -> int:
+    """64-bit shingle hash from a crc32 pair (process-stable)."""
+    b = g.encode("utf-8")
+    return (zlib.crc32(b, 1) << 32) | zlib.crc32(b, 2)
+
+
+def perm_min_hashes(base: np.ndarray,
+                    num_perms: int = NUM_PERMS) -> np.ndarray:
+    """(n_shingles,) uint64 hashes → (num_perms,) MinHash signature via
+    the vectorized multiply-shift matrix (wraparound is intentional)."""
+    vals = (_MH_A[:num_perms, None] * base[None, :]
+            + _MH_B[:num_perms, None])          # uint64 mod-2^64 wrap
+    return vals.min(axis=1)
 
 
 def minhash_sig(text: str) -> np.ndarray:
-    """64-perm MinHash via one crc32 per shingle + a vectorized
-    universal-hash matrix (no per-permutation Python loop)."""
+    """64-perm MinHash via one 64-bit hash per shingle + a vectorized
+    multiply-shift matrix (no per-permutation Python loop)."""
     sh = word_shingles(text)
     if not sh:
         return np.zeros(NUM_PERMS, dtype=np.uint64)
-    base = np.array([zlib.crc32(g.encode("utf-8")) for g in sh],
-                    dtype=np.uint64)
-    vals = (_MH_A[:, None] * base[None, :] + _MH_B[:, None]) % _MH_PRIME
-    return vals.min(axis=1)
+    base = np.array([shingle_hash64(g) for g in sh], dtype=np.uint64)
+    return perm_min_hashes(base)
 
 
 class MinHashStage:
@@ -198,14 +217,18 @@ def _fetch_candidate_texts(docs, pairs) -> dict[int, str]:
     return dict(zip(tbl["doc_id"].astype(int), tbl["text"]))
 
 
-def _pairs_from_buckets(banded, key_cols: list[str]):
-    """(key_cols..., doc_id) rows → candidate-pair DataFrame.
+def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
+    """(key_cols..., doc_id, ...) rows → candidate-pair DataFrame.
 
     Two-step to dodge per-group overhead on the (overwhelmingly
     singleton) buckets: a VECTORIZED count aggregate finds buckets with
     >1 member — a tiny set, broadcast into a filter — and only those
     reach the per-group pair generator. Singleton buckets never touch
-    Python."""
+    Python.
+
+    ``pair_fn`` (default ``_bucket_pairs``) runs per hot bucket and may
+    VERIFY in-bucket using any extra columns carried in ``banded`` (e.g.
+    the simhash signature) so only verified pairs reach the driver."""
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
@@ -229,7 +252,7 @@ def _pairs_from_buckets(banded, key_cols: list[str]):
 
     hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
     pairs_ds = hot_rows.groupby(key_cols).map_groups(
-        _bucket_pairs, batch_format="pandas")
+        pair_fn or _bucket_pairs, batch_format="pandas")
     return pairs_ds.to_pandas().drop_duplicates()
 
 
@@ -320,33 +343,74 @@ class SimHashStage:
         return pa.table(cols)
 
 
+def _bucket_pairs_hamming(g, max_hamming: int):
+    """One SimHash band bucket → VERIFIED pairs (Hamming ≤ max_hamming).
+
+    Both signatures are group rows, so verification happens here — the
+    driver never sees a doc→signature map, only the (dup-density-bounded)
+    verified pair list. Vectorized: pairwise XOR + unpackbits popcount."""
+    import warnings
+
+    import pandas as pd
+
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    sigs = g["simhash"].to_numpy().astype(np.uint64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+    ids, sigs = ids[keep], sigs[keep]
+    m = len(ids)
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    if m < 2:
+        return empty
+    # bound the m² verification matrix the same way _bucket_pairs bounds
+    # pair explosions — warn, never truncate silently
+    max_members = int(np.sqrt(2 * MAX_PAIRS_PER_BUCKET)) + 1
+    if m > max_members:
+        warnings.warn(
+            f"SimHash band bucket with {m} docs exceeds the pair cap "
+            f"(MAX_PAIRS_PER_BUCKET={MAX_PAIRS_PER_BUCKET}); verifying "
+            f"only the first {max_members} members — consider wider "
+            f"bands or a higher cap")
+        ids, sigs = ids[:max_members], sigs[:max_members]
+        m = max_members
+    xor = (sigs[:, None] ^ sigs[None, :])
+    pop = np.unpackbits(xor.view(np.uint8).reshape(m, m, 8),
+                        axis=2).sum(axis=2)
+    a_idx, b_idx = np.nonzero(np.triu(pop <= max_hamming, k=1))
+    if len(a_idx) == 0:
+        return empty
+    return pd.DataFrame({"a": ids[a_idx], "b": ids[b_idx]})
+
+
 def simhash_dedup(docs, max_hamming: int = 3):
     """documents → (doc_id, cluster_id, keep) via SimHash banding.
 
     Hamming ≤ 3 over 64 bits guarantees at least one of the four 16-bit
-    bands matches exactly (pigeonhole) — each band is a groupby bucket."""
+    bands matches exactly (pigeonhole) — each band is a groupby bucket.
+    Hamming verification runs IN-BUCKET (signatures are group rows); the
+    driver union-find sees only verified pairs."""
+    import functools
+
     import pandas as pd
 
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
                             batch_size=256).materialize()
+    verify = functools.partial(_bucket_pairs_hamming,
+                               max_hamming=max_hamming)
     frames = [
         _pairs_from_buckets(
-            sigs.select_columns([f"band{band}", "doc_id"]), [f"band{band}"])
+            sigs.select_columns([f"band{band}", "doc_id", "simhash"]),
+            [f"band{band}"], pair_fn=verify)
         for band in range(4)
     ]
     all_pairs = pd.concat(frames).drop_duplicates() if frames else \
         pd.DataFrame(columns=["a", "b"])
 
-    sig_map = dict(zip(
-        (t := sigs.select_columns(["doc_id", "simhash"]).to_pandas())
-        ["doc_id"].astype(int), t["simhash"].astype(np.uint64)))
-
     uf = _UnionFind()
     for a, b in zip(all_pairs.get("a", []), all_pairs.get("b", [])):
-        ha = int(sig_map.get(int(a), 0))
-        hb = int(sig_map.get(int(b), 0))
-        if bin(ha ^ hb).count("1") <= max_hamming:
-            uf.union(int(a), int(b))
+        uf.union(int(a), int(b))
     return _label_clusters(docs, uf.cluster_map())
 
 
@@ -424,12 +488,9 @@ class CharGramMinHashStage:
         for doc_id, text in zip(doc_ids, texts):
             grams = char_ngrams((text or ""), 3)
             if grams:
-                base = np.array(
-                    [zlib.crc32(g.encode("utf-8")) for g in grams],
-                    dtype=np.uint64)
-                vals = (_MH_A[:, None] * base[None, :]
-                        + _MH_B[:, None]) % _MH_PRIME
-                sig = vals.min(axis=1)
+                base = np.array([shingle_hash64(g) for g in grams],
+                                dtype=np.uint64)
+                sig = perm_min_hashes(base)
             else:
                 sig = np.zeros(NUM_PERMS, dtype=np.uint64)
             for b in range(BANDS):
@@ -479,4 +540,110 @@ SELECT e.vec_id AS vec_id,
            AS cluster_id,
        coalesce(p.cluster_candidate, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN pairs p ON p.vid = e.vec_id
+"""
+
+
+# --- planted-duplicate corpus (construction-based oracles) ---
+#
+# The LSH dedup variants are probabilistic in *candidate generation*
+# only; verification is exact. A corpus where (a) every cross-document
+# gram collision is impossible BY CONSTRUCTION and (b) planted
+# duplicates have Jaccard ≥ 0.9 therefore has a deterministic,
+# SQL-expressible expected output: each planted copy clusters with its
+# base and nothing else does.
+#
+# Construction: interleave a doc-unique CJK character c_i after EVERY
+# character of the text. Any 3 consecutive characters then contain c_i,
+# so char-3-gram sets of different docs are disjoint; every whitespace
+# token contains c_i, so word-shingle sets are disjoint too — even when
+# the underlying base texts are near-identical (the real corpus does
+# contain cross-doc Jaccard ≈ 0.99 pairs).
+#
+#   id + OFF_COPY    exact copy       (Jaccard 1; SimHash Hamming 0)
+#   id + OFF_SUFFIX  one appended token, only for docs with
+#                    ≥ PLANT_MIN_TOKENS tokens → word-shingle Jaccard
+#                    = |S|/(|S|+1) ≥ 18/19 on this corpus (LSH miss
+#                    probability ≤ (1-0.9⁴)¹⁶ ≈ 4e-8, and the crc-seeded
+#                    pipeline is deterministic).
+#
+# The SimHash planted corpus omits the suffix variant: one extra token
+# flips an unbounded number of near-tied sign bits, so only Hamming-0
+# exact copies have a construction-guaranteed outcome.
+
+PLANT_OFF_COPY = 1_000_000
+PLANT_OFF_SUFFIX = 2_000_000
+PLANT_MIN_TOKENS = 20
+PLANT_SUFFIX_TOKEN = "planteddup"
+
+
+def _doc_unique_interleave(text: str, doc_id: int) -> str:
+    c = chr(0x4E00 + (doc_id % 20000))
+    return "".join(ch + c for ch in text)
+
+
+def planted_documents(docs, include_suffix: bool = True):
+    """documents Dataset → planted corpus Dataset (doc_id, text)."""
+    def build(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        texts: list[str] = []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            i = int(i)
+            base = _doc_unique_interleave(t or "", i)
+            ids.extend((i, i + PLANT_OFF_COPY))
+            texts.extend((base, base))
+            if include_suffix and \
+                    len((t or "").split()) >= PLANT_MIN_TOKENS:
+                ids.append(i + PLANT_OFF_SUFFIX)
+                texts.append(base + _doc_unique_interleave(
+                    " " + PLANT_SUFFIX_TOKEN, i))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        })
+
+    return docs.map_batches(build, batch_format="pyarrow",
+                            batch_size=1024)
+
+
+def minhash_lsh_dedup_planted(docs):
+    return minhash_lsh_dedup(planted_documents(docs), threshold=0.7)
+
+
+def ngram_jaccard_dedup_planted(docs):
+    return ngram_jaccard_dedup(planted_documents(docs), threshold=0.8)
+
+
+def simhash_dedup_planted(docs):
+    return simhash_dedup(planted_documents(docs, include_suffix=False))
+
+
+_PLANTED_BASE_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+  FROM documents
+)
+"""
+
+DEDUP_PLANTED_SQL = _PLANTED_BASE_SQL + f"""
+SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d
+UNION ALL
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d
+UNION ALL
+SELECT doc_id + {PLANT_OFF_SUFFIX}, doc_id, false FROM d
+WHERE nt >= {PLANT_MIN_TOKENS}
+"""
+
+SIMHASH_PLANTED_SQL = _PLANTED_BASE_SQL + f"""
+SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d
+UNION ALL
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d
+"""
+
+FINGERPRINT_CLASSES_PLANTED_SQL = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT doc_id, doc_id AS class_id FROM d
+UNION ALL
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id FROM d
 """

@@ -37,7 +37,7 @@ import zlib
 
 import pyarrow as pa
 
-from .dedup import _MH_A, _MH_B, _MH_PRIME
+from .dedup import perm_min_hashes, shingle_hash64
 
 NUM_PERMS = 64
 BANDS = 16          # 16 bands × 4 rows
@@ -58,16 +58,13 @@ def shingles(s: str, k: int = 3) -> set[str]:
 
 
 def minhash_signature(s: str, num_perms: int = NUM_PERMS) -> list[int]:
-    """Vectorized universal-hash MinHash (shares dedup.py's kernel: one
-    crc per shingle + the (A, B) permutation matrix)."""
+    """Vectorized MinHash (shares dedup.py's multiply-shift kernel: one
+    64-bit hash per shingle + the (A, B) permutation matrix)."""
     import numpy as np
 
     sh = shingles(s)
-    base = np.array([zlib.crc32(g.encode("utf-8")) for g in sh],
-                    dtype=np.uint64)
-    vals = (_MH_A[:num_perms, None] * base[None, :]
-            + _MH_B[:num_perms, None]) % _MH_PRIME
-    return [int(x) for x in vals.min(axis=1)]
+    base = np.array([shingle_hash64(g) for g in sh], dtype=np.uint64)
+    return [int(x) for x in perm_min_hashes(base, num_perms)]
 
 
 def band_hashes(sig: list[int]) -> list[int]:

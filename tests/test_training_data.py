@@ -280,3 +280,59 @@ def test_join_queries_match_oracle(ray_session, sf_dir):
         a = mine[cols].sort_values(cols).reset_index(drop=True)
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b.astype(a.dtypes.to_dict())), fn.__name__
+
+
+def test_minhash_agreement_estimates_jaccard():
+    """Regression for the collapsed multiply-shift family: signature
+    agreement fraction must estimate Jaccard (the broken (A·x+B) mod P
+    family made all permutations agree on the same min shingle, so one
+    new shingle flipped most positions)."""
+    from jsonld_js_ray.stages.dedup import minhash_sig, word_shingles
+
+    toks = [f"tok{i}" for i in range(60)]
+    a = " ".join(toks)
+    b = " ".join(toks + ["extra"])
+    sa, sb = word_shingles(a), word_shingles(b)
+    j = len(sa & sb) / len(sa | sb)
+    agree = float((minhash_sig(a) == minhash_sig(b)).mean())
+    assert j > 0.9
+    assert abs(agree - j) < 0.15, (agree, j)
+
+
+def test_simhash_in_bucket_verification(ray_session):
+    """Verified pairs come out of the band groupby (no driver sig map):
+    exact copies cluster, unrelated docs do not."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.dedup import simhash_dedup
+
+    texts = ["the quick brown fox jumps over the lazy dog again"] * 2 + \
+        ["completely different text about ray data pipelines at scale"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+    }))
+    out = simhash_dedup(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "cluster_id"] == 0 and not out.loc[1, "keep"]
+    assert out.loc[2, "cluster_id"] == 2 and out.loc[2, "keep"]
+
+
+def test_planted_dedup_oracle(ray_session, sf_dir):
+    """Construction-based oracle: interleaved doc-unique corpus makes
+    minhash dedup output exactly SQL-predictable."""
+    import duckdb
+
+    from jsonld_js_ray.pipelines.training_data import (
+        q_dedup_minhash_planted,
+    )
+    from jsonld_js_ray.stages.dedup import DEDUP_PLANTED_SQL
+
+    mine = q_dedup_minhash_planted(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(DEDUP_PLANTED_SQL).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
