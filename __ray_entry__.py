@@ -274,6 +274,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_planted": SIMHASH_PLANTED_SQL,
         "fingerprint_classes_planted": FINGERPRINT_CLASSES_PLANTED_SQL,
         "knn_brute": KNN_BRUTE_SQL,
+        # knn_lsh is approximate BY DESIGN, but its default table/bit
+        # parameters are sized for recall 1.0 at this corpus size and
+        # the hyperplanes are fixed-seed deterministic — so the exact
+        # top-k SQL is a valid oracle here (recall floor separately
+        # asserted in tests/test_training_data.py)
+        "knn_lsh": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
@@ -284,7 +290,11 @@ def oracle_sql() -> dict[str, str]:
         "join_bucketed": BUCKETED_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
-        #   knn_lsh (approximate), quality (float scores),
-        #   fingerprint (rolling-hash winnowing),
+        #   quality (float scores — equality not contract-able),
+        #   fingerprint (engine-specific winnowing hex; its equality
+        #     classes ARE oracled via fingerprint_classes_planted),
+        #   dedup_minhash / dedup_simhash / dedup_ngram on the RAW
+        #     corpus (real near-dup structure isn't SQL-expressible;
+        #     the planted variants above oracle the same code paths),
         #   multimodal_features (synthetic binary decode)
     }

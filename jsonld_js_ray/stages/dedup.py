@@ -431,50 +431,117 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 # --- embedding cosine near-dup ---
 
-def embedding_dedup(embeddings, threshold: float = 0.95):
+EMB_DEDUP_TABLES = 8
+EMB_DEDUP_BITS = 8
+
+
+def embedding_dedup(embeddings, threshold: float = 0.95,
+                    tables: int = EMB_DEDUP_TABLES,
+                    bits: int = EMB_DEDUP_BITS):
     """embeddings Dataset → (vec_id, cluster_id, keep): near-dup = cosine
-    ≥ threshold vs an earlier vector.
+    ≥ threshold vs an earlier vector (cluster = min such id, else self).
 
-    The normalized matrix is broadcast once (ray.put); each batch does one
-    numpy matmul against it — brute force as the exact baseline; the LSH
-    path for scale is ``similarity.knn_lsh``'s bucket structure.
-    """
-    import ray
+    LSH-bucketed, fully distributed — NO driver-side matrix:
 
-    tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = tbl["vec_id"].astype(int).to_numpy()
-    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    ref = ray.put((ids, mat))
+      1. map_batches: per vector, ``tables`` rows (table_id, bucket,
+         vec_id, embedding) via fixed-seed hyperplane signatures
+         (``similarity.lsh_signatures``);
+      2. groupby(table_id, bucket): EXACT float64 pairwise cosine inside
+         each bucket → (vec_id, cand = min earlier qualifying id);
+      3. union with identity rows + ``groupby(vec_id).aggregate(Min)``.
 
-    def near_dup(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        import ray as _ray
-        all_ids, all_mat = _ray.get(_ref)
-        vec_ids = np.array([int(x)
-                            for x in batch["vec_id"].to_pylist()])
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch["embedding"].to_pylist()])
-        vecs = vecs / np.maximum(
+    Candidate recall: a cosine-0.95 pair disagrees per hyperplane with
+    p = acos(.95)/π ≈ 0.10, so the all-tables miss probability is
+    (1-0.9^bits)^tables ≈ 1.2% at the defaults and falls fast with
+    vector similarity (≈ 8e-5 at cosine 0.99). Verification is exact, so
+    false candidates never merge. Size ``bits`` ≈ log2(n/bucket_size)
+    for larger corpora. In-bucket work is m² — a pathological bucket is
+    capped with a WARNING (never silently)."""
+    import functools
+    import warnings
+
+    from ray.data.aggregate import Min
+
+    from .similarity import _hyperplanes, lsh_signatures
+
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()],
+                           dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch["embedding"].to_pylist()])
+        dim = vecs.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = _hyperplanes(dim, tables, bits)
+        nvecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sims = vecs @ all_mat.T                      # (b, N)
-        out_cluster = []
-        for row, vid in zip(sims, vec_ids):
-            mask = (row >= threshold) & (all_ids < vid)
-            out_cluster.append(int(all_ids[mask].min()) if mask.any()
-                               else int(vid))
+        sigs = lsh_signatures(nvecs, planes_by_dim[dim], tables, bits)
+        n = len(vec_ids)
         return pa.table({
-            "vec_id": pa.array(vec_ids, pa.int64()),
-            "cluster_id": pa.array(out_cluster, pa.int64()),
-            "keep": pa.array([c == v for v, c in
-                              zip(vec_ids, out_cluster)]),
+            "table_id": pa.array(
+                np.repeat(np.arange(tables, dtype=np.int32), n)),
+            "bucket": pa.array(sigs.T.reshape(-1)),
+            "vec_id": pa.array(np.tile(vec_ids, tables)),
+            "embedding": pa.concat_arrays(
+                [batch["embedding"].combine_chunks()
+                 if isinstance(batch["embedding"], pa.ChunkedArray)
+                 else batch["embedding"]] * tables),
         })
 
-    return embeddings.map_batches(near_dup, batch_format="pyarrow",
-                                  batch_size=2048)
+    max_members = int(np.sqrt(2 * MAX_PAIRS_PER_BUCKET)) + 1
+
+    def bucket_cands(g, _threshold=threshold):
+        import pandas as pd
+
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        g = g.iloc[order]
+        ids = ids[order]
+        if len(ids) < 2:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64())})
+        if len(ids) > max_members:
+            warnings.warn(
+                f"embedding LSH bucket with {len(ids)} vectors exceeds "
+                f"the verification cap ({max_members}); truncating — "
+                f"increase bits for this corpus size")
+            g, ids = g.iloc[:max_members], ids[:max_members]
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in g["embedding"]])
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        qual = np.tril(sims >= _threshold, -1)       # strictly earlier
+        has = qual.any(axis=1)
+        first = qual.argmax(axis=1)                  # ids sorted → min id
+        return pa.table({
+            "vec_id": pa.array(ids[has], pa.int64()),
+            "cand": pa.array(ids[first[has]], pa.int64()),
+        })
+
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow",
+                                      batch_size=4096)
+    cands = exploded.groupby(["table_id", "bucket"]).map_groups(
+        functools.partial(bucket_cands), batch_format="pandas")
+
+    def identity_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].cast(pa.int64())
+        return pa.table({"vec_id": ids, "cand": ids})
+
+    ident = embeddings.map_batches(identity_rows, batch_format="pyarrow")
+    clusters = ident.union(cands).groupby("vec_id").aggregate(
+        Min("cand", alias_name="cluster_id"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster_id": batch["cluster_id"],
+            "keep": pc.equal(batch["vec_id"], batch["cluster_id"]),
+        })
+
+    return clusters.map_batches(finish, batch_format="pyarrow")
 
 
 class CharGramMinHashStage:

@@ -7,9 +7,17 @@
   Rank output only (no float scores) so the DuckDB oracle can compare
   exactly.
 
-- ``knn_lsh``: random-hyperplane LSH — signature buckets prune the
-  candidate set; exact rerank inside candidates. The scale path (IVF-like
-  bucketing); approximate → rows-only check.
+- ``knn_lsh``: multi-table random-hyperplane LSH — ``LSH_TABLES``
+  independent ``LSH_BITS``-bit signatures; a vector is a candidate for a
+  query if ANY table buckets them together (own bucket + Hamming-1
+  probes). Exact cosine rerank inside candidates. Table/bit counts trade
+  recall for candidate volume: for a corpus of n vectors size bits ≈
+  log2(n / wanted_bucket_size); the defaults are tuned for recall ≥ 0.9
+  on unstructured data at test scale (measured against ``knn_brute`` in
+  tests/test_training_data.py).
+
+Neither path materializes the embeddings table on the driver: the query
+rows are pulled through a distributed filter, everything else streams.
 """
 
 from __future__ import annotations
@@ -19,7 +27,8 @@ import pyarrow as pa
 
 DEFAULT_K = 10
 N_QUERIES = 5          # query set = vec_id < N_QUERIES (deterministic)
-LSH_BITS = 6
+LSH_TABLES = 12
+LSH_BITS = 4
 
 
 def _query_matrix(embeddings, n_queries: int):
@@ -133,42 +142,54 @@ FROM ranked WHERE rank <= {DEFAULT_K}
 """
 
 
-# --- LSH variant ---
+# --- multi-table LSH ---
 
-def _hyperplanes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
-    rng = np.random.RandomState(1234)      # fixed seed: deterministic
-    return rng.standard_normal((bits, dim))
+def _hyperplanes(dim: int, tables: int = LSH_TABLES,
+                 bits: int = LSH_BITS) -> np.ndarray:
+    """(tables*bits, dim) fixed-seed gaussian planes — deterministic."""
+    rng = np.random.RandomState(1234)
+    return rng.standard_normal((tables * bits, dim))
 
 
-def lsh_signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (vecs @ planes.T) > 0
-    weights = (1 << np.arange(planes.shape[0]))
-    return (bits @ weights).astype(np.int64)
+def lsh_signatures(vecs: np.ndarray, planes: np.ndarray,
+                   tables: int = LSH_TABLES,
+                   bits: int = LSH_BITS) -> np.ndarray:
+    """(n, dim) → (n, tables) int signatures (one bucket id per table)."""
+    raw = (vecs @ planes.T) > 0                       # (n, tables*bits)
+    raw = raw.reshape(len(vecs), tables, bits)
+    weights = (1 << np.arange(bits))
+    return (raw @ weights).astype(np.int64)           # (n, tables)
 
 
 def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
+            tables: int = LSH_TABLES, bits: int = LSH_BITS,
             probe_hamming: int = 1):
-    """Approximate top-k: signature buckets (+ multi-probe within
-    ``probe_hamming`` bit flips) → exact rerank inside candidates."""
-    import pandas as pd
+    """Approximate top-k: a vector is a candidate when ANY of the
+    ``tables`` signatures lands in the query's probe set for that table
+    (own bucket + ``probe_hamming``-bit flips); exact cosine rerank over
+    candidates, then the same partial-top-k merge as ``knn_brute``."""
+    import functools
+
     import ray
 
     q_ids, q_mat = _query_matrix(embeddings, n_queries)
     dim = q_mat.shape[1]
-    planes = _hyperplanes(dim)
-    q_sigs = lsh_signature(q_mat, planes)
+    planes = _hyperplanes(dim, tables, bits)
+    q_sigs = lsh_signatures(q_mat, planes, tables, bits)  # (Q, tables)
 
-    # probe set per query: own bucket + hamming-1 neighbors
-    probe: dict[int, set[int]] = {}
-    for qid, sig in zip(q_ids, q_sigs):
-        buckets = {int(sig)}
-        if probe_hamming >= 1:
-            for b in range(LSH_BITS):
-                buckets.add(int(sig) ^ (1 << b))
-        probe[int(qid)] = buckets
+    # probe buckets per (query, table): own + hamming-1 neighbors
+    probe = np.zeros((len(q_ids), tables, 1 + bits * probe_hamming),
+                     dtype=np.int64)
+    probe[:, :, 0] = q_sigs
+    col = 1
+    if probe_hamming >= 1:
+        for b in range(bits):
+            probe[:, :, col] = q_sigs ^ (1 << b)
+            col += 1
     ref = ray.put((q_ids, q_mat, planes, probe))
 
-    def candidates(batch: pa.Table) -> pa.Table:
+    def candidates(batch: pa.Table, *, _tables=tables,
+                   _bits=bits, _k=k) -> pa.Table:
         import ray as _ray
         qi, qm, pl, pr = _ray.get(ref)
         vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
@@ -176,17 +197,22 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
                          for v in batch["embedding"].to_pylist()])
         nvecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sigs = lsh_signature(nvecs, pl)
+        sigs = lsh_signatures(nvecs, pl, _tables, _bits)  # (n, tables)
+        sims = qm @ nvecs.T                               # (Q, n)
         out_q, out_v, out_s = [], [], []
-        sims = qm @ nvecs.T
         for qidx, qid in enumerate(qi):
-            in_bucket = np.array(
-                [int(s) in pr[int(qid)] for s in sigs])
-            mask = in_bucket & (vec_ids != qid)
-            for i in np.nonzero(mask)[0]:
-                out_q.append(int(qid))
-                out_v.append(int(vec_ids[i]))
-                out_s.append(float(sims[qidx, i]))
+            # candidate: any table's signature inside that table's probes
+            match = (sigs[:, :, None] ==
+                     pr[qidx][None, :, :]).any(axis=(1, 2))
+            match &= vec_ids != qid
+            idx = np.nonzero(match)[0]
+            if len(idx) == 0:
+                continue
+            row = sims[qidx]
+            top = idx[np.argsort(-row[idx], kind="stable")[:_k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(int(vec_ids[i]) for i in top)
+            out_s.extend(float(row[i]) for i in top)
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),
@@ -195,8 +221,5 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
 
     cands = embeddings.map_batches(candidates, batch_format="pyarrow",
                                    batch_size=4096)
-
-    import functools
-
     return cands.groupby("query_id").map_groups(
         functools.partial(_merge_topk, k=k), batch_format="pandas")
