@@ -32,12 +32,18 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
             compacted = compact(active_ctx, active_property, item, options)
             if compacted is None:
                 # compactionMap hook (reference lib/jsonld.js:114-117,
-                # compact.js:78-89): a non-None return replaces the drop
+                # compact.js:78-89): a non-None return replaces the
+                # drop. NOTE Python None conflates JS null/undefined:
+                # the reference emits an explicit null return but skips
+                # only undefined; here None always skips (documented
+                # deviation — a hook cannot inject a JSON null).
                 hook = options.get("compactionMap")
                 if hook is not None:
                     mapped = hook({"unmappedValue": item,
+                                   "activeCtx": active_ctx,
                                    "activeProperty": active_property,
-                                   "parent": element, "index": i})
+                                   "parent": element, "index": i,
+                                   "options": options})
                     if mapped is not None:
                         rval.append(mapped)
                 continue

@@ -770,9 +770,11 @@ def _expand_iri(active_ctx: ActiveContext, value: Any, base: bool = False,
         return value
 
     # memoize on the (immutable-after-processing) active context; only
-    # safe outside term-definition creation (local_ctx is None then)
-    # and once processing finished (_finalized)
-    if local_ctx is None and active_ctx._finalized:
+    # safe outside term-definition creation (local_ctx is None then),
+    # once processing finished (_finalized), and with no expansionMap
+    # hook (hooks may be stateful / non-deterministic)
+    if local_ctx is None and active_ctx._finalized and \
+            not (options and options.get("expansionMap")):
         cached = active_ctx._iri_cache.get((value, vocab, base))
         if cached is not None:
             return cached[0]
@@ -823,10 +825,43 @@ def _expand_iri_uncached(active_ctx: ActiveContext, value: str,
         if _url.is_absolute(value):
             return value
 
+    # final prepend stage + expansionMap notification sites
+    # (reference lib/context.js:1052-1140)
+    hook = options.get("expansionMap") if options else None
+    type_expansion = bool(options.get("typeExpansion")) if options \
+        else False
     if vocab and active_ctx.vocab is not None:
-        return active_ctx.vocab + value
-    if base:
-        return _url.prepend_base(active_ctx.base, value)
+        prepended = active_ctx.vocab + value
+        mapped = hook({
+            "prependedIri": {
+                "type": "@vocab", "vocab": active_ctx.vocab,
+                "value": value, "result": prepended,
+                "typeExpansion": type_expansion,
+            },
+            "activeCtx": active_ctx, "options": options,
+        }) if hook is not None else None
+        value = prepended if mapped is None else mapped
+    elif base:
+        prepended = _url.prepend_base(active_ctx.base, value)
+        mapped = hook({
+            "prependedIri": {
+                "type": "@base", "base": active_ctx.base,
+                "value": value, "result": prepended,
+                "typeExpansion": type_expansion,
+            },
+            "activeCtx": active_ctx, "options": options,
+        }) if hook is not None else None
+        value = prepended if mapped is None else mapped
+    # a still-relative result can be silently dropped by RDF
+    # serializers — notify interested hooks (context.js:1124-1140)
+    if hook is not None and isinstance(value, str) and \
+            not _url.is_absolute(value):
+        mapped = hook({
+            "relativeIri": value, "activeCtx": active_ctx,
+            "typeExpansion": type_expansion, "options": options,
+        })
+        if mapped is not None:
+            value = mapped
     return value
 
 

@@ -30,15 +30,29 @@ _SENTINEL = object()
 
 def _map_unmappable(options: dict, **info):
     """User-extension surface mirroring the reference's expansionMap hook
-    (lib/jsonld.js:109-112, expand.js call sites): invoked whenever a
-    value/property would be dropped; a non-None return replaces the
-    default drop."""
+    (lib/jsonld.js:109-112; all expand.js/context.js call sites): invoked
+    whenever a value/property would be dropped; a non-None return
+    replaces the default drop.
+
+    JS-undefined vs JS-null: the reference only treats *undefined* as
+    "no mapping". Python has one None, which here always means "use the
+    default" — a hook cannot inject an explicit JSON null (same caveat
+    as compactionMap; see core/compact.py)."""
     hook = options.get("expansionMap")
     if hook is None:
         return _SENTINEL
+    info.setdefault("options", options)
     mapped = hook(info)
     return _SENTINEL if mapped is None else mapped
 
+
+
+def _type_opts(options: dict) -> dict:
+    """options + typeExpansion flag — only copied when a hook observes
+    it (hot-path: @type expansion runs per node)."""
+    if options.get("expansionMap") is None:
+        return options
+    return {**options, "typeExpansion": True}
 
 def validate_type_value(v: Any, is_frame: bool) -> None:
     """@type values must be strings / arrays of strings (util.js:153-184)."""
@@ -84,7 +98,7 @@ def expand(
                                options=options) == "@graph"
         ):
             mapped = _map_unmappable(
-                options, unmappedValue=element,
+                options, unmappedValue=element, activeCtx=active_ctx,
                 activeProperty=active_property, insideList=inside_list)
             return None if mapped is _SENTINEL else mapped
         return _expand_value(active_ctx, active_property, element, options)
@@ -95,14 +109,22 @@ def expand(
         container = _ctx.get_context_value(
             active_ctx, active_property, "@container") or []
         inside_list = inside_list or "@list" in container
-        for item in element:
+        for i, item in enumerate(element):
             e = expand(active_ctx, item, active_property, options,
                        inside_index=inside_index,
                        type_scoped_context=type_scoped_context)
             if inside_list and isinstance(e, list):
                 e = {"@list": e}
             if e is None:
-                continue
+                # array element expanded away (expand.js:135-148)
+                mapped = _map_unmappable(
+                    options, unmappedValue=item, activeCtx=active_ctx,
+                    activeProperty=active_property, parent=element,
+                    index=i, expandedParent=rval,
+                    insideList=inside_list)
+                if mapped is _SENTINEL:
+                    continue
+                e = mapped
             if isinstance(e, list):
                 rval.extend(e)
             else:
@@ -203,8 +225,9 @@ def expand(
             pass  # any @value ok for @json literals
         elif len(values) == 0:
             mapped = _map_unmappable(
-                options, unmappedValue=rval,
-                activeProperty=active_property, insideList=inside_list)
+                options, unmappedValue=rval, activeCtx=active_ctx,
+                activeProperty=active_property, element=element,
+                insideList=inside_list)
             rval = None if mapped is _SENTINEL else mapped
         elif not all(is_string(v) or is_empty_object(v) for v in values) and \
                 "@language" in rval:
@@ -237,8 +260,9 @@ def expand(
             count = len(keys)
     elif count == 1 and "@language" in rval:
         mapped = _map_unmappable(
-            options, unmappedValue=rval,
-            activeProperty=active_property, insideList=inside_list)
+            options, unmappedValue=rval, activeCtx=active_ctx,
+            activeProperty=active_property, element=element,
+            insideList=inside_list)
         rval = None if mapped is _SENTINEL else mapped
 
     # drop certain free-floating top-level objects (expand.js:367-389)
@@ -249,8 +273,9 @@ def expand(
         if count == 0 or "@value" in rval or "@list" in rval or (
                 count == 1 and "@id" in rval):
             mapped = _map_unmappable(
-                options, unmappedValue=rval,
-                activeProperty=active_property, insideList=inside_list)
+                options, unmappedValue=rval, activeCtx=active_ctx,
+                activeProperty=active_property, element=element,
+                insideList=inside_list)
             rval = None if mapped is _SENTINEL else mapped
 
     return rval
@@ -280,7 +305,8 @@ def _expand_object(
         tv0 = tv[0] if isinstance(tv, list) and tv else tv
         if is_string(tv0):
             is_json_type = _ctx.expand_iri(
-                active_ctx, tv0, vocab=True, options=options) == "@json"
+                active_ctx, tv0, vocab=True,
+                options=_type_opts(options)) == "@json"
 
     for key in keys:
         value = element[key]
@@ -296,8 +322,10 @@ def _expand_object(
                 _url.is_absolute(expanded_property)
                 or is_keyword(expanded_property)):
             mapped = _map_unmappable(
-                options, unmappedProperty=key,
-                activeProperty=active_property, value=value)
+                options, unmappedProperty=key, activeCtx=active_ctx,
+                activeProperty=active_property, parent=element,
+                value=value, expandedParent=expanded_parent,
+                insideList=inside_list)
             if mapped is _SENTINEL:
                 continue
             expanded_property = mapped
@@ -355,8 +383,9 @@ def _expand_object(
                 value = {
                     _ctx.expand_iri(type_scoped_context, k, vocab=True,
                                     options=options): [
-                        _ctx.expand_iri(type_scoped_context, vv, base=True,
-                                        vocab=True, options=options)
+                        _ctx.expand_iri(
+                            type_scoped_context, vv, base=True, vocab=True,
+                            options=_type_opts(options))
                         for vv in as_array(v)
                     ]
                     for k, v in value.items()
@@ -365,8 +394,9 @@ def _expand_object(
             add_value(
                 expanded_parent, "@type",
                 [
-                    _ctx.expand_iri(type_scoped_context, v, base=True,
-                                    vocab=True, options=options)
+                    _ctx.expand_iri(
+                        type_scoped_context, v, base=True, vocab=True,
+                        options=_type_opts(options))
                     if is_string(v) else v
                     for v in as_array(value)
                 ],
@@ -530,9 +560,10 @@ def _expand_object(
 
         if expanded_value is None and expanded_property != "@value":
             mapped = _map_unmappable(
-                options, unmappedValue=value,
+                options, unmappedValue=value, activeCtx=term_ctx,
                 expandedProperty=expanded_property, key=key,
-                activeProperty=active_property)
+                activeProperty=active_property, parent=element,
+                expandedParent=expanded_parent, insideList=inside_list)
             if mapped is _SENTINEL:
                 continue
             expanded_value = mapped
@@ -606,7 +637,7 @@ def _expand_value(active_ctx: _ctx.ActiveContext, active_property: str | None,
         return _ctx.expand_iri(active_ctx, value, base=True, options=options)
     if expanded_property == "@type":
         return _ctx.expand_iri(active_ctx, value, vocab=True, base=True,
-                               options=options)
+                               options=_type_opts(options))
 
     type_ = _ctx.get_context_value(active_ctx, active_property, "@type")
 
