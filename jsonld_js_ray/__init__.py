@@ -18,5 +18,8 @@ from .api import (  # noqa: F401
     link, merge, process_context, register_rdf_parser, to_rdf,
     unregister_rdf_parser,
 )
+from .processor import JsonLdProcessor, factory  # noqa: F401
+
+normalize = canonize      # reference alias (lib/jsonld.js:563)
 
 __version__ = "0.1.0"

@@ -199,7 +199,8 @@ def from_rdf(dataset: Any, options: dict | None = None) -> list:
     options.setdefault("useNativeTypes", False)
     if isinstance(dataset, str):
         fmt = options.get("format") or "application/n-quads"
-        parser = _rdf_parsers.get(fmt)
+        # instance-scoped registries (processor.factory) take precedence
+        parser = (options.get("rdfParsers") or _rdf_parsers).get(fmt)
         if parser is None:
             raise JsonLdError(
                 f"Unknown input format: {fmt}",
@@ -210,21 +211,33 @@ def from_rdf(dataset: Any, options: dict | None = None) -> list:
 
 
 def canonize(input_: Any, options: dict | None = None) -> str:
-    """URDNA2015 canonical N-Quads of a JSON-LD document
-    (lib/jsonld.js:563-602; algorithm reimplemented, see core/canonize.py)."""
+    """Canonical N-Quads of a JSON-LD document (lib/jsonld.js:563-602;
+    algorithm reimplemented, see core/canonize.py).
+
+    options: ``algorithm`` — 'URDNA2015' (default) or the legacy
+    'URGNA2012'; ``inputFormat`` / ``format`` — 'application/n-quads'
+    (the output is always the canonical N-Quads string, like
+    rdf-canonize; an unknown ``format`` value raises)."""
     options = _setup_options(options)
+    algorithm = options.get("algorithm", "URDNA2015")
+    out_fmt = options.get("format")
+    if out_fmt not in (None, "application/n-quads", "application/nquads"):
+        raise JsonLdError(
+            f"Unknown output format: {out_fmt}",
+            "jsonld.UnknownFormat", code="unknown format",
+            details={"format": out_fmt})
     in_fmt = options.get("inputFormat")
     if in_fmt in ("application/n-quads", "application/nquads"):
         dataset = _nq.parse(input_)
     elif in_fmt:
         raise JsonLdError(
-            f"Unknown canonicalization input format: {in_fmt}",
+            "Unknown canonicalization input format.",
             "jsonld.CanonizeError", code="unknown format",
             details={"format": in_fmt})
     else:
         dataset = to_rdf(input_, {**options, "format": None,
                                   "produceGeneralizedRdf": False})
-    return _canonize.canonize(dataset)
+    return _canonize.canonize(dataset, algorithm=algorithm)
 
 
 def create_node_map(input_: Any, options: dict | None = None) -> dict:

@@ -31,9 +31,24 @@ def _sha256(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
 
+def _sha1(s: str) -> str:
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()
+
+
 class _CanonState:
+    """Shared state for URDNA2015 (default) and the legacy URGNA2012
+    variant. URGNA2012 differences (public rdf-canonize URGNA2012.js):
+    SHA-1 digests; graph-position blank nodes serialize as ``_:g`` in
+    hash-first-degree; hash-related only considers subject ('p') else
+    object ('r') positions with the bare predicate IRI (no angle
+    brackets). Everything else (N-degree, permutation search, canonical
+    issuance) is shared."""
+
     def __init__(self, dataset: list[tuple],
-                 max_work: int = DEFAULT_MAX_WORK) -> None:
+                 max_work: int = DEFAULT_MAX_WORK,
+                 algorithm: str = "URDNA2015") -> None:
+        self.algorithm = algorithm
+        self._hash = _sha1 if algorithm == "URGNA2012" else _sha256
         self.work = 0
         self.max_work = max_work
         # drop invalid null-object quads (relative IRIs in lists — the
@@ -54,16 +69,21 @@ class _CanonState:
         if cached is not None:
             return cached
         nquads = []
+        legacy = self.algorithm == "URGNA2012"
         for quad in self.bnode_to_quads[bnode_id]:
-            copy = tuple(
-                ("BlankNode", "_:a" if t[1] == bnode_id else "_:z")
-                if t[0] == "BlankNode" else t
-                for t in quad
-            )
-            nquads.append(_nq.serialize_quad(copy))
+            copy = []
+            for idx, t in enumerate(quad):
+                if t[0] != "BlankNode":
+                    copy.append(t)
+                elif legacy and idx == 3:
+                    copy.append(("BlankNode", "_:g"))
+                else:
+                    copy.append(("BlankNode",
+                                 "_:a" if t[1] == bnode_id else "_:z"))
+            nquads.append(_nq.serialize_quad(tuple(copy)))
         # JS Array.sort compares UTF-16 code units
         nquads.sort(key=lambda line: line.encode("utf-16-be"))
-        h = _sha256("".join(nquads))
+        h = self._hash("".join(nquads))
         self.hash_cache[bnode_id] = h
         return h
 
@@ -88,15 +108,27 @@ class _CanonState:
             identifier = self.hash_first_degree(related)
         data = position
         if position != "g":
-            data += f"<{quad[1][1]}>"
+            pred = quad[1][1]
+            data += pred if self.algorithm == "URGNA2012" else f"<{pred}>"
         data += identifier
-        return _sha256(data)
+        return self._hash(data)
 
     # --- 4.8 Hash N-Degree Quads ---
     def hash_n_degree(self, bnode_id: str, issuer: IdentifierIssuer
                       ) -> tuple[str, IdentifierIssuer]:
         hash_to_related: dict[str, list[str]] = {}
         for quad in self.bnode_to_quads[bnode_id]:
+            if self.algorithm == "URGNA2012":
+                # legacy: subject ('p') else object ('r'); graphs ignored
+                if quad[0][0] == "BlankNode" and quad[0][1] != bnode_id:
+                    term, position = quad[0], "p"
+                elif quad[2][0] == "BlankNode" and quad[2][1] != bnode_id:
+                    term, position = quad[2], "r"
+                else:
+                    continue
+                h = self.hash_related(term[1], quad, issuer, position)
+                hash_to_related.setdefault(h, []).append(term[1])
+                continue
             for term, position in ((quad[0], "s"), (quad[2], "o"),
                                    (quad[3], "g")):
                 if term[0] == "BlankNode" and term[1] != bnode_id:
@@ -146,15 +178,16 @@ class _CanonState:
             if chosen_issuer is not None:
                 issuer = chosen_issuer
 
-        return _sha256(data_to_hash), issuer
+        return self._hash(data_to_hash), issuer
 
 
 def relabel_dataset(dataset: list[tuple],
-                    max_work: int = DEFAULT_MAX_WORK) -> list[tuple]:
+                    max_work: int = DEFAULT_MAX_WORK,
+                    algorithm: str = "URDNA2015") -> list[tuple]:
     """Return dataset with blank nodes relabeled to canonical _:c14nN ids
     (null-object quads dropped — see _CanonState). Raises JsonLdError
     code='complexity limit exceeded' past ``max_work`` units."""
-    state = _CanonState(dataset, max_work=max_work)
+    state = _CanonState(dataset, max_work=max_work, algorithm=algorithm)
 
     # 1) issue canonical ids for unique first-degree hashes
     hash_to_bnodes: dict[str, list[str]] = {}
@@ -196,6 +229,14 @@ def relabel_dataset(dataset: list[tuple],
 
 
 def canonize(dataset: list[tuple],
-             max_work: int = DEFAULT_MAX_WORK) -> str:
-    """URDNA2015 → canonical N-Quads string (sorted, deduplicated)."""
-    return _nq.serialize(relabel_dataset(dataset, max_work=max_work))
+             max_work: int = DEFAULT_MAX_WORK,
+             algorithm: str = "URDNA2015") -> str:
+    """URDNA2015 / URGNA2012 → canonical N-Quads string (sorted,
+    deduplicated)."""
+    if algorithm not in ("URDNA2015", "URGNA2012"):
+        raise JsonLdError(
+            f"Invalid RDF Dataset Canonicalizer algorithm: {algorithm}",
+            "jsonld.CanonizeError", code="invalid algorithm",
+            details={"algorithm": algorithm})
+    return _nq.serialize(relabel_dataset(dataset, max_work=max_work,
+                                         algorithm=algorithm))
