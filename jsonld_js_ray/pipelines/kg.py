@@ -314,14 +314,41 @@ def compact_roundtrip_turn_counts(sf_dir: str):
 def build_entity_mapping(sf_dir: str, threshold: float = 0.6) -> dict:
     """Phase 1 of the full pipeline: mention stream → salted surface
     stats → min-hash near-dup merge → surface→canonical dict (the
-    broadcast small side for phase 2)."""
+    broadcast small side for phase 2).
+
+    Phase 2 consumes the mapping as ONE ``ray.put`` dict, so the vocab
+    must fit on the driver here by design. Everything heavier stays
+    distributed: banding + in-bucket Jaccard verification run in
+    ``entity_merge.verified_edges`` (map_batches + band groupby); the
+    driver sees only the vocab keys and the dup-density-bounded verified
+    EDGE list, then runs an O(|edges|) union-find (exact transitive
+    closure — unlike the round-capped label propagation in
+    ``canonicalize_entities``, which warns if a chain exceeds
+    MAX_ROUNDS hops; the two paths agree whenever propagation
+    converges)."""
     from ..sources.transcripts import read_transcripts
-    from ..stages.entity_merge import canonicalize_entities
+    from ..stages.entity_merge import surface_stats, verified_edges
     from ..stages.linker import detect_mentions
 
     mentions = detect_mentions(read_transcripts(sf_dir))
-    tbl = canonicalize_entities(mentions, threshold=threshold).to_pandas()
-    return dict(zip(tbl["surface"], tbl["canonical"]))
+    stats = surface_stats(mentions).materialize()
+    edges = verified_edges(stats, threshold).to_pandas()
+    surfaces = stats.select_columns(["surface"]).to_pandas()["surface"]
+
+    parent: dict = {s: s for s in surfaces}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.get("src", []), edges.get("dst", [])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {s: find(s) for s in parent}
 
 
 def run_full_kg_pipeline(sf_dir: str, out_dir: str,
