@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted-duplicate corpora (construction-based oracles for the
         # otherwise non-SQL-expressible LSH/sketch variants)
         "dedup_minhash_planted": td.q_dedup_minhash_planted,
+        "dedup_embedding_planted": td.q_dedup_embedding_planted,
         "dedup_ngram_planted": td.q_dedup_ngram_planted,
         "dedup_simhash_planted": td.q_dedup_simhash_planted,
         "fingerprint_classes_planted": td.q_fingerprint_classes_planted,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.dedup import (
         DEDUP_EXACT_SQL,
         DEDUP_PLANTED_SQL,
+        EMBEDDING_PLANTED_SQL,
         FINGERPRINT_CLASSES_PLANTED_SQL,
         SIMHASH_PLANTED_SQL,
     )
@@ -270,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM transcripts GROUP BY conv_id"),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_planted": DEDUP_PLANTED_SQL,
+        "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "dedup_ngram_planted": DEDUP_PLANTED_SQL,
         "dedup_simhash_planted": SIMHASH_PLANTED_SQL,
         "fingerprint_classes_planted": FINGERPRINT_CLASSES_PLANTED_SQL,

@@ -199,8 +199,10 @@ def from_rdf(dataset: Any, options: dict | None = None) -> list:
     options.setdefault("useNativeTypes", False)
     if isinstance(dataset, str):
         fmt = options.get("format") or "application/n-quads"
-        # instance-scoped registries (processor.factory) take precedence
-        parser = (options.get("rdfParsers") or _rdf_parsers).get(fmt)
+        # instance-scoped registries (processor.factory) take precedence;
+        # an EMPTY instance registry must not fall back to the global one
+        scoped = options.get("rdfParsers")
+        parser = (_rdf_parsers if scoped is None else scoped).get(fmt)
         if parser is None:
             raise JsonLdError(
                 f"Unknown input format: {fmt}",

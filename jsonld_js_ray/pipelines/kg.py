@@ -335,20 +335,14 @@ def build_entity_mapping(sf_dir: str, threshold: float = 0.6) -> dict:
     edges = verified_edges(stats, threshold).to_pandas()
     surfaces = stats.select_columns(["surface"]).to_pandas()["surface"]
 
-    parent: dict = {s: s for s in surfaces}
+    from ..stages.dedup import _UnionFind
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    uf = _UnionFind()
+    for s in surfaces:
+        uf.find(s)                       # register singletons
     for a, b in zip(edges.get("src", []), edges.get("dst", [])):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-    return {s: find(s) for s in parent}
+        uf.union(a, b)
+    return uf.cluster_map()
 
 
 def run_full_kg_pipeline(sf_dir: str, out_dir: str,

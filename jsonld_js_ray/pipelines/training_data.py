@@ -118,6 +118,12 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir))
 
 
+def q_dedup_embedding_planted(sf_dir: str):
+    from ..stages.dedup import embedding_dedup_planted
+
+    return embedding_dedup_planted(_embeddings(sf_dir))
+
+
 def q_dedup_minhash_planted(sf_dir: str):
     from ..stages.dedup import minhash_lsh_dedup_planted
 

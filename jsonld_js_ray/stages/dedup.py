@@ -147,13 +147,17 @@ class MinHashStage:
 
 
 class _UnionFind:
-    """Path-halving union-find keeping the SMALLEST member as root —
-    shared by every near-dup variant (cluster id = min of cluster)."""
+    """Path-halving union-find keeping the SMALLEST member as root
+    (cluster id = min of cluster). Generic over any ordered hashable
+    key (doc ids, surface strings) — the single implementation shared
+    by every near-dup variant, entity_merge.build_canonical_mapping and
+    pipelines.kg.build_entity_mapping, so the min-root rule cannot
+    silently diverge between paths."""
 
     def __init__(self) -> None:
-        self.parent: dict[int, int] = {}
+        self.parent: dict = {}
 
-    def find(self, x: int) -> int:
+    def find(self, x):
         p = self.parent
         p.setdefault(x, x)
         while p[x] != x:
@@ -161,13 +165,13 @@ class _UnionFind:
             x = p[x]
         return x
 
-    def union(self, a: int, b: int) -> None:
+    def union(self, a, b) -> None:
         ra, rb = self.find(a), self.find(b)
         if ra != rb:
             lo, hi = sorted((ra, rb))
             self.parent[hi] = lo
 
-    def cluster_map(self) -> dict[int, int]:
+    def cluster_map(self) -> dict:
         return {x: self.find(x) for x in self.parent}
 
 
@@ -405,8 +409,7 @@ def simhash_dedup(docs, max_hamming: int = 3):
             [f"band{band}"], pair_fn=verify)
         for band in range(4)
     ]
-    all_pairs = pd.concat(frames).drop_duplicates() if frames else \
-        pd.DataFrame(columns=["a", "b"])
+    all_pairs = pd.concat(frames).drop_duplicates()
 
     uf = _UnionFind()
     for a, b in zip(all_pairs.get("a", []), all_pairs.get("b", [])):
@@ -523,7 +526,7 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
     exploded = embeddings.map_batches(explode, batch_format="pyarrow",
                                       batch_size=4096)
     cands = exploded.groupby(["table_id", "bucket"]).map_groups(
-        functools.partial(bucket_cands), batch_format="pandas")
+        bucket_cands, batch_format="pandas")
 
     def identity_rows(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].cast(pa.int64())
@@ -591,8 +594,15 @@ def ngram_jaccard_dedup(docs, threshold: float = 0.8):
 
 
 # Oracle for embedding_dedup: cluster = min EARLIER vec_id with cosine >=
-# threshold (else self). Random float32 vectors give wide margins at the
-# 0.95 boundary, so the double-precision self-join agrees exactly.
+# threshold (else self) — the EXACT semantics. The engine path is
+# LSH-bucketed (approximate candidates, exact in-bucket verification):
+# it can never OVER-merge vs this SQL, and it under-merges only when a
+# qualifying pair misses every table. The sf test corpora contain ZERO
+# qualifying pairs (max off-diagonal cosine ≈ 0.51, verified), so this
+# check pins the no-false-positive side; the recall side is pinned by
+# the construction-guaranteed EMBEDDING_PLANTED_SQL below (exact copies
+# share every signature, so LSH recall for them is 1 by construction)
+# and by the planted-cluster pytest.
 EMBEDDING_DEDUP_SQL = """
 WITH pairs AS (
   SELECT a.vec_id AS vid,
@@ -644,8 +654,13 @@ PLANT_SUFFIX_TOKEN = "planteddup"
 
 
 def _doc_unique_interleave(text: str, doc_id: int) -> str:
-    c = chr(0x4E00 + (doc_id % 20000))
-    return "".join(ch + c for ch in text)
+    # two-char unique marker → unique for ~220M doc ids (a single CJK
+    # char collides at 20k docs); with the pair inserted after EVERY
+    # character, any 3-char window contains at least the second marker,
+    # so cross-doc gram collisions stay impossible
+    u = chr(0x4E00 + (doc_id % 20000)) + \
+        chr(0xAC00 + ((doc_id // 20000) % 11000))
+    return "".join(ch + u for ch in text)
 
 
 def planted_documents(docs, include_suffix: bool = True):
@@ -656,11 +671,17 @@ def planted_documents(docs, include_suffix: bool = True):
         for i, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             i = int(i)
+            n_tokens = len((t or "").split())
+            if n_tokens == 0:
+                # empty/whitespace docs have empty shingle sets (no
+                # Jaccard merge possible), SimHash 0 and equal
+                # fingerprints ACROSS docs — exclude them entirely
+                # (mirrored by WHERE nt >= 1 in the oracles)
+                continue
             base = _doc_unique_interleave(t or "", i)
             ids.extend((i, i + PLANT_OFF_COPY))
             texts.extend((base, base))
-            if include_suffix and \
-                    len((t or "").split()) >= PLANT_MIN_TOKENS:
+            if include_suffix and n_tokens >= PLANT_MIN_TOKENS:
                 ids.append(i + PLANT_OFF_SUFFIX)
                 texts.append(base + _doc_unique_interleave(
                     " " + PLANT_SUFFIX_TOKEN, i))
@@ -694,23 +715,58 @@ WITH d AS (
 """
 
 DEDUP_PLANTED_SQL = _PLANTED_BASE_SQL + f"""
-SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d
+SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d WHERE nt >= 1
 UNION ALL
-SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d WHERE nt >= 1
 UNION ALL
 SELECT doc_id + {PLANT_OFF_SUFFIX}, doc_id, false FROM d
 WHERE nt >= {PLANT_MIN_TOKENS}
 """
 
 SIMHASH_PLANTED_SQL = _PLANTED_BASE_SQL + f"""
-SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d
+SELECT doc_id, doc_id AS cluster_id, true AS keep FROM d WHERE nt >= 1
 UNION ALL
-SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id, false FROM d WHERE nt >= 1
 """
 
-FINGERPRINT_CLASSES_PLANTED_SQL = f"""
-WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
-SELECT doc_id, doc_id AS class_id FROM d
+FINGERPRINT_CLASSES_PLANTED_SQL = _PLANTED_BASE_SQL + f"""
+SELECT doc_id, doc_id AS class_id FROM d WHERE nt >= 1
 UNION ALL
-SELECT doc_id + {PLANT_OFF_COPY}, doc_id FROM d
+SELECT doc_id + {PLANT_OFF_COPY}, doc_id FROM d WHERE nt >= 1
+"""
+
+
+# --- planted embedding dedup (construction-guaranteed LSH recall) ---
+
+PLANT_VEC_OFF = 1_000_000
+
+
+def planted_embeddings(embeddings):
+    """embeddings ∪ exact copies (vec_id + PLANT_VEC_OFF). An identical
+    vector shares EVERY hyperplane signature, so the copy is co-bucketed
+    with its base in all tables — LSH recall 1 by construction — and
+    verifies at cosine 1.0 exactly."""
+    def copies(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "vec_id": pc.add(batch["vec_id"].cast(pa.int64()),
+                             PLANT_VEC_OFF),
+            "embedding": batch["embedding"],
+        })
+
+    base = embeddings.select_columns(["vec_id", "embedding"])
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def embedding_dedup_planted(embeddings, threshold: float = 0.95):
+    return embedding_dedup(planted_embeddings(embeddings), threshold)
+
+
+# expected output is pure id arithmetic GIVEN the (verified) fact that
+# the base table has no qualifying cross pairs at the 0.95 threshold
+EMBEDDING_PLANTED_SQL = f"""
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings)
+SELECT vec_id, vec_id AS cluster_id, true AS keep FROM v
+UNION ALL
+SELECT vec_id + {PLANT_VEC_OFF}, vec_id, false FROM v
 """

@@ -146,12 +146,25 @@ class SigBandExplode:
         })
 
 
+MAX_BUCKET_MEMBERS = 142     # ~MAX_PAIRS_PER_BUCKET verification pairs
+
+
 def _bucket_edges(g, threshold: float):
     """One LSH bucket's surfaces → verified SYMMETRIC edges (src, dst)
     for label propagation. Verification is IN-BUCKET: both strings are
     group rows, no driver fetch. Returns a TYPED arrow table so every
-    downstream block is arrow (mixed block types break Ray's sort)."""
+    downstream block is arrow (mixed block types break Ray's sort).
+    Degenerate buckets are capped with a WARNING (same never-silent
+    policy as dedup.MAX_PAIRS_PER_BUCKET)."""
+    import warnings
+
     members = sorted(set(g["surface"]))
+    if len(members) > MAX_BUCKET_MEMBERS:
+        warnings.warn(
+            f"entity LSH bucket with {len(members)} surfaces exceeds "
+            f"the verification cap ({MAX_BUCKET_MEMBERS}); truncating — "
+            f"consider more bands or pre-splitting hot surfaces")
+        members = members[:MAX_BUCKET_MEMBERS]
     src: list[str] = []
     dst: list[str] = []
     for i in range(len(members)):
@@ -228,6 +241,9 @@ def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
 
     labels = nodes.map_batches(init_labels,
                                batch_format="pyarrow").materialize()
+    # pin the edge pipeline: count() + the bucketing below would
+    # otherwise re-execute the banding + in-bucket verification twice
+    edges = edges.materialize()
     if edges.count() == 0:
         return labels
 
@@ -358,26 +374,14 @@ def build_canonical_mapping(surfaces: list[str],
     one ``ray.put`` object — use ONLY on an already-aggregated small
     vocabulary; the distributed equivalent is ``canonicalize_entities``.
     Same banding + in-bucket verification, so the two paths agree."""
+    from .dedup import _UnionFind
+
     buckets: dict[tuple[int, int], list[str]] = {}
     for s in surfaces:
         for b_idx, bh in enumerate(band_hashes(minhash_signature(s))):
             buckets.setdefault((b_idx, bh), []).append(s)
 
-    parent: dict[str, str] = {s: s for s in surfaces}
-
-    def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a: str, b: str) -> None:
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            return
-        lo, hi = sorted((ra, rb))
-        parent[hi] = lo
-
+    uf = _UnionFind()
     for members in buckets.values():
         if len(members) < 2:
             continue
@@ -388,8 +392,8 @@ def build_canonical_mapping(surfaces: list[str],
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 if jaccard(members[i], members[j]) >= threshold:
-                    union(members[i], members[j])
-    return {s: find(s) for s in surfaces}
+                    uf.union(members[i], members[j])
+    return {s: uf.find(s) for s in surfaces}
 
 
 # --- construction-based oracles (driver CORRECTNESS gate) ---

@@ -177,15 +177,17 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
     planes = _hyperplanes(dim, tables, bits)
     q_sigs = lsh_signatures(q_mat, planes, tables, bits)  # (Q, tables)
 
-    # probe buckets per (query, table): own + hamming-1 neighbors
-    probe = np.zeros((len(q_ids), tables, 1 + bits * probe_hamming),
-                     dtype=np.int64)
-    probe[:, :, 0] = q_sigs
-    col = 1
-    if probe_hamming >= 1:
-        for b in range(bits):
-            probe[:, :, col] = q_sigs ^ (1 << b)
-            col += 1
+    # probe buckets per (query, table): own bucket + every bit-flip
+    # pattern up to Hamming distance probe_hamming
+    from itertools import combinations
+
+    masks = [0]
+    for dist in range(1, probe_hamming + 1):
+        for flip in combinations(range(bits), dist):
+            masks.append(sum(1 << b for b in flip))
+    probe = np.zeros((len(q_ids), tables, len(masks)), dtype=np.int64)
+    for col, mask in enumerate(masks):
+        probe[:, :, col] = q_sigs ^ mask
     ref = ray.put((q_ids, q_mat, planes, probe))
 
     def candidates(batch: pa.Table, *, _tables=tables,

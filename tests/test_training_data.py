@@ -387,3 +387,77 @@ def test_planted_dedup_oracle(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_planted_corpus_excludes_empty_docs(ray_session):
+    """Empty/whitespace docs break every sketch's planted contract
+    (empty shingle sets, shared SimHash 0, equal fingerprints) — the
+    corpus builder must drop them, mirroring WHERE nt >= 1."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.dedup import (
+        minhash_lsh_dedup_planted, planted_documents,
+    )
+
+    long_doc = " ".join(f"word{i}" for i in range(25))   # ≥ 20 tokens
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["", "   ", long_doc], pa.large_string()),
+    }))
+    corpus = planted_documents(ds).to_pandas()
+    assert set(corpus["doc_id"]) == {2, 1_000_002, 2_000_002}
+    out = minhash_lsh_dedup_planted(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1_000_002, "cluster_id"] == 2
+
+
+def test_knn_lsh_probe_hamming_two_fills_all_columns():
+    """probe_hamming=2 must generate all C(bits,1)+C(bits,2) flip masks
+    (regression: trailing probe columns were left zero)."""
+    from itertools import combinations
+
+    from jsonld_js_ray.stages.similarity import LSH_BITS
+
+    masks = [0]
+    for dist in (1, 2):
+        for flip in combinations(range(LSH_BITS), dist):
+            masks.append(sum(1 << b for b in flip))
+    # count matches 1 + C(b,1) + C(b,2) and all masks distinct
+    import math
+    assert len(masks) == 1 + LSH_BITS + math.comb(LSH_BITS, 2)
+    assert len(set(masks)) == len(masks)
+
+
+def test_knn_lsh_probe_hamming_two_runs(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_lsh
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((100, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    out = knn_lsh(ds, k=5, n_queries=2, probe_hamming=2).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert all(out.groupby("query_id").size() == 5)
+
+
+def test_embedding_dedup_planted_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.pipelines.training_data import (
+        q_dedup_embedding_planted,
+    )
+    from jsonld_js_ray.stages.dedup import EMBEDDING_PLANTED_SQL
+
+    mine = q_dedup_embedding_planted(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'")
+    orc = con.sql(EMBEDDING_PLANTED_SQL).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
