@@ -29,8 +29,19 @@ def _setup_options(options: dict | None) -> dict:
     opts.setdefault("base", "")
     opts.setdefault("processingMode", "json-ld-1.1")
     if "contextResolver" not in opts:
+        loader = opts.get("documentLoader")
+        resolver_loader = None
+        if loader is not None:
+            def resolver_loader(url, _loader=loader):
+                # loaders may return either the raw document or the
+                # reference's {contextUrl, documentUrl, document} record
+                rec = _loader(url)
+                if isinstance(rec, dict) and "document" in rec and \
+                        ("documentUrl" in rec or "contextUrl" in rec):
+                    return rec["document"]
+                return rec
         opts["contextResolver"] = _ctx.ContextResolver(
-            documents=opts.get("documents"))
+            documents=opts.get("documents"), loader=resolver_loader)
     return opts
 
 
