@@ -93,22 +93,29 @@ class SaltedPartialCount:
         self.num_salts = num_salts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        convs = batch["conv_id"].to_pylist()
-        acc: dict[tuple[str, int], int] = {}
-        for s, c in zip(surfaces, convs):
-            salt = _crc(c) % self.num_salts
-            key = (s, salt)
-            acc[key] = acc.get(key, 0) + 1
-        if not acc:
+        import numpy as np
+        import pandas as pd
+
+        if batch.num_rows == 0:
             return pa.table({"surface": pa.array([], pa.string()),
                              "salt": pa.array([], pa.int32()),
                              "n": pa.array([], pa.int64())})
-        keys = list(acc.keys())
+        # vectorized salt: pandas hash_array is process-stable (fixed
+        # siphash key); any deterministic conv→salt function partitions
+        # correctly — the salts never appear in output
+        convs = batch["conv_id"].cast(pa.string()).to_pandas()
+        salt = (pd.util.hash_array(np.asarray(convs, dtype=object))
+                % self.num_salts).astype("int32")
+        keyed = pa.table({
+            "surface": batch["surface"].cast(pa.string()),
+            "salt": pa.array(salt),
+        })
+        g = keyed.group_by(["surface", "salt"]).aggregate(
+            [([], "count_all")])
         return pa.table({
-            "surface": pa.array([k[0] for k in keys], pa.string()),
-            "salt": pa.array([k[1] for k in keys], pa.int32()),
-            "n": pa.array([acc[k] for k in keys], pa.int64()),
+            "surface": g["surface"],
+            "salt": g["salt"].cast(pa.int32()),
+            "n": g["count_all"].cast(pa.int64()),
         })
 
 
