@@ -82,6 +82,11 @@ def run_bench() -> dict:
     surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()
     queries["kg_entities"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.entity_merge import canonicalize_entities
+    t0 = time.perf_counter()
+    canonicalize_entities(detect_mentions(read_transcripts(SF_DIR))).count()
+    queries["kg_entities_canonical"] = round(time.perf_counter() - t0, 3)
+
     # full north-star run incl. entity canonicalization + sharded sink
     import shutil as _shutil
 

@@ -79,11 +79,10 @@ def q_quality(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    from ..stages.text import Fingerprinter
+    from ..stages.text import fingerprint_batch
 
     return _docs(sf_dir).map_batches(
-        Fingerprinter, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4))
+        fingerprint_batch, batch_format="pyarrow", batch_size=1024)
 
 
 def q_multimodal_features(sf_dir: str):
@@ -107,8 +106,13 @@ def bench_queries():
     return {
         "dedup_exact": run(q_dedup_exact),
         "dedup_minhash": run(q_dedup_minhash),
+        "dedup_simhash": run(q_dedup_simhash),
+        "dedup_embedding": run(q_dedup_embedding),
         "knn_brute": run(q_knn_brute),
+        "knn_lsh": run(q_knn_lsh),
         "text_stats": run(q_text_stats),
+        "lang_id": run(q_lang_id),
+        "fingerprint": run(q_fingerprint),
     }
 
 
@@ -150,13 +154,13 @@ def q_fingerprint_classes_planted(sf_dir: str):
     import pyarrow as pa
 
     from ..stages.dedup import planted_documents
-    from ..stages.text import Fingerprinter
+    from ..stages.text import fingerprint_batch
 
     import zlib
 
     corpus = planted_documents(_docs(sf_dir), include_suffix=False)
-    fps = corpus.map_batches(Fingerprinter, batch_format="pyarrow",
-                             batch_size=4096, concurrency=(1, 4))
+    fps = corpus.map_batches(fingerprint_batch, batch_format="pyarrow",
+                             batch_size=1024)
 
     # one uniform shuffle keyed by hash-bucket(fingerprint); the class
     # assignment is a VECTORIZED pandas transform inside each of the

@@ -436,6 +436,7 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 EMB_DEDUP_TABLES = 8
 EMB_DEDUP_BITS = 8
+EMB_DEDUP_SHARDS = 64
 
 
 def embedding_dedup(embeddings, threshold: float = 0.95,
@@ -481,10 +482,18 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sigs = lsh_signatures(nvecs, planes_by_dim[dim], tables, bits)
         n = len(vec_ids)
+        table_col = np.repeat(np.arange(tables, dtype=np.int32), n)
+        bucket_col = sigs.T.reshape(-1)
+        # coarse shuffle key: a few dozen shards instead of one Ray
+        # group per (table, bucket) — per-group dispatch costs ~1ms,
+        # which dominates with thousands of tiny buckets; the fine
+        # bucket structure is re-grouped VECTORIZED inside each shard
+        shard = ((table_col.astype(np.int64) << np.int64(32))
+                 | bucket_col.astype(np.int64)) % EMB_DEDUP_SHARDS
         return pa.table({
-            "table_id": pa.array(
-                np.repeat(np.arange(tables, dtype=np.int32), n)),
-            "bucket": pa.array(sigs.T.reshape(-1)),
+            "shard": pa.array(shard.astype(np.int32)),
+            "table_id": pa.array(table_col),
+            "bucket": pa.array(bucket_col),
             "vec_id": pa.array(np.tile(vec_ids, tables)),
             "embedding": pa.concat_arrays(
                 [batch["embedding"].combine_chunks()
@@ -523,10 +532,21 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
             "cand": pa.array(ids[first[has]], pa.int64()),
         })
 
+    def shard_cands(g):
+        import pandas as pd
+
+        outs = [bucket_cands(sub)
+                for _, sub in g.groupby(["table_id", "bucket"],
+                                        sort=False)]
+        if not outs:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
     exploded = embeddings.map_batches(explode, batch_format="pyarrow",
                                       batch_size=4096)
-    cands = exploded.groupby(["table_id", "bucket"]).map_groups(
-        bucket_cands, batch_format="pandas")
+    cands = exploded.groupby("shard").map_groups(
+        shard_cands, batch_format="pandas")
 
     def identity_rows(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].cast(pa.int64())

@@ -158,11 +158,9 @@ class Fingerprinter:
 
     W = 8        # char-gram width
     WIN = 16     # winnowing window
-    MOD = (1 << 61) - 1
-    BASE = 257
-
-    def __init__(self) -> None:
-        self.pow_w = pow(self.BASE, self.W - 1, self.MOD)
+    BASE = np.uint64(257)     # polynomial hash base, mod 2^64 (natural
+    #                           uint64 wraparound — only equality of
+    #                           windows matters for winnowing)
 
     def fingerprint(self, text: str) -> str:
         import hashlib
@@ -171,15 +169,13 @@ class Fingerprinter:
         n = len(data)
         if n < self.W:
             return hashlib.md5(data).hexdigest()[:16]
-        hashes = np.empty(n - self.W + 1, dtype=np.uint64)
-        h = 0
-        for i in range(self.W):
-            h = (h * self.BASE + data[i]) % self.MOD
-        hashes[0] = h
-        for i in range(1, n - self.W + 1):
-            h = ((h - data[i - 1] * self.pow_w) * self.BASE
-                 + data[i + self.W - 1]) % self.MOD
-            hashes[i] = h
+        # vectorized polynomial w-gram hashes: W shifted passes instead
+        # of a per-character Python rolling loop
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        m = n - self.W + 1
+        hashes = np.zeros(m, dtype=np.uint64)
+        for j in range(self.W):
+            hashes = hashes * self.BASE + arr[j:j + m]
         # min per sliding window (vectorized via stride tricks)
         if len(hashes) <= self.WIN:
             mins = np.array([hashes.min()], dtype=np.uint64)
@@ -197,6 +193,19 @@ class Fingerprinter:
             "fingerprint": pa.array(
                 [self.fingerprint(t or "") for t in texts], pa.string()),
         })
+
+
+_FINGERPRINTER: Fingerprinter | None = None
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of Fingerprinter (per-worker singleton): with the
+    hash fully vectorized there is no per-actor state worth an actor
+    pool, and task-pool dispatch avoids actor spin-up latency."""
+    global _FINGERPRINTER
+    if _FINGERPRINTER is None:
+        _FINGERPRINTER = Fingerprinter()
+    return _FINGERPRINTER(batch)
 
 
 # --- SQL oracles ---
