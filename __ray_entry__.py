@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": td.q_quality,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
+        "multimodal_audio": td.q_multimodal_audio,
         # joins / sort-limit (relational operator classes)
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,

@@ -182,3 +182,16 @@ def q_fingerprint_classes_planted(sf_dir: str):
 
     return fps.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def q_multimodal_audio(sf_dir: str):
+    """Synthetic audio (deterministic fake PCM) → decode/feature actor
+    stage; sf_dir sizes the table."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_features, synthesize_audio_table
+
+    n = {"sf0.001": 32, "sf0.01": 128, "sf0.1": 512}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64)
+    media = rd.from_arrow(synthesize_audio_table(n_items=n))
+    return audio_features(media)

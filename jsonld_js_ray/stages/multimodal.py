@@ -185,3 +185,109 @@ def decode_features(media, concurrency=None, batch_size: int = 64):
     return media.map_batches(
         ImageDecodeActor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency if concurrency else (1, 4))
+
+
+# --- audio (same opaque-binary + honest-stub pattern) ---
+#
+# Fake PCM codec: payload = b"FAKEAUD1" + sample_rate(u32 LE) +
+# n_samples(u32 LE) + int16 LE samples.
+
+AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int,
+                      seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n_samples,
+                          dtype=np.int16)
+    return (AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
+            + samples.tobytes())
+
+
+def synthesize_audio_table(n_items: int = 32, seed: int = 9) -> pa.Table:
+    """Deterministic audio table (no external data)."""
+    rng = np.random.RandomState(seed)
+    payloads, metas = [], []
+    for i in range(n_items):
+        sr = int(rng.choice([8000, 16000, 44100]))
+        n = int(rng.randint(sr // 10, sr))       # 0.1–1.0 s clips
+        payloads.append(encode_fake_audio(sr, n, seed=seed * 1000 + i))
+        metas.append(json.dumps({"source": f"synth-audio-{i}",
+                                 "codec": "fake-pcm"}))
+    return pa.table({
+        "item_id": pa.array(range(n_items), pa.int64()),
+        "kind": pa.array(["audio"] * n_items, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "meta": pa.array(metas, pa.string()),
+    })
+
+
+def _decode_fake_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    if not payload.startswith(AUDIO_MAGIC):
+        raise ValueError("not a FAKEAUD1 payload")
+    sr, n = struct.unpack_from("<II", payload, len(AUDIO_MAGIC))
+    samples = np.frombuffer(payload, dtype="<i2",
+                            offset=len(AUDIO_MAGIC) + 8, count=n)
+    return sr, samples
+
+
+class AudioDecodeActor:
+    """Actor: audio payloads → (item_id, sample_rate, n_samples,
+    duration_s, rms, peak) feature rows. A real deployment would load
+    soundfile/torchaudio once per actor in ``__init__``; the sandbox
+    falls back to the deterministic fake PCM codec (``strict=True``
+    raises NotImplementedError — documented stub, same policy as
+    ImageDecodeActor)."""
+
+    def __init__(self, strict: bool = False) -> None:
+        self.codec = None
+        try:
+            import soundfile  # noqa: F401
+            self.codec = soundfile
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "no audio codec in this environment; install "
+                    "soundfile or use the fake codec (strict=False)")
+
+    def _decode(self, payload: bytes):
+        if payload.startswith(AUDIO_MAGIC):
+            return _decode_fake_audio(payload)
+        if self.codec is not None:
+            import io
+            data, sr = self.codec.read(io.BytesIO(payload),
+                                       dtype="int16")
+            return sr, np.asarray(data).reshape(-1)
+        raise ValueError(
+            "payload is neither FAKEAUD1 nor decodable (no codec)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        item_ids = batch["item_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        srs, ns, durs, rmss, peaks = [], [], [], [], []
+        for p in payloads:
+            sr, samples = self._decode(p)
+            x = samples.astype(np.float64)
+            srs.append(sr)
+            ns.append(len(samples))
+            durs.append(round(len(samples) / sr, 6) if sr else 0.0)
+            rmss.append(round(float(np.sqrt(np.mean(x * x)))
+                              if len(x) else 0.0, 4))
+            peaks.append(int(np.abs(samples).max()) if len(samples)
+                         else 0)
+        return pa.table({
+            "item_id": pa.array(item_ids, pa.int64()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+            "peak": pa.array(peaks, pa.int32()),
+        })
+
+
+def audio_features(media, concurrency=None, batch_size: int = 64):
+    """audio Dataset → decoded feature Dataset (actor-pool map_batches,
+    small batches for wide binary rows)."""
+    return media.map_batches(
+        AudioDecodeActor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency if concurrency else (1, 4))

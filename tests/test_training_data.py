@@ -461,3 +461,46 @@ def test_embedding_dedup_planted_oracle(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_audio_decode_features(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.multimodal import (
+        AudioDecodeActor, audio_features, encode_fake_audio,
+        synthesize_audio_table,
+    )
+
+    media = synthesize_audio_table(n_items=8, seed=3)
+    out = audio_features(rd.from_arrow(media),
+                         concurrency=1).to_pandas()
+    assert len(out) == 8
+    assert (out["sample_rate"].isin([8000, 16000, 44100])).all()
+    assert (out["duration_s"] > 0).all()
+    assert (out["rms"] > 0).all()
+    assert (out["peak"] <= 32768).all()
+    # deterministic: same synthesis → same features
+    out2 = audio_features(rd.from_arrow(
+        synthesize_audio_table(n_items=8, seed=3)),
+        concurrency=1).to_pandas()
+    assert out.equals(out2)
+    # strict mode documents the missing-codec stub honestly
+    import pytest as _pytest
+
+    try:
+        import soundfile  # noqa: F401
+        has_codec = True
+    except ImportError:
+        has_codec = False
+    if not has_codec:
+        with _pytest.raises(NotImplementedError):
+            AudioDecodeActor(strict=True)
+    # known payload → exact features
+    p = encode_fake_audio(8000, 4000, seed=1)
+    one = AudioDecodeActor()(pa.table({
+        "item_id": pa.array([7], pa.int64()),
+        "payload": pa.array([p], pa.large_binary()),
+    })).to_pydict()
+    assert one["sample_rate"] == [8000]
+    assert one["n_samples"] == [4000]
+    assert one["duration_s"] == [0.5]
