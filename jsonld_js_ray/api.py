@@ -34,12 +34,44 @@ def _setup_options(options: dict | None) -> dict:
         if loader is not None:
             def resolver_loader(url, _loader=loader):
                 # loaders may return either the raw document or the
-                # reference's {contextUrl, documentUrl, document} record
+                # reference's {contextUrl, documentUrl, document} record;
+                # string bodies are JSON-parsed and a Link-header
+                # contextUrl is APPENDED to the doc's @context, matching
+                # ContextResolver._fetchContext (ContextResolver.js:
+                # 165-205)
+                import json as _json
+
                 rec = _loader(url)
+                context_url = None
+                doc = rec
                 if isinstance(rec, dict) and "document" in rec and \
                         ("documentUrl" in rec or "contextUrl" in rec):
-                    return rec["document"]
-                return rec
+                    context_url = rec.get("contextUrl")
+                    doc = rec["document"]
+                if isinstance(doc, bytes):
+                    doc = doc.decode("utf-8")
+                if isinstance(doc, str):
+                    try:
+                        doc = _json.loads(doc)
+                    except ValueError as exc:
+                        raise JsonLdError(
+                            "Dereferencing a URL did not result in a "
+                            "valid JSON-LD object (non-JSON response).",
+                            "jsonld.InvalidUrl",
+                            code="loading remote context failed",
+                            details={"url": url, "cause": str(exc)})
+                if context_url:
+                    if not isinstance(doc, dict):
+                        raise JsonLdError(
+                            "Dereferencing a URL did not result in a "
+                            "JSON object.", "jsonld.InvalidUrl",
+                            code="invalid remote context",
+                            details={"url": url})
+                    ctx = doc.get("@context", {})
+                    ctx_list = list(ctx) if isinstance(ctx, list) \
+                        else [ctx]
+                    doc = {"@context": ctx_list + [context_url]}
+                return doc
         opts["contextResolver"] = _ctx.ContextResolver(
             documents=opts.get("documents"), loader=resolver_loader)
     return opts

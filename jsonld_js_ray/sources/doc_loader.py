@@ -70,14 +70,24 @@ def parse_link_header(header: str) -> dict:
     return rval
 
 
+class _InFlight:
+    __slots__ = ("event", "ok", "value")
+
+    def __init__(self) -> None:
+        self.event = threading.Event()
+        self.ok = False
+        self.value: Any = None
+
+
 class RequestQueue:
     """Coalesces concurrent loads of the same URL (RequestQueue.js):
     while a URL is in flight, other callers wait on the same result
-    instead of re-fetching."""
+    instead of re-fetching. Like the reference, nothing is retained
+    after the request completes (results ride on the per-request
+    holder, not a growing map)."""
 
     def __init__(self) -> None:
-        self._requests: dict[str, threading.Event] = {}
-        self._results: dict[str, tuple[bool, Any]] = {}
+        self._requests: dict[str, _InFlight] = {}
         self._lock = threading.Lock()
         self._loader: Callable[[str], Any] | None = None
 
@@ -87,30 +97,29 @@ class RequestQueue:
 
     def add(self, url: str):
         with self._lock:
-            event = self._requests.get(url)
-            if event is None:
-                event = threading.Event()
-                self._requests[url] = event
+            entry = self._requests.get(url)
+            if entry is None:
+                entry = _InFlight()
+                self._requests[url] = entry
                 owner = True
             else:
                 owner = False
         if not owner:
-            event.wait()
-            ok, value = self._results[url]
-            if ok:
-                return value
-            raise value
+            entry.event.wait()
+            if entry.ok:
+                return entry.value
+            raise entry.value
         try:
-            value = self._loader(url)
-            self._results[url] = (True, value)
-            return value
+            entry.value = self._loader(url)
+            entry.ok = True
+            return entry.value
         except Exception as exc:                     # noqa: BLE001
-            self._results[url] = (False, exc)
+            entry.value = exc
             raise
         finally:
             with self._lock:
                 del self._requests[url]
-            event.set()
+            entry.event.set()
 
 
 def node_document_loader(transport: Transport, secure: bool = False,
@@ -151,8 +160,9 @@ def node_document_loader(transport: Transport, secure: bool = False,
                 details={"url": url, "cause": str(exc)})
         res_headers = {k.lower(): v for k, v in (res_headers or {}).items()}
 
+        # `body || null` in the reference: falsy bodies (None, "") → None
         doc = {"contextUrl": None, "documentUrl": url,
-               "document": body if body is not None else None}
+               "document": body if body else None}
         if status >= 400:
             raise JsonLdError(
                 f'URL "{url}" could not be dereferenced: '
@@ -174,9 +184,13 @@ def node_document_loader(transport: Transport, secure: bool = False,
                     details={"url": url})
             if linked_context:
                 doc["contextUrl"] = linked_context["target"]
-            # "alternate" link header is a redirect
+            # "alternate" link header is a redirect; duplicate alternate
+            # headers parse to a list — the reference reads .type off
+            # the array (undefined) and proceeds without setting a
+            # location (node.js:113-120)
             alternate = link_headers.get("alternate")
-            if alternate and alternate.get("type") == "application/ld+json" \
+            if isinstance(alternate, dict) and \
+                    alternate.get("type") == "application/ld+json" \
                     and not re.match(r"^application/(\w*\+)?json$",
                                      content_type or ""):
                 res_headers["location"] = prepend_base(

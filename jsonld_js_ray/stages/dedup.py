@@ -487,9 +487,11 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
         # coarse shuffle key: a few dozen shards instead of one Ray
         # group per (table, bucket) — per-group dispatch costs ~1ms,
         # which dominates with thousands of tiny buckets; the fine
-        # bucket structure is re-grouped VECTORIZED inside each shard
-        shard = ((table_col.astype(np.int64) << np.int64(32))
-                 | bucket_col.astype(np.int64)) % EMB_DEDUP_SHARDS
+        # bucket structure is re-grouped VECTORIZED inside each shard.
+        # Multiplicative mix: a left-shift would vanish mod a power-of-
+        # two shard count, collapsing all tables onto bucket % SHARDS.
+        shard = (table_col.astype(np.int64) * 1_000_003
+                 + bucket_col.astype(np.int64)) % EMB_DEDUP_SHARDS
         return pa.table({
             "shard": pa.array(shard.astype(np.int32)),
             "table_id": pa.array(table_col),
@@ -533,8 +535,6 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
         })
 
     def shard_cands(g):
-        import pandas as pd
-
         outs = [bucket_cands(sub)
                 for _, sub in g.groupby(["table_id", "bucket"],
                                         sort=False)]

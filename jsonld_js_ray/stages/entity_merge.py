@@ -5,9 +5,10 @@ hash ... salting of hot entities").
 Two-phase aggregation (SURVEY.md §4.3 skew row):
 
   phase A  map_batches: per-batch PARTIAL counts per (surface, salt)
-           where salt = crc32(conv_id) % S — hot surfaces (common
-           roles/tools cover most rows) split across S partials, so no
-           single reducer sees a hot key's full row stream;
+           where salt = stable_hash(conv_id) % S (pandas hash_array,
+           process-stable) — hot surfaces (common roles/tools cover
+           most rows) split across S partials, so no single reducer
+           sees a hot key's full row stream;
   phase B  groupby(surface) over the ~S·|vocab| partials — a tiny,
            skew-free shuffle.
 
@@ -85,8 +86,8 @@ def jaccard(a: str, b: str) -> float:
 # --- phase A: salted partial counts ---
 
 class SaltedPartialCount:
-    """map_batches: mention rows → partial (surface, salt, n, n_convs_est)
-    rows. Pre-aggregation inside the batch → the subsequent groupby moves
+    """map_batches: mention rows → partial (surface, salt, n) rows.
+    Pre-aggregation inside the batch → the subsequent groupby moves
     ~|vocab|·S tiny rows instead of every mention."""
 
     def __init__(self, num_salts: int = DEFAULT_SALTS) -> None:

@@ -34,9 +34,16 @@ FROM transcripts
 """
 
 
+SCORE_BASE = 0.5
+SCORE_SLOPE = 1 / 20.0     # per surface character
+SCORE_DIGITS = 3
+
+
 def link_score(surface: str) -> float:
-    """Deterministic entity-link confidence in [0, 1]."""
-    return round(min(1.0, 0.5 + len(surface) / 20.0), 3)
+    """Deterministic entity-link confidence in [0, 1] (same constants
+    feed MentionDetector's vectorized scoring — keep in sync)."""
+    return round(min(1.0, SCORE_BASE + len(surface) * SCORE_SLOPE),
+                 SCORE_DIGITS)
 
 
 class MentionDetector:
@@ -70,7 +77,9 @@ class MentionDetector:
 
         surface = pc.utf8_lower(flat)
         lengths = pc.utf8_length(surface).to_numpy(zero_copy_only=False)
-        scores = np.round(np.minimum(1.0, 0.5 + lengths / 20.0), 3)
+        scores = np.round(
+            np.minimum(1.0, SCORE_BASE + lengths * SCORE_SLOPE),
+            SCORE_DIGITS)
         conv = pc.take(batch["conv_id"], parents)
         turn = pc.take(batch["turn_idx"], parents)
         return pa.table({

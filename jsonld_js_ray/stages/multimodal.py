@@ -273,8 +273,9 @@ class AudioDecodeActor:
             durs.append(round(len(samples) / sr, 6) if sr else 0.0)
             rmss.append(round(float(np.sqrt(np.mean(x * x)))
                               if len(x) else 0.0, 4))
-            peaks.append(int(np.abs(samples).max()) if len(samples)
-                         else 0)
+            # widen before abs: np.abs(int16(-32768)) wraps to -32768
+            peaks.append(int(np.abs(samples.astype(np.int32)).max())
+                         if len(samples) else 0)
         return pa.table({
             "item_id": pa.array(item_ids, pa.int64()),
             "sample_rate": pa.array(srs, pa.int32()),

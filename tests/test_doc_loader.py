@@ -190,3 +190,49 @@ def test_loader_plugs_into_expand():
                      "@id": "https://e/s", "name": "Alice"},
                     {"documentLoader": lambda url: loader(url)})
     assert out[0]["http://xmlns.com/foaf/0.1/name"][0]["@value"] == "Alice"
+
+
+def test_loader_duplicate_alternate_headers_no_crash():
+    """Duplicate rel=alternate links parse to a list; like the reference
+    (.type on an array is undefined) no alternate-redirect happens."""
+    link = ('<a.jsonld>; rel="alternate"; type="application/ld+json", '
+            '<b.jsonld>; rel="alternate"; type="application/ld+json"')
+    loader = node_document_loader(_transport({
+        "https://e/p.html": (200, {"content-type": "text/html",
+                                   "link": link}, "<html>"),
+    }))
+    doc = loader("https://e/p.html")
+    assert doc["documentUrl"] == "https://e/p.html"
+
+
+def test_loader_empty_body_becomes_none():
+    loader = node_document_loader(_transport({
+        "https://e/empty": (200, {"content-type": "text/plain"}, ""),
+    }))
+    assert loader("https://e/empty")["document"] is None
+
+
+def test_context_url_reaches_expansion():
+    """A Link-discovered context must be APPENDED to the doc's @context
+    during resolution (reference ContextResolver.js:200-205), and
+    string bodies must be JSON-parsed."""
+    import json
+
+    import jsonld_js_ray as jl
+
+    linked_ctx = {"@context": {"name": "http://xmlns.com/foaf/0.1/name"}}
+    link = f'<https://e/ctx.jsonld>; rel="{LINK_HEADER_CONTEXT}"'
+    loader = node_document_loader(_transport({
+        # remote context doc served as application/json WITH a Link
+        # header pointing at the real context — body is a JSON STRING
+        "https://e/data.json": (
+            200, {"content-type": "application/json", "link": link},
+            json.dumps({})),
+        "https://e/ctx.jsonld": (
+            200, {"content-type": "application/ld+json"},
+            json.dumps(linked_ctx)),
+    }))
+    out = jl.expand({"@context": "https://e/data.json",
+                     "@id": "https://e/s", "name": "Alice"},
+                    {"documentLoader": lambda url: loader(url)})
+    assert out[0]["http://xmlns.com/foaf/0.1/name"][0]["@value"] == "Alice"

@@ -504,3 +504,18 @@ def test_audio_decode_features(ray_session):
     assert one["sample_rate"] == [8000]
     assert one["n_samples"] == [4000]
     assert one["duration_s"] == [0.5]
+
+
+def test_audio_peak_handles_full_scale_negative():
+    """np.abs(int16(-32768)) wraps; the decode must widen first."""
+    import struct
+
+    from jsonld_js_ray.stages.multimodal import AUDIO_MAGIC, AudioDecodeActor
+
+    samples = np.array([-32768, 100], dtype=np.int16)
+    payload = AUDIO_MAGIC + struct.pack("<II", 8000, 2) + samples.tobytes()
+    out = AudioDecodeActor()(pa.table({
+        "item_id": pa.array([0], pa.int64()),
+        "payload": pa.array([payload], pa.large_binary()),
+    })).to_pydict()
+    assert out["peak"] == [32768]
