@@ -140,7 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_classes_planted": td.q_fingerprint_classes_planted,
         "knn_brute": td.q_knn_brute,
         "knn_lsh": td.q_knn_lsh,
+        "knn_ivf": td.q_knn_ivf,
         "text_stats": td.q_text_stats,
+        "token_counts": td.q_token_counts,
         "lang_id": td.q_lang_id,
         "quality": td.q_quality,
         "fingerprint": td.q_fingerprint,
@@ -216,7 +218,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
-    from jsonld_js_ray.stages.text import LANG_ID_SQL, TEXT_STATS_SQL
+    from jsonld_js_ray.stages.text import (
+        LANG_ID_SQL,
+        TEXT_STATS_SQL,
+        TOKEN_COUNTS_SQL,
+    )
     from jsonld_js_ray.stages.joins import (
         BROADCAST_JOIN_SQL, BUCKETED_JOIN_SQL, TOPK_DOCS_SQL,
     )
@@ -285,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         # asserted in tests/test_training_data.py)
         "knn_lsh": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

@@ -195,3 +195,16 @@ def q_multimodal_audio(sf_dir: str):
         sf_dir.rstrip("/").rsplit("/", 1)[-1], 64)
     media = rd.from_arrow(synthesize_audio_table(n_items=n))
     return audio_features(media)
+
+
+def q_token_counts(sf_dir: str):
+    from ..stages.text import token_counts_batch
+
+    return _docs(sf_dir).map_batches(
+        token_counts_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_knn_ivf(sf_dir: str):
+    from ..stages.similarity import knn_ivf
+
+    return knn_ivf(_embeddings(sf_dir))

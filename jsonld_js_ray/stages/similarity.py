@@ -225,3 +225,101 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
                                    batch_size=4096)
     return cands.groupby("query_id").map_groups(
         functools.partial(_merge_topk, k=k), batch_format="pandas")
+
+
+# --- IVF variant (coarse quantizer + cell probing) ---
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 8
+IVF_SAMPLE = 2048
+IVF_ITERS = 10
+
+
+def _spherical_kmeans(sample: np.ndarray, k: int,
+                      iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means (cosine): init = first k sample
+    rows, fixed Lloyd iterations, centroids re-normalized each step.
+    Runs on a BOUNDED sample only (driver-side numpy)."""
+    n = len(sample)
+    k = min(k, n)
+    centroids = sample[:k].copy()
+    for _ in range(iters):
+        sims = sample @ centroids.T                  # (n, k)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 1e-12:
+                    centroids[c] = v / norm
+    return centroids
+
+
+def knn_ivf(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
+            n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE,
+            sample_size: int = IVF_SAMPLE):
+    """IVF-style approximate top-k — the coarse-quantizer scale path:
+
+    1. train a spherical k-means quantizer on a bounded deterministic
+       sample (vec_id < sample_size, pulled via distributed filter);
+    2. broadcast (centroids, query matrix, per-query probe cells =
+       n_probe nearest centroids);
+    3. map_batches: assign each vector to its nearest centroid; it is a
+       candidate for a query iff its cell is probed; exact cosine
+       rerank emits per-batch partial top-k;
+    4. the usual small groupby(query_id) merge.
+
+    At 100 TB the quantizer stays driver-trainable (sample-bounded)
+    while assignment/rerank stream; cells are the unit of pruning —
+    n_probe/n_centroids trades recall for compute (measured vs
+    knn_brute in tests)."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    sample_tbl = embeddings.map_batches(
+        lambda t, _n=sample_size: t.filter(pc.less(t["vec_id"], _n)),
+        batch_format="pyarrow").to_pandas()
+    smat = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
+    smat = smat / np.maximum(
+        np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    centroids = _spherical_kmeans(smat, n_centroids)
+
+    q_ids, q_mat = _query_matrix(embeddings, n_queries)
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[
+        :, :min(n_probe, len(centroids))]            # (Q, n_probe)
+    ref = ray.put((q_ids, q_mat, centroids, q_cells))
+
+    def candidates(batch: pa.Table, *, _k=k) -> pa.Table:
+        import ray as _ray
+        qi, qm, cents, cells = _ray.get(ref)
+        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch["embedding"].to_pylist()])
+        nvecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(nvecs @ cents.T, axis=1)  # (n,)
+        sims = qm @ nvecs.T
+        out_q, out_v, out_s = [], [], []
+        for qidx, qid in enumerate(qi):
+            mask = np.isin(assign, cells[qidx]) & (vec_ids != qid)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            row = sims[qidx]
+            top = idx[np.argsort(-row[idx], kind="stable")[:_k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(int(vec_ids[i]) for i in top)
+            out_s.extend(float(row[i]) for i in top)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    cands = embeddings.map_batches(candidates, batch_format="pyarrow",
+                                   batch_size=4096)
+    return cands.groupby("query_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pandas")

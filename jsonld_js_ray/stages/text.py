@@ -249,3 +249,36 @@ SELECT doc_id, c_en, c_de, c_fr, c_es,
             ELSE 'es' END AS lang_pred
 FROM c
 """
+
+
+# --- token counting: whitespace + BPE-ish regex (both RE2-safe, so the
+# Arrow kernel and the DuckDB oracle share EXACT semantics) ---
+
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_ws_tokens, n_bpe_tokens).
+
+    Whitespace tokens = '\\S+' runs; BPE-ish tokens = GPT-style pieces
+    (letter runs / digit runs / punctuation runs, optionally preceded by
+    one space). Counting is one vectorized count_substring_regex pass —
+    no per-row Python."""
+    texts = pc.fill_null(batch["text"], "")
+    n_ws = pc.count_substring_regex(texts, pattern=r"\S+")
+    n_bpe = pc.count_substring_regex(texts, pattern=BPE_TOKEN_PATTERN)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": n_ws.cast(pa.int64()),
+        "n_bpe_tokens": n_bpe.cast(pa.int64()),
+    })
+
+
+TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))
+           AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""

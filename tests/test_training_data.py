@@ -519,3 +519,72 @@ def test_audio_peak_handles_full_scale_negative():
         "payload": pa.array([payload], pa.large_binary()),
     })).to_pydict()
     assert out["peak"] == [32768]
+
+
+def test_token_counts_matches_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.pipelines.training_data import q_token_counts
+    from jsonld_js_ray.stages.text import TOKEN_COUNTS_SQL
+
+    mine = q_token_counts(sf_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(TOKEN_COUNTS_SQL).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert mine.equals(orc.astype(mine.dtypes.to_dict()))
+    # BPE-ish pieces never exceed... sanity: at least as many as ws
+    assert (mine["n_bpe_tokens"] >= mine["n_ws_tokens"]).all()
+
+
+def test_knn_ivf_recall_on_clustered_data(ray_session):
+    """IVF prunes cells; on clustered data (its use case) recall vs the
+    exact baseline clears 0.9, and results are always a subset of valid
+    neighbors (exact rerank — no false scores)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(17)
+    centers = rng.standard_normal((8, 32)) * 4
+    mat = np.concatenate(
+        [c + rng.standard_normal((60, 32)) * 0.4 for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    brute = knn_brute(ds, k=10, n_queries=5).to_pandas()
+    approx = knn_ivf(ds, k=10, n_queries=5, n_centroids=8,
+                     n_probe=3).to_pandas()
+    recalls = []
+    for q in range(5):
+        truth = set(brute[brute["query_id"] == q]["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_knn_ivf_probe_all_equals_brute(ray_session):
+    """Probing every cell makes IVF exhaustive: output must equal the
+    exact baseline (validates assignment/rerank correctness)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(23)
+    mat = rng.standard_normal((150, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(150), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    brute = knn_brute(ds, k=8, n_queries=3).to_pandas()
+    ivf = knn_ivf(ds, k=8, n_queries=3, n_centroids=8,
+                  n_probe=8).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = brute[cols].sort_values(cols).reset_index(drop=True)
+    b = ivf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
