@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins / sort-limit (relational operator classes)
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "join_asof": _q_join_asof,
+        "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
@@ -169,6 +171,18 @@ def _q_join_bucketed(sf_dir: str):
     from jsonld_js_ray.stages.joins import bucketed_hash_join_lineitem_orders
 
     return bucketed_hash_join_lineitem_orders(sf_dir)
+
+
+def _q_join_asof(sf_dir: str):
+    from jsonld_js_ray.stages.joins import asof_join_clicks_before_purchases
+
+    return asof_join_clicks_before_purchases(sf_dir)
+
+
+def _q_join_range(sf_dir: str):
+    from jsonld_js_ray.stages.joins import range_join_clicks_within_hour
+
+    return range_join_clicks_within_hour(sf_dir)
 
 
 def _q_topk_docs(sf_dir: str):
@@ -224,7 +238,11 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_COUNTS_SQL,
     )
     from jsonld_js_ray.stages.joins import (
-        BROADCAST_JOIN_SQL, BUCKETED_JOIN_SQL, TOPK_DOCS_SQL,
+        ASOF_JOIN_SQL,
+        BROADCAST_JOIN_SQL,
+        BUCKETED_JOIN_SQL,
+        RANGE_JOIN_SQL,
+        TOPK_DOCS_SQL,
     )
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
     from jsonld_js_ray.stages.windows import (
@@ -299,6 +317,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": EMBEDDING_DEDUP_SQL,
         "join_broadcast": BROADCAST_JOIN_SQL,
         "join_bucketed": BUCKETED_JOIN_SQL,
+        "join_asof": ASOF_JOIN_SQL,
+        "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
         #   quality (float scores — equality not contract-able),

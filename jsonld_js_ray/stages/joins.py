@@ -211,3 +211,135 @@ FROM documents
 ORDER BY n_tokens DESC, doc_id
 LIMIT 20
 """
+
+
+# --- as-of / range joins (time-series operators Ray Data lacks;
+# composition: coarse user-hash shard shuffle + vectorized pandas
+# kernels per shard — SURVEY.md §2.4 custom-operator row) ---
+
+ASOF_SHARDS = 64
+
+
+def _split_events(sf_dir: str, left_type: str, right_type: str):
+    """events → tagged (side P/C) rows bucketed by user hash: ONE read,
+    one uniform shuffle key; the fine per-user structure is handled
+    vectorized inside each shard."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = batch.filter(mask)
+        side = pc.if_else(pc.equal(t["event_type"], left_type),
+                          pa.scalar("P"), pa.scalar("C"))
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "side": side,
+            "bucket": pa.array((users % ASOF_SHARDS).astype("int32")),
+        })
+
+    return events.map_batches(prep, batch_format="pyarrow")
+
+
+def asof_join_clicks_before_purchases(sf_dir: str):
+    """For each 'purchase' event: the same user's most recent 'click'
+    at-or-before it (INNER as-of, backward direction). Per shard, a
+    single sorted ``pd.merge_asof(by=user_id)`` resolves every user's
+    searches vectorized. Output emits only the matched TIMESTAMP (not
+    row identity), so equal-ts ties are deterministic."""
+    import pandas as pd
+
+    both = _split_events(sf_dir, "purchase", "click")
+
+    def per_bucket(g: pd.DataFrame):
+        p = g[g["side"] == "P"][["event_id", "user_id", "ts"]]
+        c = g[g["side"] == "C"][["user_id", "ts"]].copy()
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "last_click_ts": pa.array([], pa.timestamp("us")),
+        })
+        if p.empty or c.empty:
+            return empty
+        c["last_click_ts"] = c["ts"]
+        m = pd.merge_asof(
+            p.sort_values("ts"), c.sort_values("ts"),
+            on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["last_click_ts"])       # inner as-of
+        return pa.table({
+            "event_id": pa.array(m["event_id"].astype("int64")),
+            "user_id": pa.array(m["user_id"].astype("int64")),
+            "ts": pa.array(m["ts"]),
+            "last_click_ts": pa.array(m["last_click_ts"]),
+        })
+
+    return both.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+
+
+ASOF_JOIN_SQL = """
+SELECT CAST(a.event_id AS BIGINT) AS event_id,
+       CAST(a.user_id AS BIGINT) AS user_id,
+       a.ts AS ts, b.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def range_join_clicks_within_hour(sf_dir: str):
+    """For each 'purchase': how many of the user's 'click' events fall
+    in the hour ending at the purchase (a bounded interval/range join).
+    Per shard: pandas inner merge on user (pairs bounded by per-user
+    activity), vectorized interval filter, count, zero-fill."""
+    import numpy as np
+    import pandas as pd
+
+    both = _split_events(sf_dir, "purchase", "click")
+
+    def per_bucket(g: pd.DataFrame):
+        p = g[g["side"] == "P"][["event_id", "user_id", "ts"]]
+        c = g[g["side"] == "C"][["user_id", "ts"]].rename(
+            columns={"ts": "click_ts"})
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "n_recent_clicks": pa.array([], pa.int64()),
+        })
+        if p.empty:
+            return empty
+        m = p.merge(c, on="user_id", how="left")
+        lo = m["ts"] - pd.Timedelta(hours=1)
+        inside = (m["click_ts"] > lo) & (m["click_ts"] <= m["ts"])
+        counts = inside.groupby(m["event_id"]).sum()
+        out = p[["event_id"]].drop_duplicates().copy()
+        out["n_recent_clicks"] = out["event_id"].map(counts).fillna(0)
+        return pa.table({
+            "event_id": pa.array(out["event_id"].astype("int64")),
+            "n_recent_clicks": pa.array(
+                out["n_recent_clicks"].astype("int64")),
+        })
+
+    return both.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+
+
+RANGE_JOIN_SQL = """
+SELECT CAST(a.event_id AS BIGINT) AS event_id,
+       CAST(count(b.user_id) AS BIGINT) AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+GROUP BY a.event_id
+"""

@@ -588,3 +588,59 @@ def test_knn_ivf_probe_all_equals_brute(ray_session):
     a = brute[cols].sort_values(cols).reset_index(drop=True)
     b = ivf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_asof_and_range_joins_match_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.stages.joins import (
+        ASOF_JOIN_SQL, RANGE_JOIN_SQL,
+        asof_join_clicks_before_purchases, range_join_clicks_within_hour,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    for fn, sql in ((asof_join_clicks_before_purchases, ASOF_JOIN_SQL),
+                    (range_join_clicks_within_hour, RANGE_JOIN_SQL)):
+        mine = fn(sf_dir).to_pandas()
+        orc = con.sql(sql).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b.astype(a.dtypes.to_dict())), fn.__name__
+
+
+def test_asof_join_semantics_synthetic(ray_session, tmp_path):
+    """Hand-built stream: backward as-of picks the latest click <= each
+    purchase; purchases with no prior click drop (inner)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        # user 1: click@0, click@10, purchase@10 (tie→10), purchase@5
+        (1, 1, base + pd.Timedelta(minutes=0), "click"),
+        (2, 1, base + pd.Timedelta(minutes=10), "click"),
+        (3, 1, base + pd.Timedelta(minutes=10), "purchase"),
+        (4, 1, base + pd.Timedelta(minutes=5), "purchase"),
+        # user 2: purchase with NO prior click → dropped
+        (5, 2, base + pd.Timedelta(minutes=1), "purchase"),
+        (6, 2, base + pd.Timedelta(minutes=2), "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   d / "events.parquet")
+
+    from jsonld_js_ray.stages.joins import (
+        asof_join_clicks_before_purchases,
+    )
+
+    out = asof_join_clicks_before_purchases(str(d)).to_pandas() \
+        .set_index("event_id")
+    assert set(out.index) == {3, 4}
+    assert out.loc[3, "last_click_ts"] == base + pd.Timedelta(minutes=10)
+    assert out.loc[4, "last_click_ts"] == base + pd.Timedelta(minutes=0)
