@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs": _q_topk_docs,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
+        "window_distinct_users": _q_window_distinct_users,
+        "window_distinct_users_hll": _q_window_distinct_users_hll,
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
     }
@@ -203,6 +205,24 @@ def _q_window_tumbling(sf_dir: str):
     return tumbling_window(_events(sf_dir, ["ts", "user_id", "value"]))
 
 
+def _q_window_distinct_users(sf_dir: str):
+    from jsonld_js_ray.stages.sketches import (
+        exact_distinct_users_per_window,
+    )
+
+    return exact_distinct_users_per_window(
+        _events(sf_dir, ["ts", "user_id"]))
+
+
+def _q_window_distinct_users_hll(sf_dir: str):
+    from jsonld_js_ray.stages.sketches import (
+        hll_distinct_users_per_window,
+    )
+
+    return hll_distinct_users_per_window(
+        _events(sf_dir, ["ts", "user_id"]))
+
+
 def _q_window_sliding(sf_dir: str):
     from jsonld_js_ray.stages.windows import sliding_window
 
@@ -245,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         TOPK_DOCS_SQL,
     )
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
+    from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
     )
@@ -312,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
+        "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,
         "window_session": SESSION_WINDOW_SQL,
         "dedup_embedding": EMBEDDING_DEDUP_SQL,

@@ -1,0 +1,175 @@
+"""Sketch operators: HyperLogLog distinct counting per window.
+
+The standard streaming-cardinality shape: per-batch PARTIAL register
+arrays (a fixed 2^p-byte state per group — the combiner), one shuffle of
+register blobs keyed by a coarse shard, register-wise max merge inside
+each shard, then the HLL estimate. At 100 TB only |windows| × 2^p bytes
+ever move — never the raw keys. The exact twin
+(``window_distinct_users``) uses the same two-phase distinct pattern as
+``pipelines.kg.quad_stats`` and carries the SQL oracle; the sketch's
+error bound (±1.04/√m) is pinned by a pytest against the exact result.
+
+HLL (public algorithm, Flajolet et al. 2007): register j = max over
+items hashing to j of (1 + leading-zero-count of the remaining hash
+bits); estimate = α·m²/Σ2^(−M_j) with the standard small-range
+(linear-counting) correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12                       # 4096 registers → ~1.6% std error
+HLL_M = 1 << HLL_P
+SKETCH_SHARDS = 64
+
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)    # α_m for m ≥ 128
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of int64 keys (splitmix64 finalizer)."""
+    x = values.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _rho(hashes: np.ndarray) -> np.ndarray:
+    """1 + leading zero count of the (64-p)-bit suffix, vectorized."""
+    w = hashes << np.uint64(HLL_P)           # drop the register index
+    w |= np.uint64(1 << (HLL_P - 1))         # sentinel: ρ ≤ 64-p+1
+    # leading zeros via float64 exponent trick is lossy; use bit scan:
+    rho = np.ones(len(w), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = w.copy()
+    # vectorized loop over at most 64-p bit positions
+    alive = np.ones(len(w), dtype=bool)
+    for _ in range(64 - HLL_P + 1):
+        top_zero = alive & ((cur & mask) == 0)
+        rho[top_zero] += 1
+        alive = top_zero
+        if not alive.any():
+            break
+        cur = cur << np.uint64(1)
+    return rho
+
+
+def _partial_registers(batch: pa.Table) -> pa.Table:
+    """(window_id, user_id) rows → one (shard, window_id, registers)
+    row per window present in the batch."""
+    win = batch["window_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    users = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    h = _hash64(users)
+    reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rho = _rho(h)
+
+    out_shard, out_win, out_regs = [], [], []
+    order = np.argsort(win, kind="stable")
+    win, reg_idx, rho = win[order], reg_idx[order], rho[order]
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], win[1:] != win[:-1]]))
+    bounds = np.append(bounds, len(win))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        np.maximum.at(regs, reg_idx[s:e], rho[s:e])
+        out_shard.append(int(win[s]) % SKETCH_SHARDS)
+        out_win.append(int(win[s]))
+        out_regs.append(regs.tobytes())
+    return pa.table({
+        "shard": pa.array(out_shard, pa.int32()),
+        "window_id": pa.array(out_win, pa.int64()),
+        "registers": pa.array(out_regs, pa.large_binary()),
+    })
+
+
+def _estimate(regs: np.ndarray) -> int:
+    m = float(HLL_M)
+    est = _ALPHA * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)      # linear counting
+    return int(round(est))
+
+
+def _merge_shard(g):
+    """One shard's partial registers → (window_id, n_users_hll)."""
+    out_win, out_est = [], []
+    for win, sub in g.groupby("window_id", sort=False):
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for blob in sub["registers"]:
+            merged = np.maximum(
+                merged, np.frombuffer(blob, dtype=np.uint8))
+        out_win.append(int(win))
+        out_est.append(_estimate(merged))
+    return pa.table({
+        "window_id": pa.array(out_win, pa.int64()),
+        "n_users_hll": pa.array(out_est, pa.int64()),
+    })
+
+
+def _window_user_rows(events, width_s: int = 3600):
+    import pyarrow.compute as pc
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        win = pc.cast(pc.floor(pc.divide(
+            epoch.cast(pa.float64()), width_s)), pa.int64())
+        return pa.table({"window_id": win, "user_id": batch["user_id"]})
+
+    return events.map_batches(to_windows, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def hll_distinct_users_per_window(events, width_s: int = 3600):
+    """events → (window_id, n_users_hll): HyperLogLog cardinality per
+    tumbling window. Registers are the only shuffled state."""
+    rows = _window_user_rows(events, width_s)
+    partials = rows.map_batches(_partial_registers,
+                                batch_format="pyarrow",
+                                batch_size=65536)
+    return partials.groupby("shard").map_groups(
+        _merge_shard, batch_format="pandas")
+
+
+def exact_distinct_users_per_window(events, width_s: int = 3600):
+    """Exact twin: two-phase (window, user) dedup → per-window count —
+    same skew-proof shape as pipelines.kg.quad_stats; SQL-oracled."""
+    from ray.data.aggregate import Sum
+
+    rows = _window_user_rows(events, width_s)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["window_id", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"window_id": g["window_id"],
+                         "user_id": g["user_id"]})
+
+    pairs = rows.map_batches(pair_partials, batch_format="pyarrow",
+                             batch_size=65536)
+    from ray.data.aggregate import Count
+
+    uniq = pairs.groupby(["window_id", "user_id"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+
+    def per_window_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["window_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "window_id": g["window_id"],
+            "n_users": g["count_all"].cast(pa.int64()),
+        })
+
+    return uniq.map_batches(per_window_partial, batch_format="pyarrow",
+                            batch_size=65536).groupby(
+        "window_id").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+WINDOW_DISTINCT_USERS_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""

@@ -286,3 +286,56 @@ def test_expansion_map_info_carries_ctx_and_options():
     site = [i for i in infos if i.get("unmappedProperty") == "und"][0]
     assert "activeCtx" in site and "options" in site
     assert "parent" in site and "expandedParent" in site
+
+
+def test_window_distinct_users_exact_matches_oracle(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.sketches import (
+        WINDOW_DISTINCT_USERS_SQL, exact_distinct_users_per_window,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    mine = exact_distinct_users_per_window(ev).to_pandas() \
+        .sort_values("window_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(WINDOW_DISTINCT_USERS_SQL).df() \
+        .sort_values("window_id").reset_index(drop=True)
+    assert mine.equals(orc.astype(mine.dtypes.to_dict()))
+
+
+def test_hll_error_bound_large_cardinality(ray_session):
+    """HLL at p=12 has std error ≈ 1.6%; assert < 5% relative error for
+    a 50k-distinct window and exactness-by-linear-counting for tiny
+    windows (plus determinism)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.sketches import (
+        hll_distinct_users_per_window,
+    )
+
+    n_big = 50_000
+    ts_big = pa.array([1_700_000_000_000_000] * n_big,
+                      pa.timestamp("us"))
+    users_big = pa.array(range(n_big), pa.int64())
+    # second window: 5 distinct users, repeated
+    ts_small = pa.array([1_700_010_000_000_000] * 50, pa.timestamp("us"))
+    users_small = pa.array([i % 5 for i in range(50)], pa.int64())
+    tbl = pa.table({
+        "ts": pa.concat_arrays([ts_big, ts_small]),
+        "user_id": pa.concat_arrays([users_big, users_small]),
+    })
+    out = hll_distinct_users_per_window(
+        rd.from_arrow(tbl)).to_pandas().set_index("window_id")
+    big_win = 1_700_000_000 // 3600
+    small_win = 1_700_010_000 // 3600
+    est = out.loc[big_win, "n_users_hll"]
+    assert abs(est - n_big) / n_big < 0.05, est
+    assert out.loc[small_win, "n_users_hll"] == 5
+    out2 = hll_distinct_users_per_window(
+        rd.from_arrow(tbl)).to_pandas().set_index("window_id")
+    assert out.equals(out2)
