@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
+        "user_quantiles": _q_user_quantiles,
+        "top_events_per_user": _q_top_events_per_user,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
         "window_distinct_users": _q_window_distinct_users,
@@ -185,6 +187,18 @@ def _q_join_range(sf_dir: str):
     from jsonld_js_ray.stages.joins import range_join_clicks_within_hour
 
     return range_join_clicks_within_hour(sf_dir)
+
+
+def _q_user_quantiles(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_value_quantiles
+
+    return user_value_quantiles(sf_dir)
+
+
+def _q_top_events_per_user(sf_dir: str):
+    from jsonld_js_ray.stages.rank import top_events_per_user
+
+    return top_events_per_user(sf_dir)
 
 
 def _q_topk_docs(sf_dir: str):
@@ -265,6 +279,10 @@ def oracle_sql() -> dict[str, str]:
         TOPK_DOCS_SQL,
     )
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
+    from jsonld_js_ray.stages.rank import (
+        TOP_EVENTS_SQL,
+        USER_QUANTILES_SQL,
+    )
     from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
@@ -342,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
+        "user_quantiles": USER_QUANTILES_SQL,
+        "top_events_per_user": TOP_EVENTS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
         #   quality (float scores — equality not contract-able),
         #   fingerprint (engine-specific winnowing hex; its equality

@@ -1,0 +1,113 @@
+"""Per-key order statistics: discrete quantiles and windowed rank/top-n.
+
+Both are classic "window function" classes (PARTITION BY key ORDER BY
+value) that Ray Data has no native operator for. Shape: one uniform
+user-hash shard shuffle, then fully VECTORIZED order statistics inside
+each shard (one lexsort + group-boundary index arithmetic — no per-user
+Python). Oracled against DuckDB ``quantile_disc`` / ``row_number()``.
+
+``quantile_disc`` convention (verified empirically): the sorted
+element at 1-based position ceil(p·n), i.e. index ``ceil(p*n)-1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+RANK_SHARDS = 64
+QUANTILES = (0.5, 0.95)
+TOP_N = 2
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _with_bucket(ds):
+    def fn(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((users % RANK_SHARDS).astype("int32")))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def user_value_quantiles(sf_dir: str, quantiles=QUANTILES):
+    """events → (user_id, p50, p95): discrete per-user quantiles of
+    ``value`` — exact order statistics, vectorized per shard."""
+    ds = _with_bucket(_events(sf_dir, ["user_id", "value"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        order = np.lexsort((vals, users))
+        users, vals = users[order], vals[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], users[1:] != users[:-1]]))
+        bounds = np.append(bounds, len(users))
+        starts, ends = bounds[:-1], bounds[1:]
+        ns = ends - starts
+        cols: dict = {"user_id": pa.array(users[starts], pa.int64())}
+        for p in quantiles:
+            # 1-based position ceil(p*n), clamped to [1, n]
+            pos = np.maximum(np.ceil(p * ns).astype(np.int64), 1)
+            idx = starts + pos - 1
+            name = f"p{int(p * 100)}"
+            cols[name] = pa.array(vals[idx], pa.float64())
+        return pa.table(cols)
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+USER_QUANTILES_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events GROUP BY user_id
+"""
+
+
+def top_events_per_user(sf_dir: str, n: int = TOP_N):
+    """events → (user_id, rank, event_id): the n highest-``value``
+    events per user (rank 1 = highest; ties by event_id — the
+    deterministic ROW_NUMBER window), vectorized per shard."""
+    ds = _with_bucket(_events(sf_dir, ["event_id", "user_id", "value"]))
+
+    def per_shard(g, _n=n):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        # sort: user asc, value desc, event_id asc
+        order = np.lexsort((eids, -vals, users))
+        users, eids = users[order], eids[order]
+        # rank within user = position since group start
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], users[1:] != users[:-1]]))
+        group_start = np.repeat(bounds,
+                                np.diff(np.append(bounds, len(users))))
+        rank = np.arange(len(users)) - group_start + 1
+        keep = rank <= _n
+        return pa.table({
+            "user_id": pa.array(users[keep], pa.int64()),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "event_id": pa.array(eids[keep], pa.int64()),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+TOP_EVENTS_SQL = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(event_id AS BIGINT) AS event_id
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+WHERE rank <= {TOP_N}
+"""

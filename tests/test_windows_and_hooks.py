@@ -339,3 +339,24 @@ def test_hll_error_bound_large_cardinality(ray_session):
     out2 = hll_distinct_users_per_window(
         rd.from_arrow(tbl)).to_pandas().set_index("window_id")
     assert out.equals(out2)
+
+
+def test_rank_operators_match_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.stages.rank import (
+        TOP_EVENTS_SQL, USER_QUANTILES_SQL, top_events_per_user,
+        user_value_quantiles,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    for fn, sql in ((user_value_quantiles, USER_QUANTILES_SQL),
+                    (top_events_per_user, TOP_EVENTS_SQL)):
+        mine = fn(sf_dir).to_pandas()
+        orc = con.sql(sql).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b.astype(a.dtypes.to_dict())), fn.__name__
