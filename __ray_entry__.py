@@ -363,6 +363,10 @@ def oracle_sql() -> dict[str, str]:
         "user_quantiles": USER_QUANTILES_SQL,
         "top_events_per_user": TOP_EVENTS_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
+        #   window_distinct_users_hll (approximate sketch — its error
+        #     bound is pinned vs the exact oracled twin in pytest),
+        #   knn_ivf (approximate; exhaustive-probe equality with brute
+        #     and clustered-recall floor pinned in pytest),
         #   quality (float scores — equality not contract-able),
         #   fingerprint (engine-specific winnowing hex; its equality
         #     classes ARE oracled via fingerprint_classes_planted),

@@ -264,19 +264,18 @@ def asof_join_clicks_before_purchases(sf_dir: str):
     def per_bucket(g: pd.DataFrame):
         p = g[g["side"] == "P"][["event_id", "user_id", "ts"]]
         c = g[g["side"] == "C"][["user_id", "ts"]].copy()
-        empty = pa.table({
-            "event_id": pa.array([], pa.int64()),
-            "user_id": pa.array([], pa.int64()),
-            "ts": pa.array([], pa.timestamp("us")),
-            "last_click_ts": pa.array([], pa.timestamp("us")),
-        })
         if p.empty or c.empty:
-            return empty
-        c["last_click_ts"] = c["ts"]
-        m = pd.merge_asof(
-            p.sort_values("ts"), c.sort_values("ts"),
-            on="ts", by="user_id", direction="backward")
-        m = m.dropna(subset=["last_click_ts"])       # inner as-of
+            # derive the empty schema from the INPUT dtypes — a
+            # hardcoded timestamp unit would mix block schemas when the
+            # source parquet stores a different unit (e.g. ns)
+            m = p.iloc[0:0].copy()
+            m["last_click_ts"] = m["ts"]
+        else:
+            c["last_click_ts"] = c["ts"]
+            m = pd.merge_asof(
+                p.sort_values("ts"), c.sort_values("ts"),
+                on="ts", by="user_id", direction="backward")
+            m = m.dropna(subset=["last_click_ts"])   # inner as-of
         return pa.table({
             "event_id": pa.array(m["event_id"].astype("int64")),
             "user_id": pa.array(m["user_id"].astype("int64")),
@@ -312,12 +311,11 @@ def range_join_clicks_within_hour(sf_dir: str):
         p = g[g["side"] == "P"][["event_id", "user_id", "ts"]]
         c = g[g["side"] == "C"][["user_id", "ts"]].rename(
             columns={"ts": "click_ts"})
-        empty = pa.table({
-            "event_id": pa.array([], pa.int64()),
-            "n_recent_clicks": pa.array([], pa.int64()),
-        })
         if p.empty:
-            return empty
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "n_recent_clicks": pa.array([], pa.int64()),
+            })
         m = p.merge(c, on="user_id", how="left")
         lo = m["ts"] - pd.Timedelta(hours=1)
         inside = (m["click_ts"] > lo) & (m["click_ts"] <= m["ts"])

@@ -28,6 +28,8 @@ def _events(sf_dir: str, columns):
 
 def _with_bucket(ds):
     def fn(batch: pa.Table) -> pa.Table:
+        # strip parquet pandas-metadata (see pipelines/kg._strip_meta)
+        batch = batch.replace_schema_metadata(None)
         users = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "bucket", pa.array((users % RANK_SHARDS).astype("int32")))
@@ -40,23 +42,41 @@ def user_value_quantiles(sf_dir: str, quantiles=QUANTILES):
     ds = _with_bucket(_events(sf_dir, ["user_id", "value"]))
 
     def per_shard(g):
+        all_users = np.unique(g["user_id"].to_numpy().astype(np.int64))
         users = g["user_id"].to_numpy().astype(np.int64)
         vals = g["value"].to_numpy().astype(np.float64)
+        # quantile_disc ignores NULLs: drop NaN before order statistics
+        valid = ~np.isnan(vals)
+        users, vals = users[valid], vals[valid]
         order = np.lexsort((vals, users))
         users, vals = users[order], vals[order]
-        bounds = np.flatnonzero(np.concatenate(
-            [[True], users[1:] != users[:-1]]))
-        bounds = np.append(bounds, len(users))
-        starts, ends = bounds[:-1], bounds[1:]
+        if len(users):
+            bounds = np.flatnonzero(np.concatenate(
+                [[True], users[1:] != users[:-1]]))
+            bounds = np.append(bounds, len(users))
+            starts, ends = bounds[:-1], bounds[1:]
+        else:
+            starts = ends = np.array([], dtype=np.int64)
         ns = ends - starts
         cols: dict = {"user_id": pa.array(users[starts], pa.int64())}
         for p in quantiles:
             # 1-based position ceil(p*n), clamped to [1, n]
             pos = np.maximum(np.ceil(p * ns).astype(np.int64), 1)
-            idx = starts + pos - 1
+            idx = (starts + pos - 1) if len(starts) else starts
             name = f"p{int(p * 100)}"
             cols[name] = pa.array(vals[idx], pa.float64())
-        return pa.table(cols)
+        tbl = pa.table(cols)
+        # users whose values were ALL NULL still get a row (NULL
+        # quantiles), matching GROUP BY semantics
+        missing = np.setdiff1d(all_users, users[starts],
+                               assume_unique=False)
+        if len(missing):
+            pad = {"user_id": pa.array(missing, pa.int64())}
+            for p in quantiles:
+                pad[f"p{int(p * 100)}"] = pa.array(
+                    [None] * len(missing), pa.float64())
+            tbl = pa.concat_tables([tbl, pa.table(pad)])
+        return tbl
 
     return ds.groupby("bucket").map_groups(per_shard,
                                            batch_format="pandas")

@@ -1,10 +1,10 @@
 """Sketch operators: HyperLogLog distinct counting per window.
 
-The standard streaming-cardinality shape: per-batch PARTIAL register
-arrays (a fixed 2^p-byte state per group — the combiner), one shuffle of
-register blobs keyed by a coarse shard, register-wise max merge inside
-each shard, then the HLL estimate. At 100 TB only |windows| × 2^p bytes
-ever move — never the raw keys. The exact twin
+The standard streaming-cardinality shape: per-batch PARTIAL state —
+SPARSE (window, register, max-ρ) rows, never more rows than the raw
+input and collapsing as duplicates repeat — one coarse-shard shuffle,
+register-wise max merge inside each shard, then the HLL estimate. The
+exact twin
 (``window_distinct_users``) uses the same two-phase distinct pattern as
 ``pipelines.kg.quad_stats`` and carries the SQL oracle; the sketch's
 error bound (±1.04/√m) is pinned by a pytest against the exact result.
@@ -56,8 +56,11 @@ def _rho(hashes: np.ndarray) -> np.ndarray:
 
 
 def _partial_registers(batch: pa.Table) -> pa.Table:
-    """(window_id, user_id) rows → one (shard, window_id, registers)
-    row per window present in the batch."""
+    """(window_id, user_id) rows → SPARSE partial rows
+    (shard, window_id, reg_idx, rho): per batch, the max ρ seen for
+    each touched (window, register) pair — one vectorized sort +
+    segment-max; row count ≤ input rows (dense 2^p blobs per window
+    would shuffle more than the raw keys for sparse windows)."""
     win = batch["window_id"].to_numpy(zero_copy_only=False).astype(
         np.int64)
     users = batch["user_id"].to_numpy(zero_copy_only=False).astype(
@@ -66,22 +69,17 @@ def _partial_registers(batch: pa.Table) -> pa.Table:
     reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rho = _rho(h)
 
-    out_shard, out_win, out_regs = [], [], []
-    order = np.argsort(win, kind="stable")
-    win, reg_idx, rho = win[order], reg_idx[order], rho[order]
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], win[1:] != win[:-1]]))
-    bounds = np.append(bounds, len(win))
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        regs = np.zeros(HLL_M, dtype=np.uint8)
-        np.maximum.at(regs, reg_idx[s:e], rho[s:e])
-        out_shard.append(int(win[s]) % SKETCH_SHARDS)
-        out_win.append(int(win[s]))
-        out_regs.append(regs.tobytes())
+    key = win * HLL_M + reg_idx          # windows ≪ 2^51 → no overflow
+    order = np.lexsort((-rho.astype(np.int64), key))
+    key, win, reg_idx, rho = (key[order], win[order], reg_idx[order],
+                              rho[order])
+    first = np.concatenate([[True], key[1:] != key[:-1]])
+    win, reg_idx, rho = win[first], reg_idx[first], rho[first]
     return pa.table({
-        "shard": pa.array(out_shard, pa.int32()),
-        "window_id": pa.array(out_win, pa.int64()),
-        "registers": pa.array(out_regs, pa.large_binary()),
+        "shard": pa.array((win % SKETCH_SHARDS).astype(np.int32)),
+        "window_id": pa.array(win, pa.int64()),
+        "reg_idx": pa.array(reg_idx.astype(np.int32)),
+        "rho": pa.array(rho.astype(np.uint8)),
     })
 
 
@@ -96,13 +94,13 @@ def _estimate(regs: np.ndarray) -> int:
 
 
 def _merge_shard(g):
-    """One shard's partial registers → (window_id, n_users_hll)."""
+    """One shard's sparse partial rows → (window_id, n_users_hll)."""
     out_win, out_est = [], []
     for win, sub in g.groupby("window_id", sort=False):
         merged = np.zeros(HLL_M, dtype=np.uint8)
-        for blob in sub["registers"]:
-            merged = np.maximum(
-                merged, np.frombuffer(blob, dtype=np.uint8))
+        np.maximum.at(merged,
+                      sub["reg_idx"].to_numpy().astype(np.int64),
+                      sub["rho"].to_numpy().astype(np.uint8))
         out_win.append(int(win))
         out_est.append(_estimate(merged))
     return pa.table({
@@ -115,9 +113,13 @@ def _window_user_rows(events, width_s: int = 3600):
     import pyarrow.compute as pc
 
     def to_windows(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        # float-divide the raw microseconds then floor ONCE: a
+        # truncating integer /1e6 first would round pre-epoch
+        # fractional seconds toward zero, off-by-one vs the oracle's
+        # floor(epoch(ts)/width) (int64 µs ≪ 2^53 → float64 is exact)
         win = pc.cast(pc.floor(pc.divide(
-            epoch.cast(pa.float64()), width_s)), pa.int64())
+            batch["ts"].cast(pa.int64()).cast(pa.float64()),
+            float(width_s) * 1e6)), pa.int64())
         return pa.table({"window_id": win, "user_id": batch["user_id"]})
 
     return events.map_batches(to_windows, batch_format="pyarrow",

@@ -360,3 +360,46 @@ def test_rank_operators_match_oracle(ray_session, sf_dir):
         a = mine[cols].sort_values(cols).reset_index(drop=True)
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b.astype(a.dtypes.to_dict())), fn.__name__
+
+
+def test_quantiles_ignore_nulls(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime(["2026-01-01"] * 6),
+        "event_type": ["click"] * 6,
+        "value": [1.0, None, 3.0, 5.0, 7.0, None],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   d / "events.parquet")
+    from jsonld_js_ray.stages.rank import user_value_quantiles
+
+    out = user_value_quantiles(str(d)).to_pandas().set_index("user_id")
+    # user 1: values [1,3] (NULL ignored) → p50 = 1.0 (ceil(.5*2)=1)
+    assert out.loc[1, "p50"] == 1.0 and out.loc[1, "p95"] == 3.0
+    assert out.loc[2, "p50"] == 5.0
+    # user 3: all NULL → row present with NULL quantiles
+    assert 3 in out.index and pd.isna(out.loc[3, "p50"])
+
+
+def test_hll_pre_epoch_window_assignment(ray_session):
+    """Pre-epoch fractional-second timestamps must floor to the
+    previous window, matching floor(epoch/3600)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.sketches import (
+        exact_distinct_users_per_window,
+    )
+
+    tbl = pa.table({
+        "ts": pa.array([-500_000], pa.timestamp("us")),  # 1969-12-31
+        "user_id": pa.array([1], pa.int64()),
+    })
+    out = exact_distinct_users_per_window(
+        rd.from_arrow(tbl)).to_pandas()
+    assert list(out["window_id"]) == [-1]
