@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": td.q_knn_ivf,
         "text_stats": td.q_text_stats,
         "token_counts": td.q_token_counts,
+        "split_assign": td.q_split_assign,
+        "sample_docs": td.q_sample_docs,
         "lang_id": td.q_lang_id,
         "quality": td.q_quality,
         "fingerprint": td.q_fingerprint,
@@ -268,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
         LANG_ID_SQL,
+        SAMPLE_DOCS_SQL,
+        SPLIT_ASSIGN_SQL,
         TEXT_STATS_SQL,
         TOKEN_COUNTS_SQL,
     )
@@ -349,6 +353,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
+        "split_assign": SPLIT_ASSIGN_SQL,
+        "sample_docs": SAMPLE_DOCS_SQL,
         "lang_id": LANG_ID_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,

@@ -208,3 +208,17 @@ def q_knn_ivf(sf_dir: str):
     from ..stages.similarity import knn_ivf
 
     return knn_ivf(_embeddings(sf_dir))
+
+
+def q_split_assign(sf_dir: str):
+    from ..stages.text import split_assign_batch
+
+    return _docs(sf_dir).map_batches(
+        split_assign_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_sample_docs(sf_dir: str):
+    from ..stages.text import sample_docs_batch
+
+    return _docs(sf_dir).map_batches(
+        sample_docs_batch, batch_format="pyarrow", batch_size=8192)

@@ -95,9 +95,19 @@ _MH_B = (_mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
 
 
 def shingle_hash64(g: str) -> int:
-    """64-bit shingle hash from a crc32 pair (process-stable)."""
-    b = g.encode("utf-8")
-    return (zlib.crc32(b, 1) << 32) | zlib.crc32(b, 2)
+    """64-bit shingle hash (single string; see hash_shingle_array)."""
+    return int(hash_shingle_array([g])[0])
+
+
+def hash_shingle_array(shingles: list) -> np.ndarray:
+    """Vectorized process-stable 64-bit hashes for a list of shingle
+    strings (pandas hash_array: siphash with a fixed key — C speed,
+    no per-string Python hashing)."""
+    import pandas as pd
+
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(shingles, dtype=object))
 
 
 def perm_min_hashes(base: np.ndarray,
@@ -110,38 +120,63 @@ def perm_min_hashes(base: np.ndarray,
 
 
 def minhash_sig(text: str) -> np.ndarray:
-    """64-perm MinHash via one 64-bit hash per shingle + a vectorized
+    """64-perm MinHash via vectorized shingle hashing + the
     multiply-shift matrix (no per-permutation Python loop)."""
     sh = word_shingles(text)
     if not sh:
         return np.zeros(NUM_PERMS, dtype=np.uint64)
-    base = np.array([shingle_hash64(g) for g in sh], dtype=np.uint64)
-    return perm_min_hashes(base)
+    return perm_min_hashes(hash_shingle_array(sorted(sh)))
+
+
+def _batch_sigs(shingle_sets: list) -> np.ndarray:
+    """All docs' signatures at once: one flat hash pass + one
+    (NUM_PERMS × total_shingles) multiply + segment-min (reduceat) —
+    the cross-document form of perm_min_hashes."""
+    flat: list = []
+    starts: list[int] = []
+    nonempty: list[int] = []
+    for i, sh in enumerate(shingle_sets):
+        if sh:
+            nonempty.append(i)
+            starts.append(len(flat))
+            flat.extend(sorted(sh))
+    sigs = np.zeros((len(shingle_sets), NUM_PERMS), dtype=np.uint64)
+    if flat:
+        base = hash_shingle_array(flat)
+        vals = (_MH_A[:, None] * base[None, :] + _MH_B[:, None])
+        mins = np.minimum.reduceat(vals, np.array(starts), axis=1)
+        sigs[np.array(nonempty)] = mins.T
+    return sigs
+
+
+def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int) -> pa.Table:
+    out_band: list[int] = []
+    out_hash: list[int] = []
+    out_doc: list[int] = []
+    for doc_id, sig in zip(doc_ids, sigs):
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            out_band.append(b)
+            out_hash.append(
+                zlib.crc32(chunk.tobytes(), seed + b) & 0xFFFFFFFF)
+            out_doc.append(doc_id)
+    return pa.table({
+        "band_id": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+    })
 
 
 class MinHashStage:
     """map_batches: (doc_id, text) → BANDS rows (band_id, band_hash,
-    doc_id) — the explode step of shingle→minhash→band."""
+    doc_id) — the explode step of shingle→minhash→band, with batch-wide
+    vectorized signatures."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_band: list[int] = []
-        out_hash: list[int] = []
-        out_doc: list[int] = []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = minhash_sig(text or "")
-            for b in range(BANDS):
-                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-                out_band.append(b)
-                out_hash.append(
-                    zlib.crc32(chunk.tobytes(), 77 + b) & 0xFFFFFFFF)
-                out_doc.append(doc_id)
-        return pa.table({
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
-        })
+        sigs = _batch_sigs([word_shingles(t or "") for t in texts])
+        return _band_rows(doc_ids, sigs, 77)
 
 
 
@@ -574,26 +609,8 @@ class CharGramMinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            grams = char_ngrams((text or ""), 3)
-            if grams:
-                base = np.array([shingle_hash64(g) for g in grams],
-                                dtype=np.uint64)
-                sig = perm_min_hashes(base)
-            else:
-                sig = np.zeros(NUM_PERMS, dtype=np.uint64)
-            for b in range(BANDS):
-                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-                out_band.append(b)
-                out_hash.append(
-                    zlib.crc32(chunk.tobytes(), 177 + b) & 0xFFFFFFFF)
-                out_doc.append(doc_id)
-        return pa.table({
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
-        })
+        sigs = _batch_sigs([char_ngrams((t or ""), 3) for t in texts])
+        return _band_rows(doc_ids, sigs, 177)
 
 
 def ngram_jaccard_dedup(docs, threshold: float = 0.8):

@@ -38,7 +38,7 @@ import zlib
 
 import pyarrow as pa
 
-from .dedup import perm_min_hashes, shingle_hash64
+from .dedup import hash_shingle_array, perm_min_hashes
 
 NUM_PERMS = 64
 BANDS = 16          # 16 bands × 4 rows
@@ -59,12 +59,9 @@ def shingles(s: str, k: int = 3) -> set[str]:
 
 
 def minhash_signature(s: str, num_perms: int = NUM_PERMS) -> list[int]:
-    """Vectorized MinHash (shares dedup.py's multiply-shift kernel: one
-    64-bit hash per shingle + the (A, B) permutation matrix)."""
-    import numpy as np
-
-    sh = shingles(s)
-    base = np.array([shingle_hash64(g) for g in sh], dtype=np.uint64)
+    """Vectorized MinHash (shares dedup.py's multiply-shift kernel and
+    vectorized shingle hashing)."""
+    base = hash_shingle_array(sorted(shingles(s)))
     return [int(x) for x in perm_min_hashes(base, num_perms)]
 
 

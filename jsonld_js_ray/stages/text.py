@@ -282,3 +282,54 @@ SELECT doc_id,
            AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+# --- deterministic sampling / train-val split (reproducible at any
+# scale: the decision is a pure function of the row's content hash, so
+# re-runs, retries and resumes sample identically — no RNG state) ---
+
+SPLIT_THRESHOLD = 0.9       # 90% train / 10% val
+SAMPLE_RATE = 0.1
+
+
+def _md5_unit_interval(texts: list) -> np.ndarray:
+    """md5(text) first 8 hex chars → uniform float in [0, 1)."""
+    import hashlib
+
+    vals = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
+        vals[i] = int(h, 16) / float(1 << 32)
+    return vals
+
+
+def split_assign_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, split): content-hash train/val split."""
+    u = _md5_unit_interval(batch["text"].to_pylist())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "split": pa.array(np.where(u < SPLIT_THRESHOLD, "train", "val"),
+                          pa.string()),
+    })
+
+
+def sample_docs_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic SAMPLE_RATE content-hash sample of documents."""
+    u = _md5_unit_interval(batch["text"].to_pylist())
+    return batch.select(["doc_id"]).filter(pa.array(u < SAMPLE_RATE))
+
+
+# oracle: identical md5-prefix arithmetic in SQL
+_MD5_UNIT_SQL = ("(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)"
+                 " / 4294967296.0)")
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_MD5_UNIT_SQL} < {SPLIT_THRESHOLD}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+SAMPLE_DOCS_SQL = f"""
+SELECT doc_id FROM documents WHERE {_MD5_UNIT_SQL} < {SAMPLE_RATE}
+"""

@@ -644,3 +644,32 @@ def test_asof_join_semantics_synthetic(ray_session, tmp_path):
     assert set(out.index) == {3, 4}
     assert out.loc[3, "last_click_ts"] == base + pd.Timedelta(minutes=10)
     assert out.loc[4, "last_click_ts"] == base + pd.Timedelta(minutes=0)
+
+
+def test_split_and_sample_deterministic_and_oracled(ray_session, sf_dir):
+    import duckdb
+
+    from jsonld_js_ray.pipelines.training_data import (
+        q_sample_docs, q_split_assign,
+    )
+    from jsonld_js_ray.stages.text import SAMPLE_DOCS_SQL, SPLIT_ASSIGN_SQL
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    for q, sql in ((q_split_assign, SPLIT_ASSIGN_SQL),
+                   (q_sample_docs, SAMPLE_DOCS_SQL)):
+        mine = q(sf_dir).to_pandas()
+        again = q(sf_dir).to_pandas()
+        assert mine.sort_values(list(mine.columns)).reset_index(drop=True) \
+            .equals(again.sort_values(list(mine.columns))
+                    .reset_index(drop=True))     # reproducible
+        orc = con.sql(sql).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+    # split proportions roughly honored
+    sp = q_split_assign(sf_dir).to_pandas()
+    frac = (sp["split"] == "train").mean()
+    assert 0.8 < frac < 0.97
