@@ -42,6 +42,28 @@ async function runOne(req) {
     }
     case 'frame':
       return jsonld.frame(req.input, req.frame, opts);
+    case 'frameDecycled': {
+      // @embed:'@link' creates true cycles that JSON.stringify cannot
+      // serialize; replace any reference back to an ANCESTOR on the
+      // current path with {'@cycle': ancestor's @id} (deterministic,
+      // mirrored by the python test harness)
+      const res = await jsonld.frame(req.input, req.frame, opts);
+      const decycle = (node, path) => {
+        if (Array.isArray(node)) return node.map(x => decycle(x, path));
+        if (node && typeof node === 'object') {
+          if (path.has(node)) {
+            return {'@cycle': node['@id'] !== undefined ? node['@id'] : true};
+          }
+          path.add(node);
+          const out = {};
+          for (const k of Object.keys(node)) out[k] = decycle(node[k], path);
+          path.delete(node);
+          return out;
+        }
+        return node;
+      };
+      return decycle(res, new Set());
+    }
     case 'merge':
       return jsonld.merge(req.input, req.ctx || null, opts);
     default:
