@@ -94,11 +94,6 @@ _MH_B = (_mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
     | _mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
 
 
-def shingle_hash64(g: str) -> int:
-    """64-bit shingle hash (single string; see hash_shingle_array)."""
-    return int(hash_shingle_array([g])[0])
-
-
 def hash_shingle_array(shingles: list) -> np.ndarray:
     """Vectorized process-stable 64-bit hashes for a list of shingle
     strings (pandas hash_array: siphash with a fixed key — C speed,
@@ -125,13 +120,17 @@ def minhash_sig(text: str) -> np.ndarray:
     sh = word_shingles(text)
     if not sh:
         return np.zeros(NUM_PERMS, dtype=np.uint64)
-    return perm_min_hashes(hash_shingle_array(sorted(sh)))
+    return perm_min_hashes(hash_shingle_array(list(sh)))
+
+
+MAX_SHINGLES_PER_PASS = 500_000   # caps the (64 × S) matrix ≈ 256 MB
 
 
 def _batch_sigs(shingle_sets: list) -> np.ndarray:
-    """All docs' signatures at once: one flat hash pass + one
-    (NUM_PERMS × total_shingles) multiply + segment-min (reduceat) —
-    the cross-document form of perm_min_hashes."""
+    """All docs' signatures at once: one flat hash pass + a
+    (NUM_PERMS × ≤MAX_SHINGLES_PER_PASS) multiply + segment-min
+    (reduceat) per chunk, split on document boundaries so peak memory
+    stays bounded regardless of document length × batch size."""
     flat: list = []
     starts: list[int] = []
     nonempty: list[int] = []
@@ -139,13 +138,26 @@ def _batch_sigs(shingle_sets: list) -> np.ndarray:
         if sh:
             nonempty.append(i)
             starts.append(len(flat))
-            flat.extend(sorted(sh))
+            flat.extend(sh)
     sigs = np.zeros((len(shingle_sets), NUM_PERMS), dtype=np.uint64)
-    if flat:
-        base = hash_shingle_array(flat)
-        vals = (_MH_A[:, None] * base[None, :] + _MH_B[:, None])
-        mins = np.minimum.reduceat(vals, np.array(starts), axis=1)
-        sigs[np.array(nonempty)] = mins.T
+    if not flat:
+        return sigs
+    base = hash_shingle_array(flat)
+    starts_arr = np.array(starts + [len(flat)])
+    lo_doc = 0
+    while lo_doc < len(nonempty):
+        hi_doc = lo_doc
+        while hi_doc < len(nonempty) and (
+                starts_arr[hi_doc + 1] - starts_arr[lo_doc]
+                <= MAX_SHINGLES_PER_PASS or hi_doc == lo_doc):
+            hi_doc += 1
+        s0, s1 = starts_arr[lo_doc], starts_arr[hi_doc]
+        chunk = base[s0:s1]
+        vals = (_MH_A[:, None] * chunk[None, :] + _MH_B[:, None])
+        mins = np.minimum.reduceat(
+            vals, starts_arr[lo_doc:hi_doc] - s0, axis=1)
+        sigs[np.array(nonempty[lo_doc:hi_doc])] = mins.T
+        lo_doc = hi_doc
     return sigs
 
 

@@ -61,7 +61,7 @@ def shingles(s: str, k: int = 3) -> set[str]:
 def minhash_signature(s: str, num_perms: int = NUM_PERMS) -> list[int]:
     """Vectorized MinHash (shares dedup.py's multiply-shift kernel and
     vectorized shingle hashing)."""
-    base = hash_shingle_array(sorted(shingles(s)))
+    base = hash_shingle_array(list(shingles(s)))
     return [int(x) for x in perm_min_hashes(base, num_perms)]
 
 

@@ -320,7 +320,7 @@ def sample_docs_batch(batch: pa.Table) -> pa.Table:
 
 
 # oracle: identical md5-prefix arithmetic in SQL
-_MD5_UNIT_SQL = ("(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)"
+_MD5_UNIT_SQL = ("(CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT)"
                  " / 4294967296.0)")
 
 SPLIT_ASSIGN_SQL = f"""

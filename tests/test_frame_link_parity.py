@@ -96,7 +96,8 @@ def test_linked_frame_parity_decycled():
             if ref["ok"]:
                 mismatches.append(i)
         except RecursionError:
-            pass                         # depth guard, both sides bounded
+            if ref["ok"]:                # one-sided depth blowup IS a diff
+                mismatches.append(i)
     assert not mismatches, mismatches[:5]
     # cyclic-input crash cases exist but are rare in this corpus
     assert ref_crashes <= N_DOCS * 0.05, ref_crashes
