@@ -246,26 +246,101 @@ def _label_clusters(docs, cluster_of: dict[int, int]):
                             batch_size=8192)
 
 
-def _fetch_candidate_texts(docs, pairs) -> dict[int, str]:
-    """Semi-join: pull only candidate docs' texts (broadcast id set)."""
-    import pyarrow as pa
+VERIFY_SHARDS = 64
+
+
+def _verified_pairs(docs, pairs, kind: str, threshold: float):
+    """Candidate pairs → VERIFIED pairs, with the exact text-similarity
+    check running DISTRIBUTED: candidate texts are semi-joined to the
+    pair rows via a bucketed shuffle and compared inside shards, so the
+    driver holds only the (dup-density-bounded) pair lists — never a
+    doc→text map (texts can dominate memory at scale).
+
+    kind: 'word' → word-3-shingle Jaccard; 'char' → char-3-gram
+    Jaccard."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
 
     if not len(pairs):
-        return {}
-    import pyarrow.compute as pc
+        return pairs
+    a_ids = pairs["a"].astype("int64").to_numpy()
+    b_ids = pairs["b"].astype("int64").to_numpy()
+    id_set = pa.array(sorted(set(map(int, a_ids)) | set(map(int, b_ids))),
+                      pa.int64())
 
-    id_set = pa.array(
-        sorted(set(int(x) for x in pairs["a"])
-               | set(int(x) for x in pairs["b"])), pa.int64())
+    # role rows: one per pair side, bucketed by doc for the text join
+    pair_ids = np.arange(len(a_ids), dtype=np.int64)
+    role_rows = pa.table({
+        "pair_id": pa.array(np.concatenate([pair_ids, pair_ids])),
+        "role": pa.array(["a"] * len(a_ids) + ["b"] * len(b_ids),
+                         pa.string()),
+        "doc_id": pa.array(np.concatenate([a_ids, b_ids])),
+    })
 
-    def filter_cands(batch: pa.Table) -> pa.Table:
+    def docs_rows(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["doc_id"].cast(pa.int64()),
                         value_set=id_set)
-        return batch.filter(mask)
+        t = batch.filter(mask)
+        n = t.num_rows
+        return pa.table({
+            "pair_id": pa.array([-1] * n, pa.int64()),
+            "role": pa.array(["t"] * n, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": t["text"].cast(pa.large_string()),
+        })
 
-    tbl = docs.map_batches(filter_cands,
-                           batch_format="pyarrow").to_pandas()
-    return dict(zip(tbl["doc_id"].astype(int), tbl["text"]))
+    def pad_roles(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text", pa.array([None] * batch.num_rows, pa.large_string()))
+
+    def with_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((d % VERIFY_SHARDS).astype("int32")))
+
+    unioned = rd.from_arrow(role_rows).map_batches(
+        pad_roles, batch_format="pyarrow").union(
+        docs.map_batches(docs_rows, batch_format="pyarrow")
+    ).map_batches(with_doc_bucket, batch_format="pyarrow")
+
+    def attach_text(g: pd.DataFrame):
+        t = g[g["role"] == "t"][["doc_id", "text"]]
+        r = g[g["role"] != "t"][["pair_id", "role", "doc_id"]]
+        m = r.merge(t, on="doc_id", how="left")
+        return pa.table({
+            "pair_id": pa.array(m["pair_id"].astype("int64")),
+            "role": pa.array(m["role"], pa.string()),
+            "doc_id": pa.array(m["doc_id"].astype("int64")),
+            "text": pa.array(m["text"].fillna(""), pa.large_string()),
+            "shard": pa.array(
+                (m["pair_id"].astype("int64") % VERIFY_SHARDS)
+                .astype("int32")),
+        })
+
+    sided = unioned.groupby("bucket").map_groups(
+        attach_text, batch_format="pandas")
+
+    def verify_shard(g: pd.DataFrame, _kind=kind, _t=threshold):
+        av, bv = [], []
+        ga = g[g["role"] == "a"].set_index("pair_id")
+        gb = g[g["role"] == "b"].set_index("pair_id")
+        gram = word_shingles if _kind == "word" else             (lambda s: char_ngrams(s, 3))
+        for pid in ga.index:
+            if pid not in gb.index:
+                continue
+            sa = gram(ga.loc[pid, "text"] or "")
+            sb = gram(gb.loc[pid, "text"] or "")
+            un = len(sa | sb)
+            if un and len(sa & sb) / un >= _t:
+                av.append(int(ga.loc[pid, "doc_id"]))
+                bv.append(int(gb.loc[pid, "doc_id"]))
+        return pa.table({"a": pa.array(av, pa.int64()),
+                         "b": pa.array(bv, pa.int64())})
+
+    verified = sided.groupby("shard").map_groups(
+        verify_shard, batch_format="pandas").to_pandas()
+    return verified
 
 
 def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
@@ -335,21 +410,17 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
     Stages: minhash+band explode (map_batches) → bucket-count prefilter →
-    candidate pairs → exact shingle-Jaccard verify (texts fetched by
-    semi-join, broadcast as a dict) → union-find over verified pairs
-    (pair list ≪ corpus) → cluster labels."""
+    candidate pairs → DISTRIBUTED exact shingle-Jaccard verification
+    (texts joined in-cluster; the driver sees only pair lists) →
+    union-find over verified pairs (≪ corpus) → cluster labels."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
                               batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
-    texts = _fetch_candidate_texts(docs, pairs)
+    verified = _verified_pairs(docs, pairs, "word", threshold)
 
     uf = _UnionFind()
-    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
-        sa = word_shingles(texts.get(int(a), ""))
-        sb = word_shingles(texts.get(int(b), ""))
-        un = len(sa | sb)
-        if un and len(sa & sb) / un >= threshold:
-            uf.union(int(a), int(b))
+    for a, b in zip(verified.get("a", []), verified.get("b", [])):
+        uf.union(int(a), int(b))
     return _label_clusters(docs, uf.cluster_map())
 
 
@@ -632,13 +703,11 @@ def ngram_jaccard_dedup(docs, threshold: float = 0.8):
     banded = docs.map_batches(CharGramMinHashStage(),
                               batch_format="pyarrow", batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
-    texts = _fetch_candidate_texts(docs, pairs)
+    verified = _verified_pairs(docs, pairs, "char", threshold)
 
     uf = _UnionFind()
-    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
-        if ngram_jaccard(texts.get(int(a), ""),
-                         texts.get(int(b), "")) >= threshold:
-            uf.union(int(a), int(b))
+    for a, b in zip(verified.get("a", []), verified.get("b", [])):
+        uf.union(int(a), int(b))
     return _label_clusters(docs, uf.cluster_map())
 
 
