@@ -251,96 +251,99 @@ VERIFY_SHARDS = 64
 
 def _verified_pairs(docs, pairs, kind: str, threshold: float):
     """Candidate pairs → VERIFIED pairs, with the exact text-similarity
-    check running DISTRIBUTED: candidate texts are semi-joined to the
-    pair rows via a bucketed shuffle and compared inside shards, so the
-    driver holds only the (dup-density-bounded) pair lists — never a
-    doc→text map (texts can dominate memory at scale).
+    check running DISTRIBUTED: each candidate doc's text ships ONCE per
+    shard that needs it (shard = pair_id % VERIFY_SHARDS), role rows
+    carry only ids, and Jaccard runs inside the shard groupby — the
+    driver holds only the (dup-density-bounded) id pair lists, never
+    texts.
 
     kind: 'word' → word-3-shingle Jaccard; 'char' → char-3-gram
     Jaccard."""
+    import warnings
+
     import pandas as pd
-    import pyarrow.compute as pc
+    import ray
     import ray.data as rd
 
     if not len(pairs):
         return pairs
     a_ids = pairs["a"].astype("int64").to_numpy()
     b_ids = pairs["b"].astype("int64").to_numpy()
-    id_set = pa.array(sorted(set(map(int, a_ids)) | set(map(int, b_ids))),
-                      pa.int64())
-
-    # role rows: one per pair side, bucketed by doc for the text join
     pair_ids = np.arange(len(a_ids), dtype=np.int64)
+    shards = pair_ids % VERIFY_SHARDS
+
+    # driver-side need map: doc_id → sorted shard list (ids only)
+    need: dict[int, set] = {}
+    for doc, sh in zip(np.concatenate([a_ids, b_ids]),
+                       np.concatenate([shards, shards])):
+        need.setdefault(int(doc), set()).add(int(sh))
+    need_ref = ray.put({d: sorted(v) for d, v in need.items()})
+
     role_rows = pa.table({
+        "shard": pa.array(np.concatenate([shards, shards]).astype(
+            "int32")),
         "pair_id": pa.array(np.concatenate([pair_ids, pair_ids])),
         "role": pa.array(["a"] * len(a_ids) + ["b"] * len(b_ids),
                          pa.string()),
         "doc_id": pa.array(np.concatenate([a_ids, b_ids])),
+        "text": pa.array([None] * (2 * len(a_ids)), pa.large_string()),
     })
 
-    def docs_rows(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["doc_id"].cast(pa.int64()),
-                        value_set=id_set)
-        t = batch.filter(mask)
-        n = t.num_rows
+    def text_rows(batch: pa.Table, *, _ref=need_ref) -> pa.Table:
+        import ray as _ray
+        nd = _ray.get(_ref)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_shard, out_doc, out_text = [], [], []
+        for d, t in zip(ids, texts):
+            for sh in nd.get(int(d), ()):
+                out_shard.append(sh)
+                out_doc.append(int(d))
+                out_text.append(t or "")
+        n = len(out_doc)
         return pa.table({
+            "shard": pa.array(out_shard, pa.int32()),
             "pair_id": pa.array([-1] * n, pa.int64()),
             "role": pa.array(["t"] * n, pa.string()),
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "text": t["text"].cast(pa.large_string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "text": pa.array(out_text, pa.large_string()),
         })
 
-    def pad_roles(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "text", pa.array([None] * batch.num_rows, pa.large_string()))
-
-    def with_doc_bucket(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", pa.array((d % VERIFY_SHARDS).astype("int32")))
-
-    unioned = rd.from_arrow(role_rows).map_batches(
-        pad_roles, batch_format="pyarrow").union(
-        docs.map_batches(docs_rows, batch_format="pyarrow")
-    ).map_batches(with_doc_bucket, batch_format="pyarrow")
-
-    def attach_text(g: pd.DataFrame):
-        t = g[g["role"] == "t"][["doc_id", "text"]]
-        r = g[g["role"] != "t"][["pair_id", "role", "doc_id"]]
-        m = r.merge(t, on="doc_id", how="left")
-        return pa.table({
-            "pair_id": pa.array(m["pair_id"].astype("int64")),
-            "role": pa.array(m["role"], pa.string()),
-            "doc_id": pa.array(m["doc_id"].astype("int64")),
-            "text": pa.array(m["text"].fillna(""), pa.large_string()),
-            "shard": pa.array(
-                (m["pair_id"].astype("int64") % VERIFY_SHARDS)
-                .astype("int32")),
-        })
-
-    sided = unioned.groupby("bucket").map_groups(
-        attach_text, batch_format="pandas")
+    unioned = rd.from_arrow(role_rows).union(
+        docs.map_batches(text_rows, batch_format="pyarrow"))
 
     def verify_shard(g: pd.DataFrame, _kind=kind, _t=threshold):
+        texts_df = g[g["role"] == "t"][["doc_id", "text"]]
+        # duplicate doc_id rows: keep last (parity with the replaced
+        # dict(zip(...)) driver semi-join)
+        text_of = dict(zip(texts_df["doc_id"].astype(int),
+                           texts_df["text"]))
+        ga = g[g["role"] == "a"]
+        gb = dict(zip(g[g["role"] == "b"]["pair_id"].astype(int),
+                      g[g["role"] == "b"]["doc_id"].astype(int)))
+        gram = word_shingles if _kind == "word" else \
+            (lambda x: char_ngrams(x, 3))
         av, bv = [], []
-        ga = g[g["role"] == "a"].set_index("pair_id")
-        gb = g[g["role"] == "b"].set_index("pair_id")
-        gram = word_shingles if _kind == "word" else             (lambda s: char_ngrams(s, 3))
-        for pid in ga.index:
-            if pid not in gb.index:
+        for pid, da in zip(ga["pair_id"].astype(int),
+                           ga["doc_id"].astype(int)):
+            db = gb.get(pid)
+            if db is None:
+                warnings.warn(
+                    f"verify shard missing side b for pair {pid}; "
+                    f"treating as non-duplicate (should not happen — "
+                    f"both sides share the shard key)")
                 continue
-            sa = gram(ga.loc[pid, "text"] or "")
-            sb = gram(gb.loc[pid, "text"] or "")
+            sa = gram(text_of.get(da, "") or "")
+            sb = gram(text_of.get(db, "") or "")
             un = len(sa | sb)
             if un and len(sa & sb) / un >= _t:
-                av.append(int(ga.loc[pid, "doc_id"]))
-                bv.append(int(gb.loc[pid, "doc_id"]))
+                av.append(da)
+                bv.append(db)
         return pa.table({"a": pa.array(av, pa.int64()),
                          "b": pa.array(bv, pa.int64())})
 
-    verified = sided.groupby("shard").map_groups(
+    return unioned.groupby("shard").map_groups(
         verify_shard, batch_format="pandas").to_pandas()
-    return verified
 
 
 def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
