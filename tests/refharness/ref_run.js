@@ -66,6 +66,22 @@ async function runOne(req) {
     }
     case 'merge':
       return jsonld.merge(req.input, req.ctx || null, opts);
+    case 'mergeGuarded': {
+      // the fork's nodeMap @reverse path can call util.addValue with an
+      // undefined subject (native TypeError); guard it so the intended
+      // merge semantics are observable for differential comparison
+      const util = require('/root/reference/lib/util.js');
+      const orig = util.addValue;
+      util.addValue = function(subject, property, value, options) {
+        if (subject === undefined) return;
+        return orig(subject, property, value, options);
+      };
+      try {
+        return await jsonld.merge(req.input, req.ctx || null, opts);
+      } finally {
+        util.addValue = orig;
+      }
+    }
     default:
       throw new Error('unknown op ' + req.op);
   }
