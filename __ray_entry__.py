@@ -212,7 +212,10 @@ def _q_topk_docs(sf_dir: str):
 def _events(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_window_tumbling(sf_dir: str):

@@ -7,18 +7,29 @@ Thin wrappers tying the dedup / similarity / text / multimodal stages to
 from __future__ import annotations
 
 
+def _strip_meta(t):
+    """Drop parquet pandas-metadata (zero-copy) — the embedded dict
+    breaks Ray's schema hashing (log spam + no schema dedup); see
+    pipelines/kg._strip_meta."""
+    return t.replace_schema_metadata(None)
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
 
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
 
 def q_dedup_exact(sf_dir: str):

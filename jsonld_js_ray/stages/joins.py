@@ -179,7 +179,10 @@ def topk_docs_by_tokens(sf_dir: str, k: int = 20):
     from .text import text_stats_batch
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"]
+                           ).map_batches(_strip_meta,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
     stats = docs.map_batches(text_stats_batch, batch_format="pyarrow",
                              batch_size=8192) \
         .select_columns(["doc_id", "n_tokens"])
