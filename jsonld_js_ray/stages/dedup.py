@@ -891,3 +891,65 @@ SELECT vec_id, vec_id AS cluster_id, true AS keep FROM v
 UNION ALL
 SELECT vec_id + {PLANT_VEC_OFF}, vec_id, false FROM v
 """
+
+
+# --- fully distributed cluster labeling (no driver union-find) ---
+
+def cluster_pairs_distributed(docs, pairs):
+    """verified (a, b) pair list → (doc_id, cluster_id, keep) with NO
+    driver-side union-find: bounded min-label propagation over the pair
+    graph (reuses ``entity_merge.propagate_min_labels``; ids are
+    zero-padded decimal strings so lexicographic min == numeric min —
+    non-negative ids only).
+
+    The default dedup pipelines keep the O(|verified pairs|) driver
+    union-find (pair ids are dup-density-bounded and the propagation
+    costs several extra shuffle rounds); this is the drop-in
+    alternative when even the verified pair list must stay off the
+    driver — swap it in for ``_UnionFind`` + ``_label_clusters``.
+    Tested equivalent to the union-find path on planted corpora."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .entity_merge import propagate_min_labels
+
+    width = 20
+
+    def enc_batch(ids) -> list:
+        return [f"{int(x):0{width}d}" for x in ids]
+
+    a = enc_batch(pairs["a"]) if len(pairs) else []
+    b = enc_batch(pairs["b"]) if len(pairs) else []
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(a + b, pa.string()),
+        "dst": pa.array(b + a, pa.string()),
+    }))
+
+    def as_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            enc_batch(batch["doc_id"].to_pylist()), pa.string())})
+
+    nodes = docs.map_batches(as_nodes, batch_format="pyarrow")
+    labels = propagate_min_labels(nodes, edges)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].cast(pa.int64())
+        label = batch["label"].cast(pa.int64())
+        return pa.table({
+            "doc_id": node,
+            "cluster_id": label,
+            "keep": pc.equal(node, label),
+        })
+
+    return labels.map_batches(decode, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup_distributed(docs, threshold: float = 0.7):
+    """minhash_lsh_dedup with distributed cluster labeling end-to-end —
+    the 100 TB shape where nothing corpus-derived sits on the driver
+    except the (dup-density-bounded) candidate/verified pair lists."""
+    banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
+                              batch_size=256)
+    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+    verified = _verified_pairs(docs, pairs, "word", threshold)
+    return cluster_pairs_distributed(docs, verified)

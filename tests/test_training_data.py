@@ -673,3 +673,24 @@ def test_split_and_sample_deterministic_and_oracled(ray_session, sf_dir):
     sp = q_split_assign(sf_dir).to_pandas()
     frac = (sp["split"] == "train").mean()
     assert 0.8 < frac < 0.97
+
+
+def test_distributed_cluster_labeling_equals_union_find(ray_session,
+                                                        sf_dir):
+    """The propagation-based labeling must produce exactly the clusters
+    the driver union-find produces (planted corpus: known clusters)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.dedup import (
+        minhash_lsh_dedup_planted, minhash_lsh_dedup_distributed,
+        planted_documents,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus = planted_documents(docs).materialize()
+    uf = minhash_lsh_dedup_planted(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = minhash_lsh_dedup_distributed(corpus, threshold=0.7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert uf.equals(dist[uf.columns.tolist()])
