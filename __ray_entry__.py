@@ -212,10 +212,12 @@ def _q_topk_docs(sf_dir: str):
 def _events(sf_dir: str, columns):
     import ray.data as rd
 
+    from jsonld_js_ray.rayutil import strip_meta
+
     return rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=columns
-    ).map_batches(lambda t: t.replace_schema_metadata(None),
-                  batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
 
 def _q_window_tumbling(sf_dir: str):

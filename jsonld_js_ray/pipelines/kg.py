@@ -33,10 +33,7 @@ def _event_files(sf_dir: str) -> list[str]:
     return files
 
 
-def _strip_meta(t):
-    """Drop parquet pandas-metadata from block schemas (zero-copy) — the
-    embedded dict breaks Ray's schema hashing and spams shuffle logs."""
-    return t.replace_schema_metadata(None)
+from ..rayutil import strip_meta as _strip_meta  # noqa: E402
 
 
 def assemble_docs(sf_dir: str, files: list[str] | None = None):

@@ -7,11 +7,7 @@ Thin wrappers tying the dedup / similarity / text / multimodal stages to
 from __future__ import annotations
 
 
-def _strip_meta(t):
-    """Drop parquet pandas-metadata (zero-copy) — the embedded dict
-    breaks Ray's schema hashing (log spam + no schema dedup); see
-    pipelines/kg._strip_meta."""
-    return t.replace_schema_metadata(None)
+from ..rayutil import strip_meta as _strip_meta
 
 
 def _docs(sf_dir: str):

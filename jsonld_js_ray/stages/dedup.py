@@ -409,17 +409,22 @@ def _bucket_pairs(g):
                       "b": pd.Series(dtype="int64")})
 
 
-def minhash_lsh_dedup(docs, threshold: float = 0.7):
+def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
     Stages: minhash+band explode (map_batches) → bucket-count prefilter →
     candidate pairs → DISTRIBUTED exact shingle-Jaccard verification
     (texts joined in-cluster; the driver sees only pair lists) →
-    union-find over verified pairs (≪ corpus) → cluster labels."""
+    cluster labeling. The default labeler is the O(|verified pairs|)
+    driver union-find; pass ``labeler=cluster_pairs_distributed`` to
+    keep even the pair reduction off the driver (same candidate/verify
+    pipeline — ONE definition, no copy to drift)."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
                               batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
     verified = _verified_pairs(docs, pairs, "word", threshold)
+    if labeler is not None:
+        return labeler(docs, verified)
 
     uf = _UnionFind()
     for a, b in zip(verified.get("a", []), verified.get("b", [])):
@@ -895,7 +900,7 @@ SELECT vec_id + {PLANT_VEC_OFF}, vec_id, false FROM v
 
 # --- fully distributed cluster labeling (no driver union-find) ---
 
-def cluster_pairs_distributed(docs, pairs):
+def cluster_pairs_distributed(docs, pairs, max_rounds: int = 50):
     """verified (a, b) pair list → (doc_id, cluster_id, keep) with NO
     driver-side union-find: bounded min-label propagation over the pair
     graph (reuses ``entity_merge.propagate_min_labels``; ids are
@@ -915,22 +920,35 @@ def cluster_pairs_distributed(docs, pairs):
 
     width = 20
 
-    def enc_batch(ids) -> list:
-        return [f"{int(x):0{width}d}" for x in ids]
+    def enc(arr: pa.Array) -> pa.Array:
+        """Vectorized zero-pad encode; negative ids would break the
+        lexicographic-min == numeric-min invariant, so fail loudly."""
+        ints = arr.cast(pa.int64())
+        if len(ints) and pc.min(ints).as_py() < 0:
+            raise ValueError(
+                "cluster_pairs_distributed requires non-negative ids")
+        return pc.utf8_lpad(ints.cast(pa.string()), width, padding="0")
 
-    a = enc_batch(pairs["a"]) if len(pairs) else []
-    b = enc_batch(pairs["b"]) if len(pairs) else []
-    edges = rd.from_arrow(pa.table({
-        "src": pa.array(a + b, pa.string()),
-        "dst": pa.array(b + a, pa.string()),
-    }))
+    if len(pairs):
+        a = enc(pa.array(pairs["a"].astype("int64")))
+        b = enc(pa.array(pairs["b"].astype("int64")))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+        }))
+    else:
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string())}))
 
     def as_nodes(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.array(
-            enc_batch(batch["doc_id"].to_pylist()), pa.string())})
+        col = batch["doc_id"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return pa.table({"node": enc(col)})
 
     nodes = docs.map_batches(as_nodes, batch_format="pyarrow")
-    labels = propagate_min_labels(nodes, edges)
+    labels = propagate_min_labels(nodes, edges, max_rounds=max_rounds)
 
     def decode(batch: pa.Table) -> pa.Table:
         node = batch["node"].cast(pa.int64())
@@ -948,8 +966,5 @@ def minhash_lsh_dedup_distributed(docs, threshold: float = 0.7):
     """minhash_lsh_dedup with distributed cluster labeling end-to-end —
     the 100 TB shape where nothing corpus-derived sits on the driver
     except the (dup-density-bounded) candidate/verified pair lists."""
-    banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
-                              batch_size=256)
-    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
-    verified = _verified_pairs(docs, pairs, "word", threshold)
-    return cluster_pairs_distributed(docs, verified)
+    return minhash_lsh_dedup(docs, threshold,
+                             labeler=cluster_pairs_distributed)

@@ -19,10 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    """Drop parquet pandas-metadata (zero-copy) — see
-    pipelines/kg._strip_meta for the Ray schema-hashing rationale."""
-    return t.replace_schema_metadata(None)
+from ..rayutil import strip_meta as _strip_meta
 
 
 def broadcast_join_orders_customers(sf_dir: str):
