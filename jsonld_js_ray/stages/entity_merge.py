@@ -211,6 +211,18 @@ def _bucketed(ds, col: str, num_buckets: int):
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
+def _pin(ds):
+    """Execute ``ds`` and rebuild a FRESH dataset from the executed
+    block refs — a hard lineage cut. ``materialize()`` alone is not
+    enough inside an iterative loop: deriving new plans (union/groupby)
+    from a MaterializedDataset can re-plan from its ORIGINAL logical
+    plan, so each round re-executes all previous rounds (~3× slower per
+    round, measured; 10 rounds ≈ minutes)."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def _label_checksum(labels) -> int:
     """Order-independent scalar fingerprint of a (node, label) Dataset —
     the per-round convergence probe (a tiny aggregate, not a download)."""
@@ -244,11 +256,11 @@ def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
         return pa.table({"node": batch["node"],
                          "label": batch["node"]})
 
-    labels = nodes.map_batches(init_labels,
-                               batch_format="pyarrow").materialize()
+    labels = _pin(nodes.map_batches(init_labels,
+                                    batch_format="pyarrow"))
     # pin the edge pipeline: count() + the bucketing below would
     # otherwise re-execute the banding + in-bucket verification twice
-    edges = edges.materialize()
+    edges = _pin(edges)
     if edges.count() == 0:
         return labels
 
@@ -258,8 +270,8 @@ def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
                 "side", pa.array([_s] * batch.num_rows, pa.string()))
         return fn
 
-    edges_tagged = _bucketed(edges, "src", num_buckets).map_batches(
-        tag("E"), batch_format="pyarrow").materialize()
+    edges_tagged = _pin(_bucketed(edges, "src", num_buckets).map_batches(
+        tag("E"), batch_format="pyarrow"))
 
     def join_bucket(g: pd.DataFrame):
         e = g[g["side"] == "E"]
@@ -295,8 +307,12 @@ def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
             labels_tagged.map_batches(pad_l, batch_format="pyarrow"))
         pushed = unioned.groupby("bucket").map_groups(
             join_bucket, batch_format="pandas")
-        labels = labels.union(pushed).groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
+        # repartition to a CONSTANT block count: union concatenates
+        # block lists and groupby partitions by input blocks, so
+        # without this the block count doubles per round (2^rounds
+        # tasks — measured exponential slowdown)
+        labels = _pin(labels.union(pushed).groupby("node").aggregate(
+            Min("label", alias_name="label")).repartition(num_buckets))
         cur_sum = _label_checksum(labels)
         if cur_sum == prev_sum:
             return labels

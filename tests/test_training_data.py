@@ -694,3 +694,24 @@ def test_distributed_cluster_labeling_equals_union_find(ray_session,
     dist = minhash_lsh_dedup_distributed(corpus, threshold=0.7) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert uf.equals(dist[uf.columns.tolist()])
+
+
+def test_distributed_labeling_handles_long_chains(ray_session):
+    """A 20-hop adjacent-pair chain (diameter > the old 10-round cap)
+    must fold to ONE cluster under the default max_rounds=50."""
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.dedup import cluster_pairs_distributed
+
+    n = 21
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)],
+                         pa.large_string()),
+    }))
+    pairs = pd.DataFrame({"a": list(range(n - 1)),
+                          "b": list(range(1, n))})
+    out = cluster_pairs_distributed(docs, pairs).to_pandas()
+    assert set(out["cluster_id"]) == {0}
+    assert out[out["keep"]]["doc_id"].tolist() == [0]
