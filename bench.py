@@ -4,9 +4,16 @@ Default: run the headline pipelines on $GRAFT_SF_DIR (default sf0.1) with
 ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
 
 --scaling: run the headline pipeline in two fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs
-plus scaling efficiency = T(8)/T(32)/4 (sandbox stand-in for the N vs 4N
-cluster-size rule — see BASELINE.md).
+num_cpus=$GRAFT_SCALING_LO (default 4) and num_cpus=$GRAFT_SCALING_HI
+(default 16 = 4x LO) on the same replicated input and report both
+throughputs plus scaling efficiency = T(LO)/T(HI)/(HI/LO) — the sandbox
+stand-in for the N vs 4N cluster-size rule; see BASELINE.md.
+
+Headline timing: after a warm-up pass (Ray worker processes + package
+import + operator compilation — startup, not throughput), kg_quads is
+timed $GRAFT_HEADLINE_REPS times (default 3) and the MEDIAN is reported
+(box variance is +/-20-40%; all runs are included as kg_quads_runs).
+Scaling subprocesses use 1 rep (the 100+ s runs amortize constants).
 """
 
 from __future__ import annotations
@@ -47,18 +54,31 @@ def run_bench() -> dict:
     from jsonld_js_ray.stages.linker import detect_mentions
 
     _warm_cache(SF_DIR)
-    # warm Ray worker processes before timing (startup is not throughput)
+    # Warm-up before timing (startup is not throughput): a trivial job
+    # spawns the worker processes, then one tiny REAL pipeline run pays
+    # the per-worker package import and the operator-compilation cost.
     import ray.data as rd
     rd.range(10_000).map_batches(lambda b: b).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        build_quads(warm_dir).count()
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # headline: flagship transcripts → canonical RDF quads
-    t0 = time.perf_counter()
-    n_quads = build_quads(SF_DIR).count()
-    headline = time.perf_counter() - t0
+    # headline: flagship transcripts → canonical RDF quads.
+    # Median of GRAFT_HEADLINE_REPS runs (box variance is +/-20-40% at
+    # sf0.1 where the job is ~1.5 s; the scaling path uses 1 rep).
+    reps = max(1, int(os.environ.get("GRAFT_HEADLINE_REPS", "3")))
+    runs: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_quads = build_quads(SF_DIR).count()
+        runs.append(time.perf_counter() - t0)
+    headline = sorted(runs)[len(runs) // 2]
     queries["kg_quads"] = round(headline, 3)
+    if reps > 1:
+        extras["kg_quads_runs"] = [round(r, 3) for r in runs]
 
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         ray.shutdown()
@@ -176,7 +196,8 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=scaled_dir, GRAFT_HEADLINE_ONLY="1")
+                   GRAFT_SF_DIR=scaled_dir, GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_HEADLINE_REPS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True, timeout=3600,

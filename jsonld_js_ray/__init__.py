@@ -18,6 +18,7 @@ from .api import (  # noqa: F401
     link, merge, process_context, register_rdf_parser, to_rdf,
     unregister_rdf_parser,
 )
+from .core.errors import JsonLdError  # noqa: F401
 from .processor import JsonLdProcessor, factory  # noqa: F401
 
 normalize = canonize      # reference alias (lib/jsonld.js:563)

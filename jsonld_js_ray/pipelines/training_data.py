@@ -113,8 +113,13 @@ def bench_queries():
     return {
         "dedup_exact": run(q_dedup_exact),
         "dedup_minhash": run(q_dedup_minhash),
+        "dedup_ngram": run(q_dedup_ngram),
         "dedup_simhash": run(q_dedup_simhash),
         "dedup_embedding": run(q_dedup_embedding),
+        "dedup_minhash_planted": run(q_dedup_minhash_planted),
+        "dedup_ngram_planted": run(q_dedup_ngram_planted),
+        "dedup_simhash_planted": run(q_dedup_simhash_planted),
+        "dedup_embedding_planted": run(q_dedup_embedding_planted),
         "knn_brute": run(q_knn_brute),
         "knn_lsh": run(q_knn_lsh),
         "text_stats": run(q_text_stats),

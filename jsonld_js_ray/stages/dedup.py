@@ -25,7 +25,6 @@ drop — no silent truncation.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -162,20 +161,35 @@ def _batch_sigs(shingle_sets: list) -> np.ndarray:
 
 
 def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int) -> pa.Table:
-    out_band: list[int] = []
-    out_hash: list[int] = []
-    out_doc: list[int] = []
-    for doc_id, sig in zip(doc_ids, sigs):
-        for b in range(BANDS):
-            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            out_band.append(b)
-            out_hash.append(
-                zlib.crc32(chunk.tobytes(), seed + b) & 0xFFFFFFFF)
-            out_doc.append(doc_id)
+    """(n_docs × NUM_PERMS) signatures → BANDS rows per doc of
+    (band_id, band_hash, doc_id), fully vectorized: the band hash is a
+    seeded splitmix64 chain over the band's ROWS_PER_BAND minima, one
+    numpy pass per row position — no per-(doc × band) Python. Equal
+    chunks hash equal (recall preserved); accidental collisions only add
+    candidates that Jaccard verification rejects."""
+    from .sketches import _hash64
+
+    n = len(doc_ids)
+    if n == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+    chunks = np.ascontiguousarray(sigs, dtype=np.uint64).reshape(
+        n, BANDS, ROWS_PER_BAND)
+    h = np.broadcast_to(
+        _hash64(np.arange(BANDS, dtype=np.uint64) + np.uint64(seed)),
+        (n, BANDS)).copy()
+    for r in range(ROWS_PER_BAND):
+        h = _hash64(h ^ chunks[:, :, r])
     return pa.table({
-        "band_id": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_hash, pa.int64()),
-        "doc_id": pa.array(out_doc, pa.int64()),
+        "band_id": pa.array(
+            np.tile(np.arange(BANDS, dtype=np.int32), n), pa.int32()),
+        "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
+        "doc_id": pa.array(
+            np.repeat(np.asarray(doc_ids, dtype=np.int64), BANDS),
+            pa.int64()),
     })
 
 
@@ -372,11 +386,27 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
     if len(hot) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
-    hot_keys = set(map(tuple, hot[key_cols].itertuples(index=False)))
+    def fused_key(cols: list[np.ndarray]) -> np.ndarray:
+        # fold the (all-integer) key columns into one uint64 with a
+        # chained splitmix64 — a collision here only lets an extra row
+        # through the filter; the later groupby is still on the real
+        # key columns, so correctness is unaffected
+        from .sketches import _hash64
 
-    def only_hot(t, _keys=hot_keys, _cols=key_cols):
-        cols = [t[c].to_pylist() for c in _cols]
-        mask = pa.array([k in _keys for k in zip(*cols)], pa.bool_())
+        h = _hash64(cols[0].astype(np.int64).view(np.uint64))
+        for c in cols[1:]:
+            h = _hash64(h ^ c.astype(np.int64).view(np.uint64))
+        return h
+
+    hot_fused = fused_key(
+        [hot[c].to_numpy() for c in key_cols])
+    hot_set = pa.array(hot_fused.view(np.int64), pa.int64())
+
+    def only_hot(t, _hot=hot_set, _cols=key_cols):
+        fused = fused_key(
+            [t[c].to_numpy(zero_copy_only=False) for c in _cols])
+        mask = pc.is_in(pa.array(fused.view(np.int64), pa.int64()),
+                        value_set=_hot)
         return t.filter(mask)
 
     hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
@@ -435,8 +465,9 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None):
 # --- SimHash ---
 
 def simhash64(text: str) -> int:
-    """Vectorized 64-bit SimHash: crc32-pair token hashes (weighted by
-    token count), bit votes via np.unpackbits."""
+    """Vectorized 64-bit SimHash: siphash token hashes (one
+    hash_shingle_array pass, weighted by token count), bit votes via
+    np.unpackbits — no per-token Python hashing."""
     from collections import Counter
 
     counts = Counter(text.lower().split())
@@ -445,10 +476,7 @@ def simhash64(text: str) -> int:
     toks = list(counts.keys())
     weights = np.fromiter(counts.values(), dtype=np.int64,
                           count=len(toks))
-    h = np.fromiter(
-        ((zlib.crc32(t.encode("utf-8"), 1) << 32)
-         | zlib.crc32(t.encode("utf-8"), 2) for t in toks),
-        dtype=np.uint64, count=len(toks))
+    h = hash_shingle_array(toks)
     bits = np.unpackbits(
         h.view(np.uint8).reshape(-1, 8), axis=1,
         bitorder="little").astype(np.int64)          # (n, 64)

@@ -202,12 +202,25 @@ def verified_edges(stats, threshold: float = 0.6):
 
 # --- bounded min-label propagation (distributed connected components) ---
 
+def _hashed_strings(vals: list) -> "np.ndarray":
+    """Vectorized 64-bit hashes of a string column (pandas hash_array:
+    siphash at C speed — no per-row Python hashing)."""
+    import numpy as np
+    import pandas as pd
+
+    if not vals:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(vals, dtype=object))
+
+
 def _bucketed(ds, col: str, num_buckets: int):
     def add_bucket(batch: pa.Table, _col=col) -> pa.Table:
+        import numpy as np
+
         vals = batch[_col].to_pylist()
-        return batch.append_column(
-            "bucket", pa.array([_crc(v) % num_buckets for v in vals],
-                               pa.int32()))
+        buckets = (_hashed_strings(vals)
+                   % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
@@ -225,15 +238,28 @@ def _pin(ds):
 
 def _label_checksum(labels) -> int:
     """Order-independent scalar fingerprint of a (node, label) Dataset —
-    the per-round convergence probe (a tiny aggregate, not a download)."""
-    def partial(batch: pa.Table) -> pa.Table:
-        total = sum(_crc(f"{n}\x00{v}")
-                    for n, v in zip(batch["node"].to_pylist(),
-                                    batch["label"].to_pylist()))
-        return pa.table({"h": pa.array([total], pa.int64())})
+    the per-round convergence probe (a tiny aggregate, not a download).
 
-    out = labels.map_batches(partial, batch_format="pyarrow").sum("h")
-    return int(out or 0)
+    Vectorized 64-bit per-row hashes (siphash node ^ mixed siphash
+    label, then one more splitmix64 pass), summed mod 2^64 — a collision
+    between two differing label states needs a 2^-64 event, vs the old
+    per-row crc32 sum (32-bit, and per-row Python)."""
+    import numpy as np
+
+    from .sketches import _hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hn = _hashed_strings(batch["node"].to_pylist())
+        hl = _hashed_strings(batch["label"].to_pylist())
+        comb = _hash64(hn ^ _hash64(hl))
+        total = comb.sum(dtype=np.uint64)      # wraps mod 2^64
+        return pa.table({"h": pa.array([np.uint64(total).astype(np.int64)],
+                                       pa.int64())})
+
+    # one row per block — tiny; wrap-sum on the driver keeps 64-bit
+    # modular arithmetic exact (Arrow Sum would overflow int64)
+    parts = labels.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return int(parts["h"].to_numpy().view(np.uint64).sum(dtype=np.uint64))
 
 
 def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,

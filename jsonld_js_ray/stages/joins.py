@@ -2,8 +2,8 @@
 
 - broadcast_join: small side (dimension table) via ray.put once +
   per-batch vectorized lookup — no shuffle. Used for customer→orders.
-- bucketed_hash_join: both sides large → add bucket = crc32(key) % B to
-  each side, groupby bucket on the union, join per bucket in pandas.
+- bucketed_hash_join: both sides large → add bucket = splitmix64(key) % B
+  to each side, groupby bucket on the union, join per bucket in pandas.
   The explicit partitioned hash join from the Ray guide (portable across
   Ray versions without Dataset.join).
 
@@ -13,7 +13,6 @@ order-nondeterministic and cannot be oracle-hashed).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -82,7 +81,8 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     per order priority.
 
     Explicit partitioned hash join: tag each side, bucket by
-    crc32(orderkey) % B, union, groupby(bucket), pandas join per bucket,
+    splitmix64(orderkey) % B, union, groupby(bucket), pandas join per
+    bucket,
     then a tiny final aggregate. Per-bucket PARTIAL aggregation keeps the
     final groupby at |priorities| × B rows."""
     import pandas as pd
@@ -90,11 +90,14 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def bucketize(key_col):
+        from .sketches import _hash64
+
         def fn(batch: pa.Table, _col=key_col) -> pa.Table:
+            # vectorized splitmix64 over the whole column — the bucket id
+            # only co-locates rows, so any deterministic mix works
             keys = batch[_col].to_numpy(zero_copy_only=False)
-            buckets = np.array(
-                [zlib.crc32(int(k).to_bytes(8, "little")) % NUM_BUCKETS
-                 for k in keys], dtype=np.int32)
+            buckets = (_hash64(keys.astype(np.int64))
+                       % np.uint64(NUM_BUCKETS)).astype(np.int32)
             return batch.append_column("bucket", pa.array(buckets))
         return fn
 
