@@ -139,8 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_planted": td.q_dedup_simhash_planted,
         "fingerprint_classes_planted": td.q_fingerprint_classes_planted,
         "knn_brute": td.q_knn_brute,
-        "knn_lsh": td.q_knn_lsh,
-        "knn_ivf": td.q_knn_ivf,
+        "knn_lsh": td.q_knn_lsh_checked,
+        "knn_ivf": td.q_knn_ivf_exhaustive,
         "text_stats": td.q_text_stats,
         "token_counts": td.q_token_counts,
         "split_assign": td.q_split_assign,
@@ -275,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
         LANG_ID_SQL,
+        QUALITY_SQL,
         SAMPLE_DOCS_SQL,
         SPLIT_ASSIGN_SQL,
         TEXT_STATS_SQL,
@@ -350,13 +351,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_planted": SIMHASH_PLANTED_SQL,
         "fingerprint_classes_planted": FINGERPRINT_CLASSES_PLANTED_SQL,
         "knn_brute": KNN_BRUTE_SQL,
-        # knn_lsh is approximate BY DESIGN, but its default table/bit
-        # parameters are sized for recall 1.0 at this corpus size and
-        # the hyperplanes are fixed-seed deterministic — so the exact
-        # top-k SQL is a valid oracle here (recall floor separately
-        # asserted in tests/test_training_data.py)
+        # knn_lsh is approximate BY DESIGN; the exact top-k SQL is a
+        # valid oracle only in the recall-1.0 regime its defaults are
+        # sized for, so q_knn_lsh_checked verifies that precondition
+        # in-run and raises if it breaks (plus a recall floor asserted
+        # in tests/test_training_data.py)
         "knn_lsh": KNN_BRUTE_SQL,
+        # knn_ivf query probes every centroid list (exhaustive) →
+        # equals brute by construction; the approximate scale path is
+        # recall-pinned in pytest
+        "knn_ivf": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
+        # quality is exact integer ppm arithmetic over the text_stats
+        # counters (floor division mirrored on both sides)
+        "quality": QUALITY_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
         "split_assign": SPLIT_ASSIGN_SQL,
         "sample_docs": SAMPLE_DOCS_SQL,
@@ -376,9 +384,6 @@ def oracle_sql() -> dict[str, str]:
         # No oracle (not SQL-expressible → driver rows-only check):
         #   window_distinct_users_hll (approximate sketch — its error
         #     bound is pinned vs the exact oracled twin in pytest),
-        #   knn_ivf (approximate; exhaustive-probe equality with brute
-        #     and clustered-recall floor pinned in pytest),
-        #   quality (float scores — equality not contract-able),
         #   fingerprint (engine-specific winnowing hex; its equality
         #     classes ARE oracled via fingerprint_classes_planted),
         #   dedup_minhash / dedup_simhash / dedup_ngram on the RAW

@@ -14,9 +14,9 @@ IMPORTANT: importing this package must NOT initialize Ray.
 """
 
 from .api import (  # noqa: F401
-    canonize, compact, create_node_map, expand, flatten, frame, from_rdf,
-    link, merge, process_context, register_rdf_parser, to_rdf,
-    unregister_rdf_parser,
+    canonize, compact, create_node_map, document_loaders, expand, flatten,
+    frame, from_rdf, link, merge, process_context, register_rdf_parser,
+    to_rdf, unregister_rdf_parser, use_document_loader,
 )
 from .core.errors import JsonLdError  # noqa: F401
 from .processor import JsonLdProcessor, factory  # noqa: F401

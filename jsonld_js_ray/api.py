@@ -24,30 +24,46 @@ from .core.types import is_keyword
 from .core.util import IdentifierIssuer, as_array, deep_clone, relabel_blank_nodes
 
 
+def _unwrap_loader_record(rec: Any, url: str) -> tuple:
+    """Unwrap a documentLoader return per the reference contract
+    (lib/jsonld.js:870-887): a dict return is ALWAYS the
+    ``{contextUrl, documentUrl, document}`` record. str/bytes returns
+    are accepted as a raw JSON body (engine convenience — the reference
+    loaders produce only records; raw parsed documents belong in
+    ``options['documents']``). Returns (contextUrl, document)."""
+    if isinstance(rec, dict):
+        if "document" not in rec:
+            raise JsonLdError(
+                "documentLoader returned a record without a 'document' "
+                "entry (loaders must return a {contextUrl, documentUrl, "
+                "document} record; to supply raw parsed documents use "
+                "options['documents']).",
+                "jsonld.LoadDocumentError", code="loading document failed",
+                details={"url": url})
+        return rec.get("contextUrl"), rec["document"]
+    return None, rec
+
+
 def _setup_options(options: dict | None) -> dict:
     opts = dict(options or {})
     opts.setdefault("base", "")
     opts.setdefault("processingMode", "json-ld-1.1")
     if "contextResolver" not in opts:
-        loader = opts.get("documentLoader")
+        loader = opts.get("documentLoader") or _default_document_loader
         resolver_loader = None
         if loader is not None:
             def resolver_loader(url, _loader=loader):
-                # loaders may return either the raw document or the
-                # reference's {contextUrl, documentUrl, document} record;
-                # string bodies are JSON-parsed and a Link-header
-                # contextUrl is APPENDED to the doc's @context, matching
+                # reference contract (lib/jsonld.js:870-887): a loader
+                # dict return is ALWAYS the {contextUrl, documentUrl,
+                # document} record — never a raw document (raw JSON
+                # bodies go through str/bytes returns, or
+                # options['documents']); a Link-header contextUrl is
+                # APPENDED to the doc's @context, matching
                 # ContextResolver._fetchContext (ContextResolver.js:
                 # 165-205)
                 import json as _json
 
-                rec = _loader(url)
-                context_url = None
-                doc = rec
-                if isinstance(rec, dict) and "document" in rec and \
-                        ("documentUrl" in rec or "contextUrl" in rec):
-                    context_url = rec.get("contextUrl")
-                    doc = rec["document"]
+                context_url, doc = _unwrap_loader_record(_loader(url), url)
                 if isinstance(doc, bytes):
                     doc = doc.decode("utf-8")
                 if isinstance(doc, str):
@@ -118,11 +134,17 @@ def compact(input_: Any, ctx: Any, options: dict | None = None) -> dict:
     """Compact a JSON-LD document with a context (lib/jsonld.js:122-248)."""
     options = _setup_options(options)
     options.setdefault("compactArrays", True)
+    options.setdefault("compactToRelative", True)
     options.setdefault("graph", False)
     options.setdefault("skipExpansion", False)
     options.setdefault("link", False)
     if options.get("link"):
         options["skipExpansion"] = True
+    if not options["compactToRelative"]:
+        # reference deletes options.base BEFORE expansion
+        # (lib/jsonld.js:158-160): IRIs stay absolute; an explicit @base
+        # in the compaction context still relativizes (compact.js:948)
+        options["base"] = ""
     if ctx is None:
         raise JsonLdError(
             "The compaction context must not be null.",
@@ -355,16 +377,20 @@ def load_document(url: str, options: dict | None = None) -> dict:
     (a url → parsed-JSON dict) or an injected ``options['documentLoader']``
     callable — the reference's pluggable-loader surface."""
     options = options or {}
-    loader = options.get("documentLoader")
+    loader = options.get("documentLoader") or _default_document_loader
     documents = options.get("documents") or {}
     if url in documents:
         return {"documentUrl": url, "document": documents[url],
                 "contextUrl": None}
     if loader is not None:
-        doc = loader(url)
-        if isinstance(doc, dict) and "document" in doc:
-            return doc
-        return {"documentUrl": url, "document": doc, "contextUrl": None}
+        rec = loader(url)
+        if isinstance(rec, dict):
+            # reference contract: dict returns ARE the record
+            _unwrap_loader_record(rec, url)   # validates 'document'
+            rec.setdefault("documentUrl", url)
+            rec.setdefault("contextUrl", None)
+            return rec
+        return {"documentUrl": url, "document": rec, "contextUrl": None}
     raise JsonLdError(
         f"Could not retrieve a JSON-LD document from the URL: {url}",
         "jsonld.LoadDocumentError", code="loading document failed",
@@ -390,3 +416,36 @@ def get_rdf_parser(content_type: str) -> Any:
 
 register_rdf_parser("application/n-quads", _nq.parse)
 register_rdf_parser("application/nquads", _nq.parse)
+
+
+# --- document-loader registry (lib/jsonld.js:965-997) ---
+# 'node' builds the full node-loader semantics over an injected
+# transport (sources/doc_loader.py); 'xhr' is n/a in a headless engine.
+
+def _node_loader_factory(transport=None, **params):
+    from .sources.doc_loader import node_document_loader
+
+    if transport is None:
+        raise JsonLdError(
+            "The 'node' document loader requires an injected transport "
+            "(no network in the engine): "
+            "use_document_loader('node', transport=...).",
+            "jsonld.UnknownDocumentLoader", details={"type": "node"})
+    return node_document_loader(transport, **params)
+
+
+document_loaders: dict[str, Any] = {"node": _node_loader_factory}
+
+_default_document_loader: Any = None
+
+
+def use_document_loader(type_: str, *args, **kwargs) -> None:
+    """Assign the process-default document loader from the registry
+    (lib/jsonld.js:974-987). The default is consulted whenever an
+    operation's options carry no ``documentLoader``."""
+    global _default_document_loader
+    if type_ not in document_loaders:
+        raise JsonLdError(
+            f'Unknown document loader type: "{type_}"',
+            "jsonld.UnknownDocumentLoader", details={"type": type_})
+    _default_document_loader = document_loaders[type_](*args, **kwargs)

@@ -64,6 +64,41 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(_embeddings(sf_dir))
 
 
+def q_knn_lsh_checked(sf_dir: str):
+    """knn_lsh with an explicit recall pre-check against knn_brute.
+
+    knn_lsh is approximate BY DESIGN; its exact-SQL oracle
+    (KNN_BRUTE_SQL) is valid only in the recall-1.0 parameter regime the
+    defaults are sized for. This driver-facing variant verifies that
+    precondition on the (k·n_queries)-row results and fails LOUDLY if a
+    corpus/parameter change breaks it — so the oracle gate can never
+    silently compare an under-recall result."""
+    from ..stages.similarity import knn_brute, knn_lsh
+
+    lsh = knn_lsh(_embeddings(sf_dir)).to_pandas()
+    brute = knn_brute(_embeddings(sf_dir)).to_pandas()
+    got = set(zip(lsh["query_id"], lsh["vec_id"]))
+    want = set(zip(brute["query_id"], brute["vec_id"]))
+    if got != want:
+        recall = len(got & want) / max(len(want), 1)
+        raise RuntimeError(
+            f"knn_lsh recall pre-check failed (recall={recall:.3f} < 1.0):"
+            f" the exact KNN_BRUTE_SQL oracle does not apply at these"
+            f" parameters/corpus — widen tables/bits or drop the oracle")
+    return lsh
+
+
+def q_knn_ivf_exhaustive(sf_dir: str):
+    """knn_ivf probing EVERY centroid list — scans all vectors, so the
+    result equals knn_brute by construction (asserted in
+    tests/test_training_data.py::test_knn_ivf_probe_all_equals_brute)
+    and carries KNN_BRUTE_SQL as an exact oracle. The approximate
+    n_probe < n_centroids scale path stays recall-pinned in pytest."""
+    from ..stages.similarity import IVF_CENTROIDS, knn_ivf
+
+    return knn_ivf(_embeddings(sf_dir), n_probe=IVF_CENTROIDS)
+
+
 def q_text_stats(sf_dir: str):
     from ..stages.text import text_stats_batch
 

@@ -33,6 +33,9 @@ NUM_PERMS = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_PERMS // BANDS
 MAX_PAIRS_PER_BUCKET = 10_000
+# verified-pair count above which minhash_lsh_dedup swaps its driver
+# union-find for the fully distributed label propagation
+DISTRIBUTED_LABELER_PAIRS = 5_000_000
 
 
 # --- exact dedup ---
@@ -445,14 +448,20 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None):
     Stages: minhash+band explode (map_batches) → bucket-count prefilter →
     candidate pairs → DISTRIBUTED exact shingle-Jaccard verification
     (texts joined in-cluster; the driver sees only pair lists) →
-    cluster labeling. The default labeler is the O(|verified pairs|)
-    driver union-find; pass ``labeler=cluster_pairs_distributed`` to
-    keep even the pair reduction off the driver (same candidate/verify
+    cluster labeling. The labeler is ADAPTIVE by default: below
+    DISTRIBUTED_LABELER_PAIRS verified pairs the O(|pairs|) driver
+    union-find wins (propagation costs several extra shuffle rounds);
+    above it the pipeline automatically switches to
+    ``cluster_pairs_distributed`` so a dup-heavy corpus never
+    materializes a huge pair list's transitive closure on one core.
+    Pass ``labeler=`` to force either path (same candidate/verify
     pipeline — ONE definition, no copy to drift)."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
                               batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
     verified = _verified_pairs(docs, pairs, "word", threshold)
+    if labeler is None and len(verified) > DISTRIBUTED_LABELER_PAIRS:
+        labeler = cluster_pairs_distributed
     if labeler is not None:
         return labeler(docs, verified)
 

@@ -125,27 +125,35 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
-    """Float quality score in [0,1] (rows-only; see module docstring)."""
+    """Quality score as an EXACT integer in [0, 1_000_000] (parts-per-
+    million), plus the float view quality = quality_u / 1e6.
+
+    All four terms are integer arithmetic (floor division) over the
+    already-oracled text_stats counters, so the score is bit-identical
+    across engines and carries a SQL oracle (QUALITY_SQL):
+
+      term1 = 6000 · min(n_tokens, 50)                (length, ≤300k)
+      term2 = ⌊300000 · n_distinct / max(n_tokens,1)⌋ (diversity, ≤300k)
+      term3 = min(⌊10^6 · n_stop / max(n_tokens,1)⌋, 200000)
+      term4 = 200000 − min(⌊2·10^6 · n_punct / max(n_chars,1)⌋, 200000)
+    """
     stats = text_stats_batch(batch)
     n_tokens = stats["n_tokens"].to_numpy()
     n_chars = stats["n_chars_engine"].to_numpy()
     n_distinct = stats["n_distinct"].to_numpy()
     n_stop = stats["n_stop_en"].to_numpy()
     n_punct = stats["n_punct"].to_numpy()
-    with np.errstate(divide="ignore", invalid="ignore"):
-        length_score = np.minimum(1.0, n_tokens / 50.0)
-        diversity = np.where(n_tokens > 0, n_distinct / np.maximum(
-            n_tokens, 1), 0.0)
-        stop_ratio = np.where(n_tokens > 0,
-                              n_stop / np.maximum(n_tokens, 1), 0.0)
-        punct_ratio = np.where(n_chars > 0,
-                               n_punct / np.maximum(n_chars, 1), 0.0)
-    score = (0.3 * length_score + 0.3 * diversity
-             + 0.2 * np.minimum(stop_ratio * 5, 1.0)
-             + 0.2 * (1.0 - np.minimum(punct_ratio * 10, 1.0)))
+    t = np.maximum(n_tokens, 1)
+    c = np.maximum(n_chars, 1)
+    term1 = 6000 * np.minimum(n_tokens, 50)
+    term2 = (300000 * n_distinct) // t
+    term3 = np.minimum((1_000_000 * n_stop) // t, 200000)
+    term4 = 200000 - np.minimum((2_000_000 * n_punct) // c, 200000)
+    quality_u = (term1 + term2 + term3 + term4).astype(np.int64)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "quality": pa.array(np.round(score, 6)),
+        "quality_u": pa.array(quality_u),
+        "quality": pa.array(quality_u / 1e6),
     })
 
 
@@ -224,6 +232,27 @@ SELECT doc_id,
             regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS BIGINT)
            AS n_punct
 FROM documents
+"""
+
+
+QUALITY_SQL = f"""
+WITH s AS ({TEXT_STATS_SQL})
+SELECT doc_id,
+       CAST(6000 * LEAST(n_tokens, 50)
+            + (300000 * n_distinct) // GREATEST(n_tokens, 1)
+            + LEAST((1000000 * n_stop_en) // GREATEST(n_tokens, 1),
+                    200000)
+            + 200000
+            - LEAST((2000000 * n_punct) // GREATEST(n_chars_engine, 1),
+                    200000) AS BIGINT) AS quality_u,
+       CAST(6000 * LEAST(n_tokens, 50)
+            + (300000 * n_distinct) // GREATEST(n_tokens, 1)
+            + LEAST((1000000 * n_stop_en) // GREATEST(n_tokens, 1),
+                    200000)
+            + 200000
+            - LEAST((2000000 * n_punct) // GREATEST(n_chars_engine, 1),
+                    200000) AS DOUBLE) / 1000000.0 AS quality
+FROM s
 """
 
 

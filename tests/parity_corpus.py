@@ -524,6 +524,29 @@ CASES += [
     {"name": "expand-keep-free-floating", "op": "expand",
      "options": {"keepFreeFloatingNodes": True},
      "input": [{"@id": EX + "only-id"}, {"@value": "fv"}]},
+    # compactToRelative=false clears base pre-expansion
+    # (lib/jsonld.js:144,158): IRIs stay absolute
+    {"name": "compact-to-relative-false", "op": "compact",
+     "options": {"base": "http://base.example/dir/",
+                 "compactToRelative": False},
+     "input": {"@id": "http://base.example/dir/doc",
+               EX + "p": [{"@id": "http://base.example/dir/other"}]},
+     "ctx": {"p": {"@id": EX + "p", "@type": "@id"}}},
+    # ...but an explicit @base in the compaction CONTEXT still
+    # relativizes (compact.js:948)
+    {"name": "compact-to-relative-false-ctx-base", "op": "compact",
+     "options": {"base": "http://unused.example/",
+                 "compactToRelative": False},
+     "input": {"@id": "http://ctxbase.example/a",
+               EX + "p": [{"@id": "http://ctxbase.example/b"}]},
+     "ctx": {"@base": "http://ctxbase.example/",
+             "p": {"@id": EX + "p", "@type": "@id"}}},
+    # default (true): same doc relativizes against options.base
+    {"name": "compact-to-relative-default", "op": "compact",
+     "options": {"base": "http://base.example/dir/"},
+     "input": {"@id": "http://base.example/dir/doc",
+               EX + "p": [{"@id": "http://base.example/dir/other"}]},
+     "ctx": {"p": {"@id": EX + "p", "@type": "@id"}}},
 ]
 
 # --- error-code matrix (negative-evaluation parity, SURVEY §7.4.7) ---

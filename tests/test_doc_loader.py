@@ -236,3 +236,42 @@ def test_context_url_reaches_expansion():
                      "@id": "https://e/s", "name": "Alice"},
                     {"documentLoader": lambda url: loader(url)})
     assert out[0]["http://xmlns.com/foaf/0.1/name"][0]["@value"] == "Alice"
+
+
+def test_document_loader_registry_and_default():
+    """lib/jsonld.js:965-997 — documentLoaders registry +
+    useDocumentLoader wiring the process default."""
+    import jsonld_js_ray as jl
+    from jsonld_js_ray import api
+
+    with pytest.raises(JsonLdError) as e:
+        jl.use_document_loader("xhr")
+    assert e.value.name == "jsonld.UnknownDocumentLoader"
+
+    # 'node' without a transport: clear error (no network in engine)
+    with pytest.raises(JsonLdError):
+        jl.use_document_loader("node")
+
+    routes = {
+        "https://e/ctx.json": (
+            200, {"content-type": "application/ld+json"},
+            {"@context": {"name": "http://xmlns.com/foaf/0.1/name"}}),
+    }
+    try:
+        jl.use_document_loader("node", transport=_transport(routes))
+        out = jl.expand({"@context": "https://e/ctx.json",
+                         "@id": "https://e/s", "name": "Bo"})
+        assert out[0]["http://xmlns.com/foaf/0.1/name"][0]["@value"] == "Bo"
+        # custom registered loader type
+        jl.document_loaders["memory"] = lambda docs: (
+            lambda url: {"document": docs[url], "documentUrl": url,
+                         "contextUrl": None})
+        jl.use_document_loader(
+            "memory",
+            {"https://m/d": {"@context": {},
+                             "@id": "https://m/1"}})
+        rec = api.load_document("https://m/d")
+        assert rec["document"]["@id"] == "https://m/1"
+    finally:
+        api._default_document_loader = None
+        jl.document_loaders.pop("memory", None)

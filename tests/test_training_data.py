@@ -715,3 +715,23 @@ def test_distributed_labeling_handles_long_chains(ray_session):
     out = cluster_pairs_distributed(docs, pairs).to_pandas()
     assert set(out["cluster_id"]) == {0}
     assert out[out["keep"]]["doc_id"].tolist() == [0]
+
+
+def test_adaptive_labeler_threshold_swaps_to_distributed(
+        ray_session, sf_dir, monkeypatch):
+    """Above DISTRIBUTED_LABELER_PAIRS verified pairs, minhash_lsh_dedup
+    must auto-swap to the distributed labeler and still produce the
+    exact union-find clusters."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus = dedup.planted_documents(docs).materialize()
+    baseline = dedup.minhash_lsh_dedup(corpus, threshold=0.7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "DISTRIBUTED_LABELER_PAIRS", 0)
+    swapped = dedup.minhash_lsh_dedup(corpus, threshold=0.7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert baseline.equals(swapped[baseline.columns.tolist()])

@@ -116,10 +116,20 @@ def test_load_document_surface():
     assert rec["document"]["@id"] == "http://x/1"
 
     def loader(url):
-        return {"loaded": url}
+        return {"document": {"loaded": url}}
 
     rec2 = load_document("http://y.example/", {"documentLoader": loader})
     assert rec2["document"] == {"loaded": "http://y.example/"}
+    assert rec2["documentUrl"] == "http://y.example/"
+
+    # reference contract: a dict return is ALWAYS a record — one
+    # without 'document' is malformed, never silently a raw doc
+    def bad_loader(url):
+        return {"loaded": url}
+
+    with pytest.raises(JsonLdError) as e:
+        load_document("http://y.example/", {"documentLoader": bad_loader})
+    assert e.value.code == "loading document failed"
 
     with pytest.raises(JsonLdError) as e:
         load_document("http://nope.example/")
