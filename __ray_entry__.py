@@ -389,5 +389,8 @@ def oracle_sql() -> dict[str, str]:
         #   dedup_minhash / dedup_simhash / dedup_ngram on the RAW
         #     corpus (real near-dup structure isn't SQL-expressible;
         #     the planted variants above oracle the same code paths),
-        #   multimodal_features (synthetic binary decode)
+        #   multimodal_features / multimodal_audio (real BMP/WAV
+        #     container decode — not SQL-expressible; codecs are
+        #     cross-checked against stdlib wave + golden BMP bytes
+        #     in pytest)
     }

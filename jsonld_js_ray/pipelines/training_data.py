@@ -198,12 +198,12 @@ def q_fingerprint_classes_planted(sf_dir: str):
     (doc_id, class_id) where class_id = min doc_id sharing the
     fingerprint. Exact copies share it by construction; the interleaved
     doc-unique char makes cross-doc equality impossible."""
+    import numpy as np
     import pyarrow as pa
 
     from ..stages.dedup import planted_documents
+    from ..stages.entity_merge import _hashed_strings
     from ..stages.text import fingerprint_batch
-
-    import zlib
 
     corpus = planted_documents(_docs(sf_dir), include_suffix=False)
     fps = corpus.map_batches(fingerprint_batch, batch_format="pyarrow",
@@ -215,10 +215,10 @@ def q_fingerprint_classes_planted(sf_dir: str):
     num_buckets = 64
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        fs = batch["fingerprint"].to_pylist()
-        return batch.append_column("bucket", pa.array(
-            [zlib.crc32(f.encode()) % num_buckets for f in fs],
-            pa.int32()))
+        buckets = (_hashed_strings(batch["fingerprint"].to_pylist())
+                   % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket",
+                                   pa.array(buckets, pa.int32()))
 
     def per_bucket(g):
         cls = g.groupby("fingerprint")["doc_id"].transform("min")
@@ -232,7 +232,7 @@ def q_fingerprint_classes_planted(sf_dir: str):
 
 
 def q_multimodal_audio(sf_dir: str):
-    """Synthetic audio (deterministic fake PCM) → decode/feature actor
+    """Synthetic audio (deterministic real WAV) → decode/feature actor
     stage; sf_dir sizes the table."""
     import ray.data as rd
 

@@ -363,7 +363,8 @@ def _verified_pairs(docs, pairs, kind: str, threshold: float):
         verify_shard, batch_format="pandas").to_pandas()
 
 
-def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
+def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
+                        strict_caps: bool = False):
     """(key_cols..., doc_id, ...) rows → candidate-pair DataFrame.
 
     Two-step to dodge per-group overhead on the (overwhelmingly
@@ -412,17 +413,29 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None):
                         value_set=_hot)
         return t.filter(mask)
 
+    import functools
+
     hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
     pairs_ds = hot_rows.groupby(key_cols).map_groups(
-        pair_fn or _bucket_pairs, batch_format="pandas")
+        pair_fn or functools.partial(_bucket_pairs, strict=strict_caps),
+        batch_format="pandas")
     return pairs_ds.to_pandas().drop_duplicates()
 
 
-def _bucket_pairs(g):
-    """One LSH bucket's doc_ids → candidate pairs (capped, WARNED —
-    no silent truncation)."""
+def _cap_event(msg: str, strict: bool) -> None:
+    """Hot-bucket cap policy: strict mode RAISES (oracle/correctness
+    runs must not pass while dropping candidates — worker warnings are
+    easy to miss on the driver); non-strict warns and truncates."""
     import warnings
 
+    if strict:
+        raise RuntimeError(f"strict_caps: {msg}")
+    warnings.warn(msg)
+
+
+def _bucket_pairs(g, strict: bool = False):
+    """One LSH bucket's doc_ids → candidate pairs (capped — warned, or
+    raised under ``strict``; never silent)."""
     import pandas as pd
 
     ids = sorted(set(int(x) for x in g["doc_id"]))
@@ -431,18 +444,19 @@ def _bucket_pairs(g):
         for j in range(i + 1, len(ids)):
             pairs.append((ids[i], ids[j]))
             if len(pairs) >= MAX_PAIRS_PER_BUCKET:
-                warnings.warn(
+                _cap_event(
                     f"LSH bucket with {len(ids)} docs exceeded "
                     f"MAX_PAIRS_PER_BUCKET={MAX_PAIRS_PER_BUCKET}; "
                     f"candidate pairs truncated — consider more bands "
-                    f"or a higher cap")
+                    f"or a higher cap", strict)
                 return pd.DataFrame(pairs, columns=["a", "b"])
     return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else \
         pd.DataFrame({"a": pd.Series(dtype="int64"),
                       "b": pd.Series(dtype="int64")})
 
 
-def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None):
+def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None,
+                      strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
     Stages: minhash+band explode (map_batches) → bucket-count prefilter →
@@ -458,7 +472,8 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None):
     pipeline — ONE definition, no copy to drift)."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
                               batch_size=256)
-    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"],
+                                strict_caps=strict_caps)
     verified = _verified_pairs(docs, pairs, "word", threshold)
     if labeler is None and len(verified) > DISTRIBUTED_LABELER_PAIRS:
         labeler = cluster_pairs_distributed
@@ -510,14 +525,12 @@ class SimHashStage:
         return pa.table(cols)
 
 
-def _bucket_pairs_hamming(g, max_hamming: int):
+def _bucket_pairs_hamming(g, max_hamming: int, strict: bool = False):
     """One SimHash band bucket → VERIFIED pairs (Hamming ≤ max_hamming).
 
     Both signatures are group rows, so verification happens here — the
     driver never sees a doc→signature map, only the (dup-density-bounded)
     verified pair list. Vectorized: pairwise XOR + unpackbits popcount."""
-    import warnings
-
     import pandas as pd
 
     ids = g["doc_id"].to_numpy().astype(np.int64)
@@ -532,14 +545,14 @@ def _bucket_pairs_hamming(g, max_hamming: int):
     if m < 2:
         return empty
     # bound the m² verification matrix the same way _bucket_pairs bounds
-    # pair explosions — warn, never truncate silently
+    # pair explosions — warned or raised (strict), never silent
     max_members = int(np.sqrt(2 * MAX_PAIRS_PER_BUCKET)) + 1
     if m > max_members:
-        warnings.warn(
+        _cap_event(
             f"SimHash band bucket with {m} docs exceeds the pair cap "
             f"(MAX_PAIRS_PER_BUCKET={MAX_PAIRS_PER_BUCKET}); verifying "
             f"only the first {max_members} members — consider wider "
-            f"bands or a higher cap")
+            f"bands or a higher cap", strict)
         ids, sigs = ids[:max_members], sigs[:max_members]
         m = max_members
     xor = (sigs[:, None] ^ sigs[None, :])
@@ -551,7 +564,8 @@ def _bucket_pairs_hamming(g, max_hamming: int):
     return pd.DataFrame({"a": ids[a_idx], "b": ids[b_idx]})
 
 
-def simhash_dedup(docs, max_hamming: int = 3):
+def simhash_dedup(docs, max_hamming: int = 3,
+                  strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep) via SimHash banding.
 
     Hamming ≤ 3 over 64 bits guarantees at least one of the four 16-bit
@@ -565,7 +579,8 @@ def simhash_dedup(docs, max_hamming: int = 3):
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
                             batch_size=256).materialize()
     verify = functools.partial(_bucket_pairs_hamming,
-                               max_hamming=max_hamming)
+                               max_hamming=max_hamming,
+                               strict=strict_caps)
     frames = [
         _pairs_from_buckets(
             sigs.select_columns([f"band{band}", "doc_id", "simhash"]),
@@ -604,7 +619,8 @@ EMB_DEDUP_SHARDS = 64
 
 def embedding_dedup(embeddings, threshold: float = 0.95,
                     tables: int = EMB_DEDUP_TABLES,
-                    bits: int = EMB_DEDUP_BITS):
+                    bits: int = EMB_DEDUP_BITS,
+                    strict_caps: bool = False):
     """embeddings Dataset → (vec_id, cluster_id, keep): near-dup = cosine
     ≥ threshold vs an earlier vector (cluster = min such id, else self).
 
@@ -668,7 +684,7 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
 
     max_members = int(np.sqrt(2 * MAX_PAIRS_PER_BUCKET)) + 1
 
-    def bucket_cands(g, _threshold=threshold):
+    def bucket_cands(g, _threshold=threshold, _strict=strict_caps):
         import pandas as pd
 
         ids = g["vec_id"].to_numpy().astype(np.int64)
@@ -679,10 +695,10 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cand": pa.array([], pa.int64())})
         if len(ids) > max_members:
-            warnings.warn(
+            _cap_event(
                 f"embedding LSH bucket with {len(ids)} vectors exceeds "
                 f"the verification cap ({max_members}); truncating — "
-                f"increase bits for this corpus size")
+                f"increase bits for this corpus size", _strict)
             g, ids = g.iloc[:max_members], ids[:max_members]
         mat = np.stack([np.asarray(v, dtype=np.float64)
                         for v in g["embedding"]])
@@ -741,13 +757,15 @@ class CharGramMinHashStage:
         return _band_rows(doc_ids, sigs, 177)
 
 
-def ngram_jaccard_dedup(docs, threshold: float = 0.8):
+def ngram_jaccard_dedup(docs, threshold: float = 0.8,
+                        strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep): near-dup = character
     3-gram Jaccard ≥ threshold, candidates via char-gram MinHash bands,
     verified with the exact ``ngram_jaccard`` kernel."""
     banded = docs.map_batches(CharGramMinHashStage(),
                               batch_format="pyarrow", batch_size=256)
-    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"])
+    pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"],
+                                strict_caps=strict_caps)
     verified = _verified_pairs(docs, pairs, "char", threshold)
 
     uf = _UnionFind()
@@ -858,15 +876,20 @@ def planted_documents(docs, include_suffix: bool = True):
 
 
 def minhash_lsh_dedup_planted(docs):
-    return minhash_lsh_dedup(planted_documents(docs), threshold=0.7)
+    # strict: the construction-based oracle must FAIL, not under-merge,
+    # if a cap ever truncates candidates
+    return minhash_lsh_dedup(planted_documents(docs), threshold=0.7,
+                             strict_caps=True)
 
 
 def ngram_jaccard_dedup_planted(docs):
-    return ngram_jaccard_dedup(planted_documents(docs), threshold=0.8)
+    return ngram_jaccard_dedup(planted_documents(docs), threshold=0.8,
+                               strict_caps=True)
 
 
 def simhash_dedup_planted(docs):
-    return simhash_dedup(planted_documents(docs, include_suffix=False))
+    return simhash_dedup(planted_documents(docs, include_suffix=False),
+                         strict_caps=True)
 
 
 _PLANTED_BASE_SQL = r"""
@@ -922,7 +945,8 @@ def planted_embeddings(embeddings):
 
 
 def embedding_dedup_planted(embeddings, threshold: float = 0.95):
-    return embedding_dedup(planted_embeddings(embeddings), threshold)
+    return embedding_dedup(planted_embeddings(embeddings), threshold,
+                           strict_caps=True)
 
 
 # expected output is pure id arithmetic GIVEN the (verified) fact that

@@ -154,21 +154,21 @@ class SigBandExplode:
 MAX_BUCKET_MEMBERS = 142     # ~MAX_PAIRS_PER_BUCKET verification pairs
 
 
-def _bucket_edges(g, threshold: float):
+def _bucket_edges(g, threshold: float, strict: bool = False):
     """One LSH bucket's surfaces → verified SYMMETRIC edges (src, dst)
     for label propagation. Verification is IN-BUCKET: both strings are
     group rows, no driver fetch. Returns a TYPED arrow table so every
     downstream block is arrow (mixed block types break Ray's sort).
-    Degenerate buckets are capped with a WARNING (same never-silent
-    policy as dedup.MAX_PAIRS_PER_BUCKET)."""
-    import warnings
+    Degenerate buckets are capped — warned, or raised under ``strict``
+    (same never-silent policy as dedup.MAX_PAIRS_PER_BUCKET)."""
+    from .dedup import _cap_event
 
     members = sorted(set(g["surface"]))
     if len(members) > MAX_BUCKET_MEMBERS:
-        warnings.warn(
+        _cap_event(
             f"entity LSH bucket with {len(members)} surfaces exceeds "
             f"the verification cap ({MAX_BUCKET_MEMBERS}); truncating — "
-            f"consider more bands or pre-splitting hot surfaces")
+            f"consider more bands or pre-splitting hot surfaces", strict)
         members = members[:MAX_BUCKET_MEMBERS]
     src: list[str] = []
     dst: list[str] = []
@@ -181,7 +181,8 @@ def _bucket_edges(g, threshold: float):
                      "dst": pa.array(dst, pa.string())})
 
 
-def verified_edges(stats, threshold: float = 0.6):
+def verified_edges(stats, threshold: float = 0.6,
+                   strict_caps: bool = False):
     """vocab Dataset (surface, ...) → deduplicated verified edge Dataset
     (src, dst), symmetric. Banding + verification run inside the band
     groupby; the (band-deduplicated) edge set comes from a second tiny
@@ -193,7 +194,8 @@ def verified_edges(stats, threshold: float = 0.6):
     banded = stats.map_batches(SigBandExplode(), batch_format="pyarrow",
                                batch_size=8192)
     edges = banded.groupby(["band_id", "band_hash"]).map_groups(
-        functools.partial(_bucket_edges, threshold=threshold),
+        functools.partial(_bucket_edges, threshold=threshold,
+                          strict=strict_caps),
         batch_format="pandas")
     # same pair often fires in several bands → dedupe with a groupby
     return edges.groupby(["src", "dst"]).aggregate(
@@ -351,7 +353,8 @@ def propagate_min_labels(nodes, edges, max_rounds: int = MAX_ROUNDS,
 
 
 def canonicalize_entities(mentions, threshold: float = 0.6,
-                          num_salts: int = DEFAULT_SALTS):
+                          num_salts: int = DEFAULT_SALTS,
+                          strict_caps: bool = False):
     """mentions Dataset → (surface, n_mentions, canonical) Dataset.
 
     End-to-end distributed: salted two-phase count → band explode →
@@ -362,7 +365,7 @@ def canonicalize_entities(mentions, threshold: float = 0.6,
     from ray.data.aggregate import Min, Sum
 
     stats = surface_stats(mentions, num_salts).materialize()
-    edges = verified_edges(stats, threshold)
+    edges = verified_edges(stats, threshold, strict_caps=strict_caps)
 
     def as_nodes(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["surface"]})
@@ -481,8 +484,10 @@ def planted_variant_mentions(mentions):
 
 
 def canonicalize_entities_planted(mentions, threshold: float = 0.6):
+    # strict: the construction-based oracle must FAIL, not under-merge,
+    # if a cap ever truncates a bucket
     return canonicalize_entities(planted_variant_mentions(mentions),
-                                 threshold)
+                                 threshold, strict_caps=True)
 
 
 def _entities_canonical_sql() -> str:

@@ -2,27 +2,32 @@
 
 Images/audio/video are carried as Arrow ``binary`` columns with a JSON
 metadata column; decode / feature-extract / resize / frame-sample are
-actor-pool ``map_batches`` stages. The actual codec libraries (PIL,
-torchaudio, ffmpeg) are NOT in this container, so the decode kernel is
-STUBBED: ``ImageDecodeActor`` tries to import PIL in ``__init__`` and
-otherwise uses the deterministic fake codec below (or raises
-NotImplementedError in ``strict`` mode). The Ray-side plumbing — schema,
-small batch sizes for wide binary rows, actor signature, output layout —
-is real and tested.
+actor-pool ``map_batches`` stages (state loaded once per actor in
+``__init__``, work per batch in ``__call__``; small batch sizes because
+binary rows are wide).
 
-Fake codec: payload = b"FAKEIMG1" + width(u16 LE) + height(u16 LE) +
-channels(u8) + pixel bytes (row-major).
+The decode path is REAL end-to-end with no third-party codec libraries:
+
+- images are 24-bit uncompressed **BMP** (BITMAPINFOHEADER, BI_RGB) —
+  encoded and decoded here with struct+numpy; any external image tool
+  can read/write the payloads;
+- audio is 16-bit PCM **WAV** (RIFF) — our struct codec is cross-checked
+  in tests against the stdlib ``wave`` module in both directions.
+
+A heavier codec (PIL for JPEG/PNG, soundfile for FLAC/OGG) is picked up
+per actor in ``__init__`` when installed; unknown containers without one
+raise ValueError. (The reference processor has no media pipeline; this
+module is part of the training-data layer the engine adds.)
 """
 
 from __future__ import annotations
 
+import io
 import json
 import struct
 
 import numpy as np
 import pyarrow as pa
-
-MAGIC = b"FAKEIMG1"
 
 MEDIA_SCHEMA = pa.schema([
     ("item_id", pa.int64()),
@@ -32,25 +37,72 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def encode_fake_image(width: int, height: int, channels: int = 3,
-                      seed: int = 0) -> bytes:
+# --- BMP (24-bit BI_RGB) codec: struct+numpy, no external libs ---
+
+_BMP_HEADER = 14
+_BMP_INFO = 40
+_BMP_OFFSET = _BMP_HEADER + _BMP_INFO
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit uncompressed BMP bytes
+    (bottom-up rows, BGR order, rows padded to 4-byte multiples)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) RGB array")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    file_size = _BMP_OFFSET + body.size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_OFFSET)
+    info = struct.pack("<IiiHHIIiiII", _BMP_INFO, w, h, 1, 24, 0,
+                       body.size, 2835, 2835, 0, 0)
+    return header + info + body.tobytes()
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """24-bit uncompressed BMP bytes → (w, h, 3, (h, w, 3) uint8 RGB).
+    Handles both bottom-up (height > 0) and top-down (height < 0)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset, = struct.unpack_from("<I", payload, 10)
+    info_size, w, h = struct.unpack_from("<Iii", payload, _BMP_HEADER)
+    planes, bpp, compression = struct.unpack_from(
+        "<HHI", payload, _BMP_HEADER + 12)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    body = np.frombuffer(payload, dtype=np.uint8, offset=offset,
+                         count=h * row_size).reshape(h, row_size)
+    rgb = body[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if not top_down:
+        rgb = rgb[::-1]
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
+def encode_bmp_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic random-pixel BMP (test/bench payloads)."""
     rng = np.random.RandomState(seed)
-    pixels = rng.randint(0, 256, size=width * height * channels,
-                         dtype=np.uint8)
-    return (MAGIC + struct.pack("<HHB", width, height, channels)
-            + pixels.tobytes())
+    pixels = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return encode_bmp(pixels)
 
 
 def synthesize_media_table(n_items: int = 32, seed: int = 5) -> pa.Table:
-    """Deterministic media table for tests/benchmarks (no external data)."""
+    """Deterministic media table for tests/benchmarks (no external
+    data); payloads are real BMP files."""
     rng = np.random.RandomState(seed)
     payloads = []
     metas = []
     for i in range(n_items):
         w = int(rng.randint(8, 64))
         h = int(rng.randint(8, 64))
-        payloads.append(encode_fake_image(w, h, 3, seed=seed * 1000 + i))
-        metas.append(json.dumps({"source": f"synth-{i}", "codec": "fake"}))
+        payloads.append(encode_bmp_image(w, h, seed=seed * 1000 + i))
+        metas.append(json.dumps({"source": f"synth-{i}", "codec": "bmp"}))
     return pa.table({
         "item_id": pa.array(range(n_items), pa.int64()),
         "kind": pa.array(["image"] * n_items, pa.string()),
@@ -59,44 +111,32 @@ def synthesize_media_table(n_items: int = 32, seed: int = 5) -> pa.Table:
     })
 
 
-def _decode_fake(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    if not payload.startswith(MAGIC):
-        raise ValueError("not a FAKEIMG1 payload")
-    w, h, c = struct.unpack_from("<HHB", payload, len(MAGIC))
-    pixels = np.frombuffer(payload, dtype=np.uint8,
-                           offset=len(MAGIC) + 5).reshape(h, w, c)
-    return w, h, c, pixels
-
-
 class ImageDecodeActor:
-    """Actor: decode payloads → (item_id, width, height, channels,
+    """Actor: image payloads → (item_id, width, height, channels,
     mean_r/g/b) feature rows.
 
-    Real decoder loads once per actor in ``__init__``; the sandbox path
-    uses the deterministic fake codec. ``strict=True`` raises
-    NotImplementedError when no real decoder exists (documented stub)."""
+    BMP decodes natively (stdlib struct+numpy — a real container
+    format, no stub). A heavier codec (PIL), when installed, is loaded
+    ONCE per actor here in ``__init__`` and handles everything else;
+    without one, non-BMP payloads raise ValueError."""
 
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self) -> None:
         self.pil = None
         try:
             from PIL import Image  # noqa: F401
             self.pil = Image
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "no image codec in this environment; install PIL or "
-                    "use the fake codec (strict=False)")
+            pass
 
     def _decode(self, payload: bytes):
-        if payload.startswith(MAGIC):
-            return _decode_fake(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
         if self.pil is not None:
-            import io
             img = self.pil.open(io.BytesIO(payload)).convert("RGB")
             arr = np.asarray(img)
             return arr.shape[1], arr.shape[0], arr.shape[2], arr
         raise ValueError(
-            "payload is neither FAKEIMG1 nor decodable (no codec)")
+            "payload is not BMP and no other image codec is installed")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         item_ids = batch["item_id"].to_pylist()
@@ -126,8 +166,8 @@ class ImageDecodeActor:
 
 
 class ImageResizeActor:
-    """Actor: nearest-neighbor resize inside the fake codec (stand-in for
-    a real resize kernel); re-encodes to the same payload format."""
+    """Actor: nearest-neighbor resize of BMP payloads; re-encodes to
+    BMP (decode → numpy index-resize → encode, all vectorized)."""
 
     def __init__(self, target: int = 16) -> None:
         self.target = target
@@ -137,13 +177,11 @@ class ImageResizeActor:
         payloads = batch["payload"].to_pylist()
         out = []
         for p in payloads:
-            w, h, c, px = _decode_fake(p)
+            w, h, _c, px = decode_bmp(p)
             t = self.target
             yi = (np.arange(t) * h // t)
             xi = (np.arange(t) * w // t)
-            small = px[yi][:, xi]
-            out.append(MAGIC + struct.pack("<HHB", t, t, c)
-                       + small.tobytes())
+            out.append(encode_bmp(px[yi][:, xi]))
         return pa.table({
             "item_id": pa.array(item_ids, pa.int64()),
             "kind": pa.array(["image"] * len(item_ids), pa.string()),
@@ -153,9 +191,9 @@ class ImageResizeActor:
 
 
 class FrameSampleActor:
-    """Actor: 'video' → every Nth 'frame' (stand-in: slices the payload
-    pixel rows into frame-sized chunks). Demonstrates the 1→N flat-map
-    layout for frame extraction."""
+    """Actor: 'video' (a tall BMP as a stacked frame strip) → every Nth
+    pixel-row re-encoded as a 1-row BMP frame. Demonstrates the 1→N
+    flat-map layout for frame extraction."""
 
     def __init__(self, every: int = 4) -> None:
         self.every = every
@@ -165,13 +203,11 @@ class FrameSampleActor:
         payloads = batch["payload"].to_pylist()
         out_item, out_frame, out_payload = [], [], []
         for item_id, p in zip(item_ids, payloads):
-            w, h, c, px = _decode_fake(p)
+            w, h, _c, px = decode_bmp(p)
             for frame_idx, row in enumerate(range(0, h, self.every)):
-                frame = px[row:row + 1]
                 out_item.append(item_id)
                 out_frame.append(frame_idx)
-                out_payload.append(
-                    MAGIC + struct.pack("<HHB", w, 1, c) + frame.tobytes())
+                out_payload.append(encode_bmp(px[row:row + 1]))
         return pa.table({
             "item_id": pa.array(out_item, pa.int64()),
             "frame_idx": pa.array(out_frame, pa.int32()),
@@ -187,33 +223,67 @@ def decode_features(media, concurrency=None, batch_size: int = 64):
         concurrency=concurrency if concurrency else (1, 4))
 
 
-# --- audio (same opaque-binary + honest-stub pattern) ---
-#
-# Fake PCM codec: payload = b"FAKEAUD1" + sample_rate(u32 LE) +
-# n_samples(u32 LE) + int16 LE samples.
+# --- audio: 16-bit PCM WAV (RIFF), struct codec ---
 
-AUDIO_MAGIC = b"FAKEAUD1"
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """mono int16 samples → WAV (RIFF, PCM 16-bit) bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      byte_rate, 2, 16)
+    header = struct.pack("<4sI4s", b"RIFF",
+                         4 + len(fmt) + 8 + len(data), b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
-def encode_fake_audio(sample_rate: int, n_samples: int,
-                      seed: int = 0) -> bytes:
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV (RIFF, PCM 16-bit mono) bytes → (sample_rate, int16 array).
+    Walks RIFF chunks, so extra chunks (LIST/INFO, fact) are skipped."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos)
+            bits, = struct.unpack_from("<H", payload, pos + 14)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM 16-bit mono WAV supported (fmt="
+                    f"{audio_fmt}, ch={channels}, bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", offset=pos,
+                                 count=size // 2)
+        pos += size + (size & 1)                  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sample_rate, data
+
+
+def encode_wav_audio(sample_rate: int, n_samples: int,
+                     seed: int = 0) -> bytes:
+    """Deterministic random-sample WAV (test/bench payloads)."""
     rng = np.random.RandomState(seed)
-    samples = rng.randint(-32768, 32768, size=n_samples,
-                          dtype=np.int16)
-    return (AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
-            + samples.tobytes())
+    samples = rng.randint(-32768, 32768, size=n_samples, dtype=np.int16)
+    return encode_wav(sample_rate, samples)
 
 
 def synthesize_audio_table(n_items: int = 32, seed: int = 9) -> pa.Table:
-    """Deterministic audio table (no external data)."""
+    """Deterministic audio table (no external data); payloads are real
+    WAV files."""
     rng = np.random.RandomState(seed)
     payloads, metas = [], []
     for i in range(n_items):
         sr = int(rng.choice([8000, 16000, 44100]))
         n = int(rng.randint(sr // 10, sr))       # 0.1–1.0 s clips
-        payloads.append(encode_fake_audio(sr, n, seed=seed * 1000 + i))
+        payloads.append(encode_wav_audio(sr, n, seed=seed * 1000 + i))
         metas.append(json.dumps({"source": f"synth-audio-{i}",
-                                 "codec": "fake-pcm"}))
+                                 "codec": "wav-pcm16"}))
     return pa.table({
         "item_id": pa.array(range(n_items), pa.int64()),
         "kind": pa.array(["audio"] * n_items, pa.string()),
@@ -222,44 +292,30 @@ def synthesize_audio_table(n_items: int = 32, seed: int = 9) -> pa.Table:
     })
 
 
-def _decode_fake_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    if not payload.startswith(AUDIO_MAGIC):
-        raise ValueError("not a FAKEAUD1 payload")
-    sr, n = struct.unpack_from("<II", payload, len(AUDIO_MAGIC))
-    samples = np.frombuffer(payload, dtype="<i2",
-                            offset=len(AUDIO_MAGIC) + 8, count=n)
-    return sr, samples
-
-
 class AudioDecodeActor:
     """Actor: audio payloads → (item_id, sample_rate, n_samples,
-    duration_s, rms, peak) feature rows. A real deployment would load
-    soundfile/torchaudio once per actor in ``__init__``; the sandbox
-    falls back to the deterministic fake PCM codec (``strict=True``
-    raises NotImplementedError — documented stub, same policy as
-    ImageDecodeActor)."""
+    duration_s, rms, peak) feature rows. WAV decodes natively (struct
+    RIFF walker, cross-checked against stdlib ``wave`` in tests); a
+    heavier codec (soundfile), when installed, is loaded once per actor
+    in ``__init__`` for other containers."""
 
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self) -> None:
         self.codec = None
         try:
             import soundfile  # noqa: F401
             self.codec = soundfile
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "no audio codec in this environment; install "
-                    "soundfile or use the fake codec (strict=False)")
+            pass
 
     def _decode(self, payload: bytes):
-        if payload.startswith(AUDIO_MAGIC):
-            return _decode_fake_audio(payload)
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
         if self.codec is not None:
-            import io
             data, sr = self.codec.read(io.BytesIO(payload),
                                        dtype="int16")
             return sr, np.asarray(data).reshape(-1)
         raise ValueError(
-            "payload is neither FAKEAUD1 nor decodable (no codec)")
+            "payload is not WAV and no other audio codec is installed")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         item_ids = batch["item_id"].to_pylist()

@@ -206,9 +206,12 @@ def test_multimodal_decode_and_resize(ray_session):
                             batch_size=4, concurrency=1).to_pandas()
     assert frames.groupby("item_id").size().min() >= 2
 
-    # strict mode documents the stub honestly
-    with pytest.raises(NotImplementedError):
-        ImageDecodeActor(strict=True)
+    # non-image payloads fail loudly without a heavier codec
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError):
+            ImageDecodeActor()._decode(b"\x89PNG_not_really")
 
 
 def test_multimodal_synth_deterministic():
@@ -467,7 +470,7 @@ def test_audio_decode_features(ray_session):
     import ray.data as rd
 
     from jsonld_js_ray.stages.multimodal import (
-        AudioDecodeActor, audio_features, encode_fake_audio,
+        AudioDecodeActor, audio_features, encode_wav_audio,
         synthesize_audio_table,
     )
 
@@ -484,19 +487,8 @@ def test_audio_decode_features(ray_session):
         synthesize_audio_table(n_items=8, seed=3)),
         concurrency=1).to_pandas()
     assert out.equals(out2)
-    # strict mode documents the missing-codec stub honestly
-    import pytest as _pytest
-
-    try:
-        import soundfile  # noqa: F401
-        has_codec = True
-    except ImportError:
-        has_codec = False
-    if not has_codec:
-        with _pytest.raises(NotImplementedError):
-            AudioDecodeActor(strict=True)
     # known payload → exact features
-    p = encode_fake_audio(8000, 4000, seed=1)
+    p = encode_wav_audio(8000, 4000, seed=1)
     one = AudioDecodeActor()(pa.table({
         "item_id": pa.array([7], pa.int64()),
         "payload": pa.array([p], pa.large_binary()),
@@ -508,17 +500,78 @@ def test_audio_decode_features(ray_session):
 
 def test_audio_peak_handles_full_scale_negative():
     """np.abs(int16(-32768)) wraps; the decode must widen first."""
-    import struct
-
-    from jsonld_js_ray.stages.multimodal import AUDIO_MAGIC, AudioDecodeActor
+    from jsonld_js_ray.stages.multimodal import AudioDecodeActor, encode_wav
 
     samples = np.array([-32768, 100], dtype=np.int16)
-    payload = AUDIO_MAGIC + struct.pack("<II", 8000, 2) + samples.tobytes()
+    payload = encode_wav(8000, samples)
     out = AudioDecodeActor()(pa.table({
         "item_id": pa.array([0], pa.int64()),
         "payload": pa.array([payload], pa.large_binary()),
     })).to_pydict()
     assert out["peak"] == [32768]
+
+
+def test_wav_codec_cross_checks_against_stdlib_wave():
+    """Our struct WAV codec vs the independent stdlib ``wave`` module,
+    both directions — the decode path is a real container format."""
+    import io
+    import wave
+
+    from jsonld_js_ray.stages.multimodal import decode_wav, encode_wav
+
+    samples = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+
+    # ours → stdlib
+    buf = io.BytesIO(encode_wav(16000, samples))
+    with wave.open(buf) as r:
+        assert r.getframerate() == 16000
+        assert r.getnchannels() == 1 and r.getsampwidth() == 2
+        got = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+    assert np.array_equal(got, samples)
+
+    # stdlib → ours
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    sr, got2 = decode_wav(buf2.getvalue())
+    assert sr == 8000 and np.array_equal(got2, samples)
+
+
+def test_bmp_codec_roundtrip_and_golden_bytes():
+    """BMP encode/decode round-trip + golden header bytes per the
+    public BMP spec (BITMAPFILEHEADER/BITMAPINFOHEADER layout)."""
+    import struct
+
+    from jsonld_js_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    payload = encode_bmp(px)
+    assert payload[:2] == b"BM"
+    file_size, = struct.unpack_from("<I", payload, 2)
+    assert file_size == len(payload)
+    info_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    assert (info_size, w, h) == (40, 3, 5)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    assert (planes, bpp, comp) == (1, 24, 0)
+    # rows padded to 4 bytes: 3 px * 3 B = 9 -> 12 per row
+    assert len(payload) == 54 + 12 * 5
+    # bottom-up BGR: first stored pixel is the LAST row's first (RGB
+    # 36,37,38 -> BGR 38,37,36)
+    assert payload[54:57] == bytes([38, 37, 36])
+    w2, h2, c2, out = decode_bmp(payload)
+    assert (w2, h2, c2) == (3, 5, 3)
+    assert np.array_equal(out, px)
+
+    # top-down variant (negative height) decodes too
+    neg = bytearray(payload)
+    struct.pack_into("<i", neg, 22, -5)
+    body = np.frombuffer(payload, np.uint8, offset=54).reshape(5, 12)
+    neg[54:] = body[::-1].tobytes()
+    _, _, _, out2 = decode_bmp(bytes(neg))
+    assert np.array_equal(out2, px)
 
 
 def test_token_counts_matches_oracle(ray_session, sf_dir):
@@ -735,3 +788,30 @@ def test_adaptive_labeler_threshold_swaps_to_distributed(
     swapped = dedup.minhash_lsh_dedup(corpus, threshold=0.7) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert baseline.equals(swapped[baseline.columns.tolist()])
+
+
+def test_strict_caps_raise_instead_of_truncating(ray_session):
+    """Oracle-facing (planted) paths run with strict_caps=True: a
+    hot-bucket cap must fail the run loudly, never silently under-merge
+    (ADVICE: worker warnings are easy to miss on the driver)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages import dedup
+
+    # 150 identical docs -> every band bucket holds C(150,2)=11175
+    # candidate pairs > MAX_PAIRS_PER_BUCKET=10000 (a real worker-side
+    # cap hit: monkeypatching the constant would not reach workers)
+    n = 150
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["one two three four five six"] * n,
+                         pa.large_string()),
+    }))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="strict_caps"):
+        dedup.minhash_lsh_dedup(docs, strict_caps=True).to_pandas()
+    # non-strict: same corpus completes (warn + truncate); the first
+    # 10000 ordered pairs keep the clique connected, so labeling is
+    # still exact here
+    out = dedup.minhash_lsh_dedup(docs, strict_caps=False).to_pandas()
+    assert len(out) == n and set(out["cluster_id"]) == {0}
