@@ -19,6 +19,7 @@ Scaling subprocesses use 1 rep (the 100+ s runs amortize constants).
 from __future__ import annotations
 
 import json
+from typing import Any
 import os
 import subprocess
 import sys
@@ -64,7 +65,7 @@ def run_bench() -> dict:
         build_quads(warm_dir).count()
 
     queries: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, Any] = {}
 
     # headline: flagship transcripts → canonical RDF quads.
     # Median of GRAFT_HEADLINE_REPS runs (box variance is +/-20-40% at
@@ -88,6 +89,7 @@ def run_bench() -> dict:
             "queries": queries, "sf": SF_DIR, "num_cpus": NUM_CPUS,
             "quads": n_quads,
             "triples_per_sec": round(n_quads / headline, 1),
+            **extras,
         }
 
     t0 = time.perf_counter()

@@ -385,11 +385,11 @@ def load_document(url: str, options: dict | None = None) -> dict:
     if loader is not None:
         rec = loader(url)
         if isinstance(rec, dict):
-            # reference contract: dict returns ARE the record
+            # reference contract: dict returns ARE the record; copy it —
+            # a loader may cache and return the same dict for many URLs
             _unwrap_loader_record(rec, url)   # validates 'document'
-            rec.setdefault("documentUrl", url)
-            rec.setdefault("contextUrl", None)
-            return rec
+            out = {"documentUrl": url, "contextUrl": None, **rec}
+            return out
         return {"documentUrl": url, "document": rec, "contextUrl": None}
     raise JsonLdError(
         f"Could not retrieve a JSON-LD document from the URL: {url}",

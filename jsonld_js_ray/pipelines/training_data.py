@@ -73,6 +73,8 @@ def q_knn_lsh_checked(sf_dir: str):
     precondition on the (k·n_queries)-row results and fails LOUDLY if a
     corpus/parameter change breaks it — so the oracle gate can never
     silently compare an under-recall result."""
+    import ray.data as rd
+
     from ..stages.similarity import knn_brute, knn_lsh
 
     lsh = knn_lsh(_embeddings(sf_dir)).to_pandas()
@@ -85,7 +87,8 @@ def q_knn_lsh_checked(sf_dir: str):
             f"knn_lsh recall pre-check failed (recall={recall:.3f} < 1.0):"
             f" the exact KNN_BRUTE_SQL oracle does not apply at these"
             f" parameters/corpus — widen tables/bits or drop the oracle")
-    return lsh
+    # hand back a Dataset like every other queries() entry
+    return rd.from_pandas(lsh)
 
 
 def q_knn_ivf_exhaustive(sf_dir: str):

@@ -267,12 +267,19 @@ VERIFY_SHARDS = 64
 
 
 def _verified_pairs(docs, pairs, kind: str, threshold: float):
-    """Candidate pairs → VERIFIED pairs, with the exact text-similarity
-    check running DISTRIBUTED: each candidate doc's text ships ONCE per
-    shard that needs it (shard = pair_id % VERIFY_SHARDS), role rows
-    carry only ids, and Jaccard runs inside the shard groupby — the
-    driver holds only the (dup-density-bounded) id pair lists, never
-    texts.
+    """Driver-side convenience: ``_verified_pairs_ds(...)`` collected to
+    pandas — for the union-find paths whose pair lists are known small
+    (dup-density-bounded, capped)."""
+    return _verified_pairs_ds(docs, pairs, kind, threshold).to_pandas()
+
+
+def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
+    """Candidate pairs → VERIFIED pair Dataset (a, b), with the exact
+    text-similarity check running DISTRIBUTED: each candidate doc's text
+    ships ONCE per shard that needs it (shard = pair_id % VERIFY_SHARDS),
+    role rows carry only ids, and Jaccard runs inside the shard groupby.
+    The result stays in the object store — callers that can consume a
+    Dataset (the distributed labeler) never pull pairs to the driver.
 
     kind: 'word' → word-3-shingle Jaccard; 'char' → char-3-gram
     Jaccard."""
@@ -283,7 +290,9 @@ def _verified_pairs(docs, pairs, kind: str, threshold: float):
     import ray.data as rd
 
     if not len(pairs):
-        return pairs
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64())}))
     a_ids = pairs["a"].astype("int64").to_numpy()
     b_ids = pairs["b"].astype("int64").to_numpy()
     pair_ids = np.arange(len(a_ids), dtype=np.int64)
@@ -360,7 +369,7 @@ def _verified_pairs(docs, pairs, kind: str, threshold: float):
                          "b": pa.array(bv, pa.int64())})
 
     return unioned.groupby("shard").map_groups(
-        verify_shard, batch_format="pandas").to_pandas()
+        verify_shard, batch_format="pandas")
 
 
 def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
@@ -474,12 +483,17 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None,
                               batch_size=256)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"],
                                 strict_caps=strict_caps)
-    verified = _verified_pairs(docs, pairs, "word", threshold)
-    if labeler is None and len(verified) > DISTRIBUTED_LABELER_PAIRS:
+    # the verified pair list stays a DATASET until the labeler decision:
+    # the adaptive swap must trigger BEFORE a huge pair list would be
+    # pulled to (and re-shipped from) the driver
+    verified_ds = _verified_pairs_ds(docs, pairs, "word",
+                                     threshold).materialize()
+    if labeler is None and             verified_ds.count() > DISTRIBUTED_LABELER_PAIRS:
         labeler = cluster_pairs_distributed
     if labeler is not None:
-        return labeler(docs, verified)
+        return labeler(docs, verified_ds)
 
+    verified = verified_ds.to_pandas()   # small: below the swap bound
     uf = _UnionFind()
     for a, b in zip(verified.get("a", []), verified.get("b", [])):
         uf.union(int(a), int(b))
@@ -962,7 +976,8 @@ SELECT vec_id + {PLANT_VEC_OFF}, vec_id, false FROM v
 # --- fully distributed cluster labeling (no driver union-find) ---
 
 def cluster_pairs_distributed(docs, pairs, max_rounds: int = 50):
-    """verified (a, b) pair list → (doc_id, cluster_id, keep) with NO
+    """verified (a, b) pairs — a Ray DATASET (pairs never touch the
+    driver) or a pandas DataFrame — → (doc_id, cluster_id, keep) with NO
     driver-side union-find: bounded min-label propagation over the pair
     graph (reuses ``entity_merge.propagate_min_labels``; ids are
     zero-padded decimal strings so lexicographic min == numeric min —
@@ -990,7 +1005,21 @@ def cluster_pairs_distributed(docs, pairs, max_rounds: int = 50):
                 "cluster_pairs_distributed requires non-negative ids")
         return pc.utf8_lpad(ints.cast(pa.string()), width, padding="0")
 
-    if len(pairs):
+    if isinstance(pairs, rd.Dataset):
+        def pair_edges(batch: pa.Table) -> pa.Table:
+            a = enc(batch["a"].combine_chunks()
+                    if isinstance(batch["a"], pa.ChunkedArray)
+                    else batch["a"])
+            b = enc(batch["b"].combine_chunks()
+                    if isinstance(batch["b"], pa.ChunkedArray)
+                    else batch["b"])
+            return pa.table({
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            })
+
+        edges = pairs.map_batches(pair_edges, batch_format="pyarrow")
+    elif len(pairs):
         a = enc(pa.array(pairs["a"].astype("int64")))
         b = enc(pa.array(pairs["b"].astype("int64")))
         edges = rd.from_arrow(pa.table({

@@ -130,7 +130,13 @@ class ImageDecodeActor:
 
     def _decode(self, payload: bytes):
         if payload[:2] == b"BM":
-            return decode_bmp(payload)
+            try:
+                return decode_bmp(payload)
+            except ValueError:
+                # BMP variant outside the built-in 24-bit/BI_RGB
+                # subset (8-bit, RLE, ...) — fall through to PIL
+                if self.pil is None:
+                    raise
         if self.pil is not None:
             img = self.pil.open(io.BytesIO(payload)).convert("RGB")
             arr = np.asarray(img)
@@ -309,7 +315,13 @@ class AudioDecodeActor:
 
     def _decode(self, payload: bytes):
         if payload[:4] == b"RIFF":
-            return decode_wav(payload)
+            try:
+                return decode_wav(payload)
+            except ValueError:
+                # WAV variant outside the built-in PCM-16-mono subset
+                # (stereo, float, 24-bit) — fall through to soundfile
+                if self.codec is None:
+                    raise
         if self.codec is not None:
             data, sr = self.codec.read(io.BytesIO(payload),
                                        dtype="int16")

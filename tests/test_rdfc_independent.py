@@ -123,10 +123,10 @@ def _n_degree(bid: str, issuer: _Issuer, canon: _Issuer, bquads,
         data_to_hash += h
         chosen_path = ""
         chosen_issuer = None
-        for perm in permutations(sorted(set(related_map[h]))):
-            # NOTE: the spec permutes the related LIST; permuting the
-            # distinct set is equivalent because repeated members only
-            # repeat path fragments identically
+        # the spec permutes the related LIST (duplicates included: a
+        # bnode related through several quads under one hash repeats in
+        # the path string); dedupe only the identical permutations
+        for perm in sorted(set(permutations(sorted(related_map[h])))):
             issuer_copy = issuer.copy()
             path = ""
             recursion = []
@@ -248,6 +248,16 @@ _:g1 <{P}q> _:g2 .
     "clique4": "\n".join(
         f"_:n{i} <{P}e> _:n{j} ."
         for i in range(4) for j in range(4) if i != j),
+    # the same triple duplicated across graphs: one related bnode
+    # repeats under a single related-hash, so the n-degree path string
+    # must repeat its label (spec permutes the list WITH duplicates)
+    "dup-across-graphs": f"""
+_:a <{P}p> _:b .
+_:a <{P}p> _:b <{P}g1> .
+_:a <{P}p> _:b <{P}g2> .
+_:b <{P}p> _:a .
+_:b <{P}p> _:a <{P}g1> .
+""",
 }
 
 
@@ -334,6 +344,13 @@ def test_fuzz_engine_vs_independent_and_isomorphism():
     rng = random.Random(0xD1CE)
     for trial in range(150):
         ds = _random_dataset(rng)
+        # sometimes duplicate triples into named graphs — repeats a
+        # related bnode under one related-hash (list-permutation regime)
+        extra = [
+            (q[0], q[1], q[2],
+             ("NamedNode", f"{P}g{rng.randint(1, 2)}"))
+            for q in ds if rng.random() < 0.25]
+        ds = ds + [q for q in extra if q not in ds]
         mine = canonize(ds)
         theirs = independent_canonize(ds, "URDNA2015")
         assert mine == theirs, f"trial {trial}: URDNA2015 divergence"
