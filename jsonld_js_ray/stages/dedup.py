@@ -36,6 +36,7 @@ MAX_PAIRS_PER_BUCKET = 10_000
 # verified-pair count above which minhash_lsh_dedup swaps its driver
 # union-find for the fully distributed label propagation
 DISTRIBUTED_LABELER_PAIRS = 5_000_000
+PAIR_SHARDS = 64     # coarse shards for the hot-bucket pair groupby
 
 
 # --- exact dedup ---
@@ -163,15 +164,17 @@ def _batch_sigs(shingle_sets: list) -> np.ndarray:
     return sigs
 
 
-def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int) -> pa.Table:
-    """(n_docs × NUM_PERMS) signatures → BANDS rows per doc of
+def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int,
+               bands: int = BANDS) -> pa.Table:
+    """(n_docs × NUM_PERMS) signatures → ``bands`` rows per doc of
     (band_id, band_hash, doc_id), fully vectorized: the band hash is a
-    seeded splitmix64 chain over the band's ROWS_PER_BAND minima, one
+    seeded splitmix64 chain over the band's NUM_PERMS//bands minima, one
     numpy pass per row position — no per-(doc × band) Python. Equal
     chunks hash equal (recall preserved); accidental collisions only add
     candidates that Jaccard verification rejects."""
     from .sketches import _hash64
 
+    rows_per_band = NUM_PERMS // bands
     n = len(doc_ids)
     if n == 0:
         return pa.table({
@@ -180,18 +183,18 @@ def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int) -> pa.Table:
             "doc_id": pa.array([], pa.int64()),
         })
     chunks = np.ascontiguousarray(sigs, dtype=np.uint64).reshape(
-        n, BANDS, ROWS_PER_BAND)
+        n, bands, rows_per_band)
     h = np.broadcast_to(
-        _hash64(np.arange(BANDS, dtype=np.uint64) + np.uint64(seed)),
-        (n, BANDS)).copy()
-    for r in range(ROWS_PER_BAND):
+        _hash64(np.arange(bands, dtype=np.uint64) + np.uint64(seed)),
+        (n, bands)).copy()
+    for r in range(rows_per_band):
         h = _hash64(h ^ chunks[:, :, r])
     return pa.table({
         "band_id": pa.array(
-            np.tile(np.arange(BANDS, dtype=np.int32), n), pa.int32()),
+            np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
         "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
         "doc_id": pa.array(
-            np.repeat(np.asarray(doc_ids, dtype=np.int64), BANDS),
+            np.repeat(np.asarray(doc_ids, dtype=np.int64), bands),
             pa.int64()),
     })
 
@@ -275,10 +278,16 @@ def _verified_pairs(docs, pairs, kind: str, threshold: float):
 
 def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
     """Candidate pairs → VERIFIED pair Dataset (a, b), with the exact
-    text-similarity check running DISTRIBUTED: each candidate doc's text
-    ships ONCE per shard that needs it (shard = pair_id % VERIFY_SHARDS),
-    role rows carry only ids, and Jaccard runs inside the shard groupby.
-    The result stays in the object store — callers that can consume a
+    gram-Jaccard check running DISTRIBUTED.
+
+    Each doc's gram set is hashed ONCE corpus-wide (vectorized siphash
+    over the grams, sorted unique uint64 array) in a map_batches pass;
+    the ARRAYS — not texts — then ship to the verify shards that need
+    them (shard = pair_id % VERIFY_SHARDS), and per-pair Jaccard is
+    ``np.intersect1d(assume_unique=True)`` over int arrays. A 64-bit
+    gram-hash collision would be needed to change any |A∩B| (2^-64 per
+    distinct-gram pair — negligible even for the exact oracles). The
+    result stays in the object store — callers that can consume a
     Dataset (the distributed labeler) never pull pairs to the driver.
 
     kind: 'word' → word-3-shingle Jaccard; 'char' → char-3-gram
@@ -312,43 +321,51 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
         "role": pa.array(["a"] * len(a_ids) + ["b"] * len(b_ids),
                          pa.string()),
         "doc_id": pa.array(np.concatenate([a_ids, b_ids])),
-        "text": pa.array([None] * (2 * len(a_ids)), pa.large_string()),
+        "grams": pa.nulls(2 * len(a_ids), pa.list_(pa.uint64())),
     })
 
-    def text_rows(batch: pa.Table, *, _ref=need_ref) -> pa.Table:
+    gram = word_shingles if kind == "word" else \
+        (lambda x: char_ngrams(x, 3))
+
+    def gram_rows(batch: pa.Table, *, _ref=need_ref,
+                  _gram=gram) -> pa.Table:
         import ray as _ray
         nd = _ray.get(_ref)
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_shard, out_doc, out_text = [], [], []
+        out_shard, out_doc, out_grams = [], [], []
         for d, t in zip(ids, texts):
-            for sh in nd.get(int(d), ()):
+            targets = nd.get(int(d), ())
+            if not targets:
+                continue
+            hashes = np.sort(hash_shingle_array(list(_gram(t or ""))))
+            for sh in targets:
                 out_shard.append(sh)
                 out_doc.append(int(d))
-                out_text.append(t or "")
+                out_grams.append(hashes)
         n = len(out_doc)
         return pa.table({
             "shard": pa.array(out_shard, pa.int32()),
             "pair_id": pa.array([-1] * n, pa.int64()),
             "role": pa.array(["t"] * n, pa.string()),
             "doc_id": pa.array(out_doc, pa.int64()),
-            "text": pa.array(out_text, pa.large_string()),
+            "grams": pa.array(out_grams, pa.list_(pa.uint64())),
         })
 
     unioned = rd.from_arrow(role_rows).union(
-        docs.map_batches(text_rows, batch_format="pyarrow"))
+        docs.map_batches(gram_rows, batch_format="pyarrow"))
 
-    def verify_shard(g: pd.DataFrame, _kind=kind, _t=threshold):
-        texts_df = g[g["role"] == "t"][["doc_id", "text"]]
+    def verify_shard(g: pd.DataFrame, _t=threshold):
+        texts_df = g[g["role"] == "t"][["doc_id", "grams"]]
         # duplicate doc_id rows: keep last (parity with the replaced
         # dict(zip(...)) driver semi-join)
-        text_of = dict(zip(texts_df["doc_id"].astype(int),
-                           texts_df["text"]))
+        grams_of = {int(d): np.asarray(v, dtype=np.uint64)
+                    for d, v in zip(texts_df["doc_id"],
+                                    texts_df["grams"])}
         ga = g[g["role"] == "a"]
         gb = dict(zip(g[g["role"] == "b"]["pair_id"].astype(int),
                       g[g["role"] == "b"]["doc_id"].astype(int)))
-        gram = word_shingles if _kind == "word" else \
-            (lambda x: char_ngrams(x, 3))
+        empty = np.zeros(0, dtype=np.uint64)
         av, bv = [], []
         for pid, da in zip(ga["pair_id"].astype(int),
                            ga["doc_id"].astype(int)):
@@ -359,10 +376,11 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
                     f"treating as non-duplicate (should not happen — "
                     f"both sides share the shard key)")
                 continue
-            sa = gram(text_of.get(da, "") or "")
-            sb = gram(text_of.get(db, "") or "")
-            un = len(sa | sb)
-            if un and len(sa & sb) / un >= _t:
+            sa = grams_of.get(da, empty)
+            sb = grams_of.get(db, empty)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            un = len(sa) + len(sb) - inter
+            if un and inter / un >= _t:
                 av.append(da)
                 bv.append(db)
         return pa.table({"a": pa.array(av, pa.int64()),
@@ -376,58 +394,54 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
                         strict_caps: bool = False):
     """(key_cols..., doc_id, ...) rows → candidate-pair DataFrame.
 
-    Two-step to dodge per-group overhead on the (overwhelmingly
-    singleton) buckets: a VECTORIZED count aggregate finds buckets with
-    >1 member — a tiny set, broadcast into a filter — and only those
-    reach the per-group pair generator. Singleton buckets never touch
-    Python.
+    ONE shuffle: every banded row is routed to a coarse shard by a
+    fused 64-bit key of the bucket columns (a whole bucket always lands
+    in one shard), then inside each shard a VECTORIZED duplicated() mask
+    drops the (overwhelmingly singleton) buckets before the per-bucket
+    pair generator runs over the survivors with an in-process pandas
+    groupby. Two prior designs lost here: a count-aggregate pre-filter
+    cost a second full shuffle plus a driver-side hot-key set, and a
+    ``groupby(bucket)`` paid Ray's ~1ms per-group dispatch × tens of
+    thousands of tiny near-dup buckets.
 
     ``pair_fn`` (default ``_bucket_pairs``) runs per hot bucket and may
     VERIFY in-bucket using any extra columns carried in ``banded`` (e.g.
     the simhash signature) so only verified pairs reach the driver."""
-    import pandas as pd
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    import functools
 
-    # the banded Dataset is consumed twice (count aggregate + hot
-    # filter); pin it so the signature stage doesn't re-execute
-    banded = banded.materialize()
-    counts = banded.groupby(key_cols).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)),
-        batch_format="pyarrow").to_pandas()
-    if len(hot) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
-    def fused_key(cols: list[np.ndarray]) -> np.ndarray:
-        # fold the (all-integer) key columns into one uint64 with a
-        # chained splitmix64 — a collision here only lets an extra row
-        # through the filter; the later groupby is still on the real
-        # key columns, so correctness is unaffected
+    import pandas as pd
+
+    def add_shard(t, _cols=key_cols):
+        # chained splitmix64 over the (all-integer) key columns; a
+        # collision only co-locates two buckets in one shard — the
+        # in-shard groupby is on the real key columns
         from .sketches import _hash64
 
+        cols = [t[c].to_numpy(zero_copy_only=False) for c in _cols]
         h = _hash64(cols[0].astype(np.int64).view(np.uint64))
         for c in cols[1:]:
             h = _hash64(h ^ c.astype(np.int64).view(np.uint64))
-        return h
+        shard = pa.array((h % np.uint64(PAIR_SHARDS)).astype(np.int32),
+                         pa.int32())
+        return t.append_column("_shard", shard)
 
-    hot_fused = fused_key(
-        [hot[c].to_numpy() for c in key_cols])
-    hot_set = pa.array(hot_fused.view(np.int64), pa.int64())
+    bucket_fn = pair_fn or functools.partial(_bucket_pairs,
+                                             strict=strict_caps)
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
 
-    def only_hot(t, _hot=hot_set, _cols=key_cols):
-        fused = fused_key(
-            [t[c].to_numpy(zero_copy_only=False) for c in _cols])
-        mask = pc.is_in(pa.array(fused.view(np.int64), pa.int64()),
-                        value_set=_hot)
-        return t.filter(mask)
+    def shard_pairs(g, _cols=tuple(key_cols), _fn=bucket_fn,
+                    _empty=empty):
+        hot = g[g.duplicated(subset=list(_cols), keep=False)]
+        if hot.empty:
+            return _empty
+        outs = [_fn(sub) for _, sub in hot.groupby(list(_cols),
+                                                   sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty
 
-    import functools
-
-    hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
-    pairs_ds = hot_rows.groupby(key_cols).map_groups(
-        pair_fn or functools.partial(_bucket_pairs, strict=strict_caps),
-        batch_format="pandas")
+    pairs_ds = banded.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
     return pairs_ds.to_pandas().drop_duplicates()
 
 
@@ -760,6 +774,15 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
     return clusters.map_batches(finish, batch_format="pyarrow")
 
 
+CHAR_BANDS = 8   # char-gram banding: 8 bands x 8 rows of the 64 perms.
+# Unrelated prose shares MANY char 3-grams (measured cross-doc Jaccard
+# median ~0.48 on the synthetic corpus), so the word-shingle 16x4
+# banding (S-curve threshold (1/16)^(1/4) ~ 0.5) admits most of the n^2
+# pair space as candidates. 8x8 moves the S-curve to (1/8)^(1/8) ~ 0.77
+# - right at the 0.8 verification threshold: background pairs collapse
+# (~2% at J=0.48) while planted/exact copies (J~1) keep recall ~1.
+
+
 class CharGramMinHashStage:
     """MinHash over character 3-grams (instead of word shingles) — the
     banding front-end for the n-gram Jaccard dedup variant."""
@@ -768,7 +791,7 @@ class CharGramMinHashStage:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         sigs = _batch_sigs([char_ngrams((t or ""), 3) for t in texts])
-        return _band_rows(doc_ids, sigs, 177)
+        return _band_rows(doc_ids, sigs, 177, bands=CHAR_BANDS)
 
 
 def ngram_jaccard_dedup(docs, threshold: float = 0.8,
