@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": td.q_sample_docs,
         "lang_id": td.q_lang_id,
         "quality": td.q_quality,
+        "scrub_pii": td.q_scrub_pii,
+        "curation_filter": td.q_curation_filter,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -277,9 +279,11 @@ def oracle_sql() -> dict[str, str]:
         LANG_ID_SQL,
         QUALITY_SQL,
         SAMPLE_DOCS_SQL,
+        SCRUB_PII_SQL,
         SPLIT_ASSIGN_SQL,
         TEXT_STATS_SQL,
         TOKEN_COUNTS_SQL,
+        curation_filter_sql,
     )
     from jsonld_js_ray.stages.joins import (
         ASOF_JOIN_SQL,
@@ -369,6 +373,10 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": SPLIT_ASSIGN_SQL,
         "sample_docs": SAMPLE_DOCS_SQL,
         "lang_id": LANG_ID_SQL,
+        # PII scrub + curation keep/drop: RE2 regex semantics on both
+        # sides, fixed pattern order, integer counters
+        "scrub_pii": SCRUB_PII_SQL,
+        "curation_filter": curation_filter_sql(),
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

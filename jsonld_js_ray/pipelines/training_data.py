@@ -123,6 +123,20 @@ def q_quality(sf_dir: str):
         quality_score_batch, batch_format="pyarrow", batch_size=8192)
 
 
+def q_scrub_pii(sf_dir: str):
+    from ..stages.text import scrub_pii_batch
+
+    return _docs(sf_dir).map_batches(
+        scrub_pii_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_curation_filter(sf_dir: str):
+    from ..stages.text import curation_filter_batch
+
+    return _docs(sf_dir).map_batches(
+        curation_filter_batch, batch_format="pyarrow", batch_size=8192)
+
+
 def q_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
@@ -163,6 +177,8 @@ def bench_queries():
         "text_stats": run(q_text_stats),
         "lang_id": run(q_lang_id),
         "fingerprint": run(q_fingerprint),
+        "scrub_pii": run(q_scrub_pii),
+        "curation_filter": run(q_curation_filter),
     }
 
 

@@ -362,3 +362,119 @@ FROM documents
 SAMPLE_DOCS_SQL = f"""
 SELECT doc_id FROM documents WHERE {_MD5_UNIT_SQL} < {SAMPLE_RATE}
 """
+
+
+# --- PII scrubbing (training-data hygiene pass) ---
+# Patterns are RE2-compatible and applied in a fixed order (URL first so
+# emails inside URLs don't double-mask), identically on both sides:
+# Arrow replace_substring_regex and DuckDB regexp_replace(..., 'g').
+
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9\-]{5,}[0-9]"
+
+
+def scrub_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, scrubbed, n_urls, n_emails, n_phones).
+
+    One vectorized count + replace pass per pattern (RE2 on both the
+    Arrow and the DuckDB side, so the oracle is exact)."""
+    texts = pc.fill_null(batch["text"], "")
+    n_urls = pc.count_substring_regex(texts, pattern=PII_URL)
+    scrubbed = pc.replace_substring_regex(texts, pattern=PII_URL,
+                                          replacement="<URL>")
+    n_emails = pc.count_substring_regex(scrubbed, pattern=PII_EMAIL)
+    scrubbed = pc.replace_substring_regex(scrubbed, pattern=PII_EMAIL,
+                                          replacement="<EMAIL>")
+    n_phones = pc.count_substring_regex(scrubbed, pattern=PII_PHONE)
+    scrubbed = pc.replace_substring_regex(scrubbed, pattern=PII_PHONE,
+                                          replacement="<PHONE>")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "scrubbed": scrubbed,
+        "n_urls": n_urls.cast(pa.int64()),
+        "n_emails": n_emails.cast(pa.int64()),
+        "n_phones": n_phones.cast(pa.int64()),
+    })
+
+
+SCRUB_PII_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{PII_URL}'))
+             AS BIGINT) AS n_urls,
+         regexp_replace(coalesce(text, ''), '{PII_URL}', '<URL>', 'g')
+             AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_urls,
+         CAST(len(regexp_extract_all(t1, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+         regexp_replace(t1, '{PII_EMAIL}', '<EMAIL>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       n_urls, n_emails,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT)
+           AS n_phones
+FROM s2
+"""
+
+
+# --- curation filter (Gopher-style keep/drop decision per doc) ---
+
+CURATION_MIN_TOKENS = 10
+CURATION_MAX_TOKENS = 100_000
+CURATION_MIN_QUALITY_U = 600_000
+CURATION_LANG = "en"
+
+
+def curation_filter_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, keep, reason): the composed curation
+    decision a training-data pipeline applies per document — length
+    bounds, language, integer quality floor — with the FIRST failing
+    rule as the reason ('short' | 'long' | 'lang' | 'quality' | 'ok').
+    One vectorized pass reusing the oracled lang/quality kernels; exact
+    dedup remains its own (shuffling) operator."""
+    lang = lang_id_batch(batch)
+    qual = quality_score_batch(batch)
+    stats = text_stats_batch(batch)
+    n_tokens = stats["n_tokens"].to_numpy()
+    lang_pred = np.asarray(lang["lang_pred"].to_pylist(), dtype=object)
+    quality_u = qual["quality_u"].to_numpy()
+
+    reason = np.full(batch.num_rows, "ok", dtype=object)
+    # precedence: later assignments win → apply in REVERSE priority
+    reason[quality_u < CURATION_MIN_QUALITY_U] = "quality"
+    reason[lang_pred != CURATION_LANG] = "lang"
+    reason[n_tokens > CURATION_MAX_TOKENS] = "long"
+    reason[n_tokens < CURATION_MIN_TOKENS] = "short"
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "keep": pa.array(reason == "ok"),
+        "reason": pa.array(reason, pa.string()),
+    })
+
+
+CURATION_FILTER_SQL = f"""
+WITH l AS ({{lang_sql}}), q AS ({{quality_sql}}), s AS ({TEXT_STATS_SQL})
+SELECT s.doc_id,
+       CASE WHEN s.n_tokens >= {CURATION_MIN_TOKENS}
+             AND s.n_tokens <= {CURATION_MAX_TOKENS}
+             AND l.lang_pred = '{CURATION_LANG}'
+             AND q.quality_u >= {CURATION_MIN_QUALITY_U}
+            THEN true ELSE false END AS keep,
+       CASE WHEN s.n_tokens < {CURATION_MIN_TOKENS} THEN 'short'
+            WHEN s.n_tokens > {CURATION_MAX_TOKENS} THEN 'long'
+            WHEN l.lang_pred <> '{CURATION_LANG}' THEN 'lang'
+            WHEN q.quality_u < {CURATION_MIN_QUALITY_U} THEN 'quality'
+            ELSE 'ok' END AS reason
+FROM s JOIN l ON l.doc_id = s.doc_id
+       JOIN q ON q.doc_id = s.doc_id
+"""
+
+
+def curation_filter_sql() -> str:
+    return CURATION_FILTER_SQL.format(lang_sql=LANG_ID_SQL,
+                                      quality_sql=QUALITY_SQL)

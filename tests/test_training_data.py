@@ -815,3 +815,47 @@ def test_strict_caps_raise_instead_of_truncating(ray_session):
     # still exact here
     out = dedup.minhash_lsh_dedup(docs, strict_caps=False).to_pandas()
     assert len(out) == n and set(out["cluster_id"]) == {0}
+
+
+def test_scrub_pii_masks_in_order(ray_session):
+    from jsonld_js_ray.stages.text import scrub_pii_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at alice@example.com or call +1-555-123-4567",
+            # email inside a URL must be masked as part of the URL,
+            # not double-counted as an email (URL pass runs first)
+            "see https://example.com/u/bob@example.com?q=1 now",
+            "no pii here at all",
+            None,
+        ], pa.string()),
+    })
+    out = scrub_pii_batch(tbl).to_pydict()
+    assert out["scrubbed"][0] == "mail me at <EMAIL> or call <PHONE>"
+    assert out["n_emails"][0] == 1 and out["n_phones"][0] == 1
+    assert out["scrubbed"][1] == "see <URL> now"
+    assert out["n_urls"][1] == 1 and out["n_emails"][1] == 0
+    assert out["scrubbed"][2] == "no pii here at all"
+    assert out["scrubbed"][3] == ""
+
+
+def test_curation_filter_reasons(ray_session):
+    from jsonld_js_ray.stages.text import curation_filter_batch
+
+    richly = ("a rich and varied document with many different useful "
+              "words for the reader to enjoy in moderation because the "
+              "content keeps introducing novel vocabulary throughout")
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            richly,                                   # ok
+            "too few",                                # short
+            "der hund und die katze ist auf dem tisch "
+            "sowie der vogel und das pferd sind hier",  # lang (de)
+            "x x x x x x x x x x x x",                # quality
+        ], pa.string()),
+    })
+    out = curation_filter_batch(tbl).to_pydict()
+    assert out["reason"] == ["ok", "short", "lang", "quality"]
+    assert out["keep"] == [True, False, False, False]
