@@ -36,7 +36,11 @@ MAX_PAIRS_PER_BUCKET = 10_000
 # verified-pair count above which minhash_lsh_dedup swaps its driver
 # union-find for the fully distributed label propagation
 DISTRIBUTED_LABELER_PAIRS = 5_000_000
-PAIR_SHARDS = 64     # coarse shards for the hot-bucket pair groupby
+PAIR_SHARDS = 64     # MINIMUM coarse shards for the hot-bucket pair
+# groupby; _pairs_from_buckets scales the count up with the banded row
+# count so one shard group stays ~TARGET_ROWS_PER_PAIR_SHARD rows
+MAX_PAIR_SHARDS = 4096
+TARGET_ROWS_PER_PAIR_SHARD = 2_000_000
 
 
 # --- exact dedup ---
@@ -96,6 +100,21 @@ _MH_B = (_mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
          << np.uint64(32)) \
     | _mh_rng.randint(0, 1 << 32, size=NUM_PERMS).astype(np.uint64)
 
+# char-gram variant uses its OWN 144-perm family (separate RNG stream so
+# the word-shingle signatures above are byte-identical to before):
+# more perms let char banding run 16 bands x 9 rows — the 9-row band
+# keeps background admission at the 8-row level (~2% at J=0.48) while 16
+# bands cut the per-pair miss at near-threshold J=0.91 from 6.6e-3 to
+# 1.5e-4, keeping construction-based planted oracles deterministic well
+# beyond bench scale.
+CHAR_PERMS = 144
+_mh_char_rng = np.random.RandomState(0x5EEDCAFE)
+_MH_A_CHAR = ((_mh_char_rng.randint(0, 1 << 62, size=CHAR_PERMS)
+               .astype(np.uint64) << np.uint64(1)) | np.uint64(1))
+_MH_B_CHAR = (_mh_char_rng.randint(0, 1 << 32, size=CHAR_PERMS)
+              .astype(np.uint64) << np.uint64(32)) \
+    | _mh_char_rng.randint(0, 1 << 32, size=CHAR_PERMS).astype(np.uint64)
+
 
 def hash_shingle_array(shingles: list) -> np.ndarray:
     """Vectorized process-stable 64-bit hashes for a list of shingle
@@ -129,11 +148,14 @@ def minhash_sig(text: str) -> np.ndarray:
 MAX_SHINGLES_PER_PASS = 500_000   # caps the (64 × S) matrix ≈ 256 MB
 
 
-def _batch_sigs(shingle_sets: list) -> np.ndarray:
+def _batch_sigs(shingle_sets: list, A: np.ndarray = _MH_A,
+                B: np.ndarray = _MH_B) -> np.ndarray:
     """All docs' signatures at once: one flat hash pass + a
-    (NUM_PERMS × ≤MAX_SHINGLES_PER_PASS) multiply + segment-min
+    (num_perms × ≤MAX_SHINGLES_PER_PASS) multiply + segment-min
     (reduceat) per chunk, split on document boundaries so peak memory
-    stays bounded regardless of document length × batch size."""
+    stays bounded regardless of document length × batch size. ``A``/``B``
+    select the permutation family (word default, or the 128-perm char
+    family)."""
     flat: list = []
     starts: list[int] = []
     nonempty: list[int] = []
@@ -142,21 +164,24 @@ def _batch_sigs(shingle_sets: list) -> np.ndarray:
             nonempty.append(i)
             starts.append(len(flat))
             flat.extend(sh)
-    sigs = np.zeros((len(shingle_sets), NUM_PERMS), dtype=np.uint64)
+    sigs = np.zeros((len(shingle_sets), len(A)), dtype=np.uint64)
     if not flat:
         return sigs
     base = hash_shingle_array(flat)
     starts_arr = np.array(starts + [len(flat)])
+    # keep the (len(A) x S) multiply matrix at the same ~256 MB ceiling
+    # regardless of the permutation-family size
+    max_pass = MAX_SHINGLES_PER_PASS * NUM_PERMS // len(A)
     lo_doc = 0
     while lo_doc < len(nonempty):
         hi_doc = lo_doc
         while hi_doc < len(nonempty) and (
                 starts_arr[hi_doc + 1] - starts_arr[lo_doc]
-                <= MAX_SHINGLES_PER_PASS or hi_doc == lo_doc):
+                <= max_pass or hi_doc == lo_doc):
             hi_doc += 1
         s0, s1 = starts_arr[lo_doc], starts_arr[hi_doc]
         chunk = base[s0:s1]
-        vals = (_MH_A[:, None] * chunk[None, :] + _MH_B[:, None])
+        vals = (A[:, None] * chunk[None, :] + B[:, None])
         mins = np.minimum.reduceat(
             vals, starts_arr[lo_doc:hi_doc] - s0, axis=1)
         sigs[np.array(nonempty[lo_doc:hi_doc])] = mins.T
@@ -166,15 +191,16 @@ def _batch_sigs(shingle_sets: list) -> np.ndarray:
 
 def _band_rows(doc_ids: list, sigs: np.ndarray, seed: int,
                bands: int = BANDS) -> pa.Table:
-    """(n_docs × NUM_PERMS) signatures → ``bands`` rows per doc of
+    """(n_docs × num_perms) signatures → ``bands`` rows per doc of
     (band_id, band_hash, doc_id), fully vectorized: the band hash is a
-    seeded splitmix64 chain over the band's NUM_PERMS//bands minima, one
+    seeded splitmix64 chain over the band's num_perms//bands minima, one
     numpy pass per row position — no per-(doc × band) Python. Equal
     chunks hash equal (recall preserved); accidental collisions only add
     candidates that Jaccard verification rejects."""
     from .sketches import _hash64
 
-    rows_per_band = NUM_PERMS // bands
+    rows_per_band = sigs.shape[1] // bands if sigs.ndim == 2 else \
+        NUM_PERMS // bands
     n = len(doc_ids)
     if n == 0:
         return pa.table({
@@ -266,7 +292,22 @@ def _label_clusters(docs, cluster_of: dict[int, int]):
                             batch_size=8192)
 
 
-VERIFY_SHARDS = 64
+VERIFY_SHARDS = 64          # legacy constant (kept for tests/docs)
+# verify shard count SCALES with the candidate-pair count: every doc's
+# gram array ships once per shard that holds one of its pairs, so a
+# fixed large shard count multiplies the gram shuffle weight by
+# min(shards, pairs_per_doc) — on dup-heavy corpora nearly every doc
+# touched 2/3 of 64 shards. ~20k pairs per shard keeps the in-shard
+# vectorized Jaccard pass sub-second while bounding duplication.
+PAIRS_PER_VERIFY_SHARD = 20_000
+MAX_VERIFY_SHARDS = 4096
+
+
+def _n_verify_shards(n_pairs: int) -> int:
+    import math
+
+    return int(min(MAX_VERIFY_SHARDS,
+                   max(8, math.ceil(n_pairs / PAIRS_PER_VERIFY_SHARD))))
 
 
 def _verified_pairs(docs, pairs, kind: str, threshold: float):
@@ -305,7 +346,7 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
     a_ids = pairs["a"].astype("int64").to_numpy()
     b_ids = pairs["b"].astype("int64").to_numpy()
     pair_ids = np.arange(len(a_ids), dtype=np.int64)
-    shards = pair_ids % VERIFY_SHARDS
+    shards = pair_ids % _n_verify_shards(len(a_ids))
 
     # driver-side need map: doc_id → sorted shard list (ids only)
     need: dict[int, set] = {}
@@ -344,12 +385,23 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
                 out_doc.append(int(d))
                 out_grams.append(hashes)
         n = len(out_doc)
+        # one flat buffer + offsets instead of a per-row Python list
+        # conversion (the gram column is the bulk of the shuffle)
+        lens = np.fromiter((len(x) for x in out_grams), dtype=np.int64,
+                           count=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.concatenate(out_grams) if n else \
+            np.zeros(0, dtype=np.uint64)
+        gram_col = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(flat, pa.uint64()))
         return pa.table({
             "shard": pa.array(out_shard, pa.int32()),
             "pair_id": pa.array([-1] * n, pa.int64()),
             "role": pa.array(["t"] * n, pa.string()),
             "doc_id": pa.array(out_doc, pa.int64()),
-            "grams": pa.array(out_grams, pa.list_(pa.uint64())),
+            "grams": gram_col,
         })
 
     unioned = rd.from_arrow(role_rows).union(
@@ -367,6 +419,13 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
                       g[g["role"] == "b"]["doc_id"].astype(int)))
         empty = np.zeros(0, dtype=np.uint64)
         av, bv = [], []
+        # per-PAIR loop over numpy intersect of the two (sorted unique)
+        # gram arrays. Deliberately NOT a fused lexsort over all pairs:
+        # the fused form touches ~300 rows/pair of fresh memory and goes
+        # memory-bandwidth-bound when verify shards run concurrently
+        # (measured 8x slower at 16 concurrent tasks), while per-pair
+        # intersects stay in L1/L2 (~17us/pair incl. Python dispatch;
+        # shards bound the per-task pair count so tasks stay sub-second)
         for pid, da in zip(ga["pair_id"].astype(int),
                            ga["doc_id"].astype(int)):
             db = gb.get(pid)
@@ -406,12 +465,24 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
 
     ``pair_fn`` (default ``_bucket_pairs``) runs per hot bucket and may
     VERIFY in-bucket using any extra columns carried in ``banded`` (e.g.
-    the simhash signature) so only verified pairs reach the driver."""
+    the simhash signature) so only verified pairs reach the driver.
+
+    The shard count SCALES with the banded row count (Ray's map_groups
+    materializes one whole group per task, so a fixed shard count would
+    make per-task memory O(corpus/shards) at 100-TB shape): the banded
+    stream is materialized first — free, the groupby below is an
+    all-to-all barrier over the same blocks anyway — and sharded so one
+    shard holds ~TARGET_ROWS_PER_PAIR_SHARD rows."""
     import functools
+    import math
 
     import pandas as pd
 
-    def add_shard(t, _cols=key_cols):
+    banded = banded.materialize()
+    num_shards = int(min(MAX_PAIR_SHARDS, max(
+        PAIR_SHARDS, math.ceil(banded.count() / TARGET_ROWS_PER_PAIR_SHARD))))
+
+    def add_shard(t, _cols=key_cols, _n=num_shards):
         # chained splitmix64 over the (all-integer) key columns; a
         # collision only co-locates two buckets in one shard — the
         # in-shard groupby is on the real key columns
@@ -421,7 +492,7 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
         h = _hash64(cols[0].astype(np.int64).view(np.uint64))
         for c in cols[1:]:
             h = _hash64(h ^ c.astype(np.int64).view(np.uint64))
-        shard = pa.array((h % np.uint64(PAIR_SHARDS)).astype(np.int32),
+        shard = pa.array((h % np.uint64(_n)).astype(np.int32),
                          pa.int32())
         return t.append_column("_shard", shard)
 
@@ -482,7 +553,7 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None,
                       strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
-    Stages: minhash+band explode (map_batches) → bucket-count prefilter →
+    Stages: minhash+band explode (map_batches) → one-shuffle sharded
     candidate pairs → DISTRIBUTED exact shingle-Jaccard verification
     (texts joined in-cluster; the driver sees only pair lists) →
     cluster labeling. The labeler is ADAPTIVE by default: below
@@ -774,13 +845,16 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
     return clusters.map_batches(finish, batch_format="pyarrow")
 
 
-CHAR_BANDS = 8   # char-gram banding: 8 bands x 8 rows of the 64 perms.
+CHAR_BANDS = 16   # char-gram banding: 16 bands x 8 rows of CHAR_PERMS.
 # Unrelated prose shares MANY char 3-grams (measured cross-doc Jaccard
 # median ~0.48 on the synthetic corpus), so the word-shingle 16x4
 # banding (S-curve threshold (1/16)^(1/4) ~ 0.5) admits most of the n^2
-# pair space as candidates. 8x8 moves the S-curve to (1/8)^(1/8) ~ 0.77
-# - right at the 0.8 verification threshold: background pairs collapse
-# (~2% at J=0.48) while planted/exact copies (J~1) keep recall ~1.
+# pair space as candidates. 8-row bands move the S-curve to ~(1/b)^(1/8)
+# ~ 0.71-0.77 — near the 0.8 verification threshold: background pairs
+# collapse (~4% admitted at J=0.48) while near-threshold TRUE pairs keep
+# real margin: 16 bands square the 8-band per-pair miss probability
+# (J=0.91 suffix near-dups: miss 6.6e-3 -> 4.3e-5), so construction-
+# based planted oracles stay deterministic well beyond bench scale.
 
 
 class CharGramMinHashStage:
@@ -790,7 +864,8 @@ class CharGramMinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sigs = _batch_sigs([char_ngrams((t or ""), 3) for t in texts])
+        sigs = _batch_sigs([char_ngrams((t or ""), 3) for t in texts],
+                           A=_MH_A_CHAR, B=_MH_B_CHAR)
         return _band_rows(doc_ids, sigs, 177, bands=CHAR_BANDS)
 
 

@@ -57,9 +57,13 @@ def _hits_per_row(tokens: pa.Array, vocab: list[str],
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → integer stats row per doc (oracle-checkable)."""
     texts = pc.fill_null(batch["text"], "")
-    n = batch.num_rows
-    tokens = _token_lists(texts)
+    return _text_stats_core(batch, texts, _token_lists(texts))
 
+
+def _text_stats_core(batch: pa.Table, texts, tokens) -> pa.Table:
+    """Stats kernel over precomputed filled texts + token lists, so
+    composed stages (curation_filter) tokenize exactly once."""
+    n = batch.num_rows
     combined = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) \
         else tokens
     flat_arr = pc.list_flatten(combined)
@@ -100,12 +104,8 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) → per-language stopword hits + argmax label.
-
-    Tie-break: LANG_PRIORITY order (mirrored in the SQL oracle's CASE)."""
-    n = batch.num_rows
-    tokens = _token_lists(batch["text"])
+def _lang_hits_and_pred(tokens, n: int):
+    """token lists → (per-language hit counts, argmax label array)."""
     hits = {lang: _hits_per_row(tokens, words, n)
             for lang, words in STOPWORDS.items()}
     label = np.full(n, "", dtype=object)
@@ -114,6 +114,15 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         better = hits[lang] > best
         label[better] = lang
         best = np.maximum(best, hits[lang])
+    return hits, label
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-language stopword hits + argmax label.
+
+    Tie-break: LANG_PRIORITY order (mirrored in the SQL oracle's CASE)."""
+    n = batch.num_rows
+    hits, label = _lang_hits_and_pred(_token_lists(batch["text"]), n)
     return pa.table({
         "doc_id": batch["doc_id"],
         "c_en": pa.array(hits["en"]),
@@ -122,6 +131,23 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         "c_es": pa.array(hits["es"]),
         "lang_pred": pa.array(list(label), pa.string()),
     })
+
+
+def _quality_u_from_stats(stats: pa.Table) -> np.ndarray:
+    """The integer quality arithmetic over an already-computed stats
+    table (shared by quality_score_batch and curation_filter_batch)."""
+    n_tokens = stats["n_tokens"].to_numpy()
+    n_chars = stats["n_chars_engine"].to_numpy()
+    n_distinct = stats["n_distinct"].to_numpy()
+    n_stop = stats["n_stop_en"].to_numpy()
+    n_punct = stats["n_punct"].to_numpy()
+    t = np.maximum(n_tokens, 1)
+    c = np.maximum(n_chars, 1)
+    term1 = 6000 * np.minimum(n_tokens, 50)
+    term2 = (300000 * n_distinct) // t
+    term3 = np.minimum((1_000_000 * n_stop) // t, 200000)
+    term4 = 200000 - np.minimum((2_000_000 * n_punct) // c, 200000)
+    return (term1 + term2 + term3 + term4).astype(np.int64)
 
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
@@ -138,18 +164,7 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
       term4 = 200000 − min(⌊2·10^6 · n_punct / max(n_chars,1)⌋, 200000)
     """
     stats = text_stats_batch(batch)
-    n_tokens = stats["n_tokens"].to_numpy()
-    n_chars = stats["n_chars_engine"].to_numpy()
-    n_distinct = stats["n_distinct"].to_numpy()
-    n_stop = stats["n_stop_en"].to_numpy()
-    n_punct = stats["n_punct"].to_numpy()
-    t = np.maximum(n_tokens, 1)
-    c = np.maximum(n_chars, 1)
-    term1 = 6000 * np.minimum(n_tokens, 50)
-    term2 = (300000 * n_distinct) // t
-    term3 = np.minimum((1_000_000 * n_stop) // t, 200000)
-    term4 = 200000 - np.minimum((2_000_000 * n_punct) // c, 200000)
-    quality_u = (term1 + term2 + term3 + term4).astype(np.int64)
+    quality_u = _quality_u_from_stats(stats)
     return pa.table({
         "doc_id": batch["doc_id"],
         "quality_u": pa.array(quality_u),
@@ -218,18 +233,23 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 # --- SQL oracles ---
 
+# NULL text is coalesced to '' to mirror the Python kernels' fill_null
+# (the shipped corpora carry no NULLs, but the kernels accept them)
 TEXT_STATS_SQL = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
-           AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars_engine,
-       CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+')))
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+           AS BIGINT) AS n_tokens,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_engine,
+       CAST(len(list_distinct(
+            regexp_extract_all(lower(coalesce(text, '')), '\S+')))
            AS BIGINT) AS n_distinct,
-       CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+       CAST(len(list_filter(
+            regexp_extract_all(lower(coalesce(text, '')), '\S+'),
             t -> t IN ('the','a','and','of','to','in','is','on','for',
                        'with'))) AS BIGINT) AS n_stop_en,
-       CAST(length(text) - length(
-            regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS BIGINT)
+       CAST(length(coalesce(text, '')) - length(
+            regexp_replace(coalesce(text, ''), '[.,;:!?''"()\-]', '',
+                           'g')) AS BIGINT)
            AS n_punct
 FROM documents
 """
@@ -258,7 +278,8 @@ FROM s
 
 def _lang_count_sql(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (f"CAST(len(list_filter(regexp_extract_all(lower(text), "
+    return (f"CAST(len(list_filter(regexp_extract_all("
+            f"lower(coalesce(text, '')), "
             f"'\\S+'), t -> t IN ({words}))) AS BIGINT)")
 
 
@@ -305,10 +326,10 @@ def token_counts_batch(batch: pa.Table) -> pa.Table:
 
 TOKEN_COUNTS_SQL = rf"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+       CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
            AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))
-           AS BIGINT) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
@@ -435,14 +456,16 @@ def curation_filter_batch(batch: pa.Table) -> pa.Table:
     decision a training-data pipeline applies per document — length
     bounds, language, integer quality floor — with the FIRST failing
     rule as the reason ('short' | 'long' | 'lang' | 'quality' | 'ok').
-    One vectorized pass reusing the oracled lang/quality kernels; exact
-    dedup remains its own (shuffling) operator."""
-    lang = lang_id_batch(batch)
-    qual = quality_score_batch(batch)
-    stats = text_stats_batch(batch)
+    One vectorized pass reusing the oracled lang/quality kernels —
+    tokenization and the stats counters are computed ONCE and shared
+    (not recomputed per sub-kernel); exact dedup remains its own
+    (shuffling) operator."""
+    texts = pc.fill_null(batch["text"], "")
+    tokens = _token_lists(texts)
+    stats = _text_stats_core(batch, texts, tokens)
     n_tokens = stats["n_tokens"].to_numpy()
-    lang_pred = np.asarray(lang["lang_pred"].to_pylist(), dtype=object)
-    quality_u = qual["quality_u"].to_numpy()
+    _, lang_pred = _lang_hits_and_pred(tokens, batch.num_rows)
+    quality_u = _quality_u_from_stats(stats)
 
     reason = np.full(batch.num_rows, "ok", dtype=object)
     # precedence: later assignments win → apply in REVERSE priority

@@ -859,3 +859,38 @@ def test_curation_filter_reasons(ray_session):
     out = curation_filter_batch(tbl).to_pydict()
     assert out["reason"] == ["ok", "short", "lang", "quality"]
     assert out["keep"] == [True, False, False, False]
+
+
+def test_curation_and_stats_null_text_oracle_parity(ray_session):
+    """NULL text must produce IDENTICAL rows from the Arrow kernels and
+    the DuckDB oracles (both coalesce to '' -> n_tokens 0 -> 'short')."""
+    import duckdb
+    import pandas as pd
+
+    from jsonld_js_ray.stages.text import (
+        curation_filter_batch,
+        curation_filter_sql,
+        text_stats_batch,
+        TEXT_STATS_SQL,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the quick brown fox is on the mat", None],
+                         pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("documents", tbl)
+
+    eng = curation_filter_batch(tbl).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sql = con.execute(curation_filter_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, sql, check_dtype=False)
+    assert sql.loc[1, "reason"] == "short"
+
+    eng_s = text_stats_batch(tbl).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sql_s = con.execute(TEXT_STATS_SQL).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng_s, sql_s, check_dtype=False)
