@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": td.q_quality,
         "scrub_pii": td.q_scrub_pii,
         "curation_filter": td.q_curation_filter,
+        "decontaminate": td.q_decontaminate,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
+        DECONTAMINATE_SQL,
         LANG_ID_SQL,
         QUALITY_SQL,
         SAMPLE_DOCS_SQL,
@@ -377,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         # sides, fixed pattern order, integer counters
         "scrub_pii": SCRUB_PII_SQL,
         "curation_filter": curation_filter_sql(),
+        # benchmark-overlap decontamination: deterministic probe set
+        # (doc_id % mod) + substring containment, exact on both sides
+        "decontaminate": DECONTAMINATE_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

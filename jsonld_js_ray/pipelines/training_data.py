@@ -137,6 +137,12 @@ def q_curation_filter(sf_dir: str):
         curation_filter_batch, batch_format="pyarrow", batch_size=8192)
 
 
+def q_decontaminate(sf_dir: str):
+    from ..stages.text import decontaminate
+
+    return decontaminate(_docs(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 

@@ -501,3 +501,106 @@ FROM s JOIN l ON l.doc_id = s.doc_id
 def curation_filter_sql() -> str:
     return CURATION_FILTER_SQL.format(lang_sql=LANG_ID_SQL,
                                       quality_sql=QUALITY_SQL)
+
+
+# --- decontamination (benchmark-overlap check) ---
+# A training-data pipeline must drop documents that contain benchmark
+# content. Contract (exactly mirrored in SQL): the benchmark set is the
+# documents with doc_id % BENCH_MOD == 0 and >= SNIP_MIN_CHARS chars
+# (a deterministic stand-in for an external benchmark table); each
+# contributes ONE probe snippet = its first SNIP_LEN characters; a doc
+# is contaminated iff it is NOT itself a benchmark member and contains
+# at least one probe snippet. n_hits counts containing snippets with
+# per-benchmark-doc multiplicity (duplicate snippets count twice).
+
+BENCH_MOD = 97
+SNIP_LEN = 64
+SNIP_MIN_CHARS = 8
+
+
+def bench_snippet_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one (snip) row per benchmark member in batch."""
+    texts = pc.fill_null(batch["text"], "")
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+    mask = (ids % BENCH_MOD == 0) & (nchars >= SNIP_MIN_CHARS)
+    kept = pc.filter(texts, pa.array(mask))
+    return pa.table({
+        "snip": pc.utf8_slice_codeunits(kept, 0, SNIP_LEN)})
+
+
+class ContaminationMarker:
+    """map_batches fn (plain function-style state via ray.put ref):
+    counts probe-snippet containments per document."""
+
+    def __init__(self, ref) -> None:
+        self.ref = ref
+        self._snips = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._snips is None:
+            self._snips = ray.get(self.ref)
+        texts = pc.fill_null(batch["text"], "")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for s in self._snips:
+            hits += pc.match_substring(texts, pattern=s).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        is_bench = (ids % BENCH_MOD == 0) & (nchars >= SNIP_MIN_CHARS)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "is_benchmark": pa.array(is_bench),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(~is_bench & (hits > 0)),
+        })
+
+
+def decontaminate(docs):
+    """documents → (doc_id, is_benchmark, n_hits, contaminated).
+
+    Two passes: (1) a distributed filter+slice extracts the benchmark
+    snippets — the benchmark side is DRIVER-SMALL by nature (real
+    decontamination sets are 10^3-10^5 probes), so collecting it is
+    bounded and it then broadcasts once via ray.put; (2) a map_batches
+    pass counts containments with one vectorized match_substring per
+    snippet. The per-snippet loop is fine to ~10^3 probes; beyond that
+    the scale path is a multi-pattern matcher (Aho-Corasick / RE2 set)
+    in the same stage — the Ray plumbing is unchanged."""
+    import ray
+
+    snips_rows = docs.map_batches(
+        bench_snippet_batch, batch_format="pyarrow").take_all()
+    # sorted for run-to-run determinism; duplicates KEPT (multiplicity
+    # is part of the n_hits contract)
+    snips = sorted(r["snip"] for r in snips_rows)
+    ref = ray.put(snips)
+
+    return docs.map_batches(ContaminationMarker(ref),
+                            batch_format="pyarrow", batch_size=8192)
+
+
+DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT substr(coalesce(text, ''), 1, {SNIP_LEN}) AS snip
+  FROM documents
+  WHERE doc_id % {BENCH_MOD} = 0
+    AND length(coalesce(text, '')) >= {SNIP_MIN_CHARS}
+), hits AS (
+  SELECT d.doc_id,
+         (d.doc_id % {BENCH_MOD} = 0
+          AND length(coalesce(d.text, '')) >= {SNIP_MIN_CHARS})
+             AS is_benchmark,
+         CAST(coalesce(sum(CASE WHEN instr(coalesce(d.text, ''), b.snip)
+                                     > 0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hits
+  FROM documents d LEFT JOIN bench b ON true
+  GROUP BY d.doc_id, d.text
+)
+SELECT doc_id, is_benchmark, n_hits,
+       (NOT is_benchmark AND n_hits > 0) AS contaminated
+FROM hits
+"""

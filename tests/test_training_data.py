@@ -894,3 +894,60 @@ def test_curation_and_stats_null_text_oracle_parity(ray_session):
     sql_s = con.execute(TEXT_STATS_SQL).fetchdf() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(eng_s, sql_s, check_dtype=False)
+
+
+def test_decontaminate_semantics(ray_session):
+    """Benchmark members (doc_id % 97 == 0, >= 8 chars) are never
+    'contaminated'; a non-member containing a probe snippet is; n_hits
+    carries per-benchmark-doc multiplicity."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import decontaminate
+
+    probe = "this is a benchmark question about the capital of france"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 97, 194, 291, 5, 6, 7, 8], pa.int64()),
+        "text": pa.array([
+            probe,                        # bench member
+            probe,                        # bench member, SAME snippet
+            "short",                      # % 97 == 0 but < 8 chars
+            None,                         # % 97 == 0 but null
+            "prefix " + probe + " suffix",  # contaminated (hits 2)
+            "totally clean document text here",
+            probe,                        # contaminated verbatim copy
+            "",                           # clean empty
+        ], pa.string()),
+    })
+    out = decontaminate(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "is_benchmark"]) is True
+    assert bool(out.loc[97, "is_benchmark"]) is True
+    assert bool(out.loc[194, "is_benchmark"]) is False
+    assert bool(out.loc[291, "is_benchmark"]) is False
+    assert not out.loc[[0, 97], "contaminated"].any()
+    # duplicate snippet counts twice (multiplicity contract)
+    assert int(out.loc[5, "n_hits"]) == 2
+    assert bool(out.loc[5, "contaminated"]) is True
+    assert bool(out.loc[7, "contaminated"]) is True
+    assert int(out.loc[6, "n_hits"]) == 0
+    assert not bool(out.loc[6, "contaminated"])
+    assert not bool(out.loc[8, "contaminated"])
+
+
+def test_decontaminate_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["decontaminate"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["decontaminate"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # the probe set is non-empty at sf0.001 (doc_ids cover 0..499)
+    assert a["is_benchmark"].sum() > 0
