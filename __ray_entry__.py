@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": td.q_scrub_pii,
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
+        "stratified_sample": td.q_stratified_sample,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.text import (
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
+        STRATIFIED_SAMPLE_SQL,
         QUALITY_SQL,
         SAMPLE_DOCS_SQL,
         SCRUB_PII_SQL,
@@ -382,6 +384,9 @@ def oracle_sql() -> dict[str, str]:
         # benchmark-overlap decontamination: deterministic probe set
         # (doc_id % mod) + substring containment, exact on both sides
         "decontaminate": DECONTAMINATE_SQL,
+        # per-(lang, source) deterministic K-representative sample:
+        # md5 hash order mirrored by row_number() in SQL
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

@@ -137,6 +137,19 @@ def q_curation_filter(sf_dir: str):
         curation_filter_batch, batch_format="pyarrow", batch_size=8192)
 
 
+def q_stratified_sample(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return stratified_sample(docs)
+
+
 def q_decontaminate(sf_dir: str):
     from ..stages.text import decontaminate
 

@@ -385,6 +385,81 @@ SELECT doc_id FROM documents WHERE {_MD5_UNIT_SQL} < {SAMPLE_RATE}
 """
 
 
+# --- stratified sampling (data-mixture curation) ---
+# Keep the K "hash-smallest" documents per (lang, source) stratum — a
+# deterministic uniform-without-replacement sample per stratum (md5 is
+# uniform on text, ties broken by doc_id). Two-level top-k: a per-batch
+# partial bounds shuffle volume at K x strata per block, then a
+# per-stratum exact top-k; the stratum count is small (|langs| x
+# |sources|), so the groupby is cheap at any corpus size.
+
+STRATIFIED_K = 3
+
+
+def _md5_hex(texts: list) -> list:
+    import hashlib
+
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in texts]
+
+
+def stratified_sample_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: the K hash-smallest docs per stratum in this
+    batch (a superset of the stratum's global top-K members here)."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+        "lang": batch["lang"].to_pylist(),
+        "source": batch["source"].to_pylist(),
+        "h": _md5_hex(batch["text"].to_pylist()),
+    })
+    df = df.sort_values(["lang", "source", "h", "doc_id"],
+                        kind="mergesort")
+    df = df.groupby(["lang", "source"], sort=False).head(STRATIFIED_K)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "lang": pa.array(df["lang"], pa.string()),
+        "source": pa.array(df["source"], pa.string()),
+        "h": pa.array(df["h"], pa.string()),
+    })
+
+
+def _stratum_topk(g, _k: int = STRATIFIED_K) -> pa.Table:
+    """Final per-stratum exact top-k with 1-based rank (typed output —
+    mixed pandas/arrow blocks break Ray sort/groupby sampling)."""
+    g = g.sort_values(["h", "doc_id"], kind="mergesort").head(_k)
+    return pa.table({
+        "lang": pa.array(g["lang"], pa.string()),
+        "source": pa.array(g["source"], pa.string()),
+        "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+        "stratum_rank": pa.array(
+            np.arange(1, len(g) + 1, dtype=np.int64)),
+    })
+
+
+def stratified_sample(docs):
+    """documents (doc_id, text, lang, source) →
+    (lang, source, doc_id, stratum_rank): K deterministic
+    representatives per stratum."""
+    partial = docs.map_batches(stratified_sample_partial,
+                               batch_format="pyarrow", batch_size=8192)
+    return partial.groupby(["lang", "source"]).map_groups(
+        _stratum_topk, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS stratum_rank
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(coalesce(text, '')), doc_id)
+             AS rk
+  FROM documents)
+WHERE rk <= {STRATIFIED_K}
+"""
+
+
 # --- PII scrubbing (training-data hygiene pass) ---
 # Patterns are RE2-compatible and applied in a fixed order (URL first so
 # emails inside URLs don't double-mask), identically on both sides:

@@ -951,3 +951,56 @@ def test_decontaminate_oracle_parity_sf(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     # the probe set is non-empty at sf0.001 (doc_ids cover 0..499)
     assert a["is_benchmark"].sum() > 0
+
+
+def test_stratified_sample_semantics(ray_session):
+    """Exactly min(K, stratum size) rows per stratum; members are the
+    md5-smallest texts; rank is 1-based hash order."""
+    import hashlib
+
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import STRATIFIED_K, stratified_sample
+
+    rows = []
+    did = 0
+    for lang in ("en", "fr"):
+        for src in ("a", "b"):
+            n = 5 if (lang, src) != ("fr", "b") else 2
+            for i in range(n):
+                rows.append((did, f"{lang} {src} document {i}", lang, src))
+                did += 1
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = stratified_sample(rd.from_arrow(tbl)).to_pandas()
+    sizes = out.groupby(["lang", "source"]).size().to_dict()
+    assert sizes == {("en", "a"): 3, ("en", "b"): 3,
+                     ("fr", "a"): 3, ("fr", "b"): 2}
+    # check one stratum against a hand computation
+    en_a = [(hashlib.md5(r[1].encode()).hexdigest(), r[0])
+            for r in rows if (r[2], r[3]) == ("en", "a")]
+    want = [d for _, d in sorted(en_a)][:STRATIFIED_K]
+    got = out[(out.lang == "en") & (out.source == "a")] \
+        .sort_values("stratum_rank")["doc_id"].tolist()
+    assert got == want
+
+
+def test_stratified_sample_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["stratified_sample"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["stratified_sample"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
