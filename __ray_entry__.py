@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
         "stratified_sample": td.q_stratified_sample,
+        "tfidf_topk": td.q_tfidf_topk,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         TOPK_DOCS_SQL,
     )
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
+    from jsonld_js_ray.stages.tfidf import TFIDF_TOPK_SQL
     from jsonld_js_ray.stages.rank import (
         TOP_EVENTS_SQL,
         USER_QUANTILES_SQL,
@@ -387,6 +389,9 @@ def oracle_sql() -> dict[str, str]:
         # per-(lang, source) deterministic K-representative sample:
         # md5 hash order mirrored by row_number() in SQL
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        # corpus-wide document frequency + per-doc top terms by tf/df
+        # (integer cross-ratio ordering — no floats in the contract)
+        "tfidf_topk": TFIDF_TOPK_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

@@ -150,6 +150,12 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def q_tfidf_topk(sf_dir: str):
+    from ..stages.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     from ..stages.text import decontaminate
 

@@ -1,0 +1,170 @@
+"""TF-IDF top-k terms per document — a corpus-wide statistic (document
+frequency) joined back to per-document term counts.
+
+Shape (two shuffles, both hash-partitioned, no driver-side state):
+
+1. ``term_freq_batch``: docs → distinct (doc_id, token, tf) rows, fully
+   vectorized (flatten + np.unique over (doc, token-code) pairs). Each
+   document sits wholly inside one batch, so per-batch tf is exact.
+2. token-hash bucket groupby: every row of a token lands in ONE bucket,
+   so df(token) = in-bucket group size — the df aggregate and the
+   df-join collapse into a single shuffle (no separate vocab-sized
+   groupby + join, and no driver-side vocabulary: at web scale the
+   vocabulary is corpus-sized and must never be broadcast).
+3. per-batch partial top-k per doc (bounds the second shuffle at k rows
+   per doc per batch), then a doc-shard groupby with one lexsort per
+   shard — same pattern as stages/rank.py.
+
+Ranking is INTEGER arithmetic so the DuckDB oracle is exact: the tf/df
+ratio is ordered by score_key = (tf * 10^12) // df (floor division on
+both sides; tf*10^12 fits int64 for any document under ~9M occurrences
+of one token), descending, ties by token ascending (binary UTF-8 order
+== numpy codepoint order for valid strings). ln-based idf is
+deliberately avoided: libm floats are not contract-able across engines,
+and the ordering by tf/df is identical for a corpus-constant N.
+
+Tokenization is the repo-wide contract: '\\S+' runs of lower(text)
+(stages/text._token_lists ≡ regexp_extract_all in SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _token_lists
+
+TFIDF_TOPK = 3
+TFIDF_BUCKETS = 256        # token-hash buckets (df + join shuffle)
+TFIDF_DOC_SHARDS = 64      # doc-hash shards (final top-k shuffle)
+_SCALE = 10 ** 12
+
+
+def term_freq_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one (doc_id, token, tf) row per distinct token
+    per doc. Vectorized: one flatten, one np.unique over code pairs."""
+    tokens = _token_lists(batch["text"])
+    combined = tokens.combine_chunks() \
+        if isinstance(tokens, pa.ChunkedArray) else tokens
+    flat_arr = pc.list_flatten(combined)
+    parents_arr = pc.list_parent_indices(combined)
+    nonempty = pc.not_equal(flat_arr, "")   # phantom '' split tokens
+    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
+    parents = pc.filter(parents_arr, nonempty).to_numpy(
+        zero_copy_only=False)
+    if not len(flat):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents]
+    uniq_tokens, codes = np.unique(flat, return_inverse=True)
+    pairs = np.stack([doc_ids.astype(np.int64), codes], axis=1)
+    uniq_pairs, counts = np.unique(pairs, axis=0, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(uniq_pairs[:, 0], pa.int64()),
+        "token": pa.array(uniq_tokens[uniq_pairs[:, 1]], pa.string()),
+        "tf": pa.array(counts.astype(np.int64)),
+    })
+
+
+def _token_bucket_batch(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    toks = batch["token"].to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(toks, dtype=object))
+    return batch.append_column(
+        "bucket", pa.array((h % TFIDF_BUCKETS).astype(np.int32)))
+
+
+def _df_in_bucket(g) -> pa.Table:
+    """All rows of a token share this bucket → df = group size here.
+    Attach df, then emit this batch's top-k candidates per doc (an
+    exact superset of each doc's global top-k contribution from this
+    bucket)."""
+    toks = g["token"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    tf = g["tf"].to_numpy().astype(np.int64)
+    _, codes, df_per_code = np.unique(toks, return_inverse=True,
+                                      return_counts=True)
+    df = df_per_code[codes].astype(np.int64)
+    key = (tf * _SCALE) // df
+    # partial per-doc top-k: sort doc asc, key desc, token asc
+    order = np.lexsort((toks, -key, doc_ids))
+    d_s, t_s = doc_ids[order], toks[order]
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], d_s[1:] != d_s[:-1]])) if len(d_s) else np.array([], int)
+    group_start = np.repeat(
+        bounds, np.diff(np.append(bounds, len(d_s)))) if len(d_s) \
+        else np.array([], int)
+    pos = np.arange(len(d_s)) - group_start
+    keep = pos < TFIDF_TOPK
+    sel = order[keep]
+    return pa.table({
+        "doc_id": pa.array(doc_ids[sel], pa.int64()),
+        "token": pa.array(toks[sel], pa.string()),
+        "tf": pa.array(tf[sel], pa.int64()),
+        "df": pa.array(df[sel], pa.int64()),
+        "shard": pa.array((doc_ids[sel] % TFIDF_DOC_SHARDS)
+                          .astype(np.int32)),
+    })
+
+
+def _topk_in_shard(g, _k: int = TFIDF_TOPK) -> pa.Table:
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    toks = g["token"].to_numpy()
+    tf = g["tf"].to_numpy().astype(np.int64)
+    df = g["df"].to_numpy().astype(np.int64)
+    key = (tf * _SCALE) // df
+    order = np.lexsort((toks, -key, doc_ids))
+    d_s = doc_ids[order]
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], d_s[1:] != d_s[:-1]])) if len(d_s) else np.array([], int)
+    group_start = np.repeat(
+        bounds, np.diff(np.append(bounds, len(d_s)))) if len(d_s) \
+        else np.array([], int)
+    rank = np.arange(len(d_s)) - group_start + 1
+    keep = rank <= _k
+    sel = order[keep]
+    return pa.table({
+        "doc_id": pa.array(doc_ids[sel], pa.int64()),
+        "term_rank": pa.array(rank[keep].astype(np.int64)),
+        "token": pa.array(toks[sel], pa.string()),
+        "tf": pa.array(tf[sel], pa.int64()),
+        "df": pa.array(df[sel], pa.int64()),
+    })
+
+
+def tfidf_topk(docs):
+    """documents → (doc_id, term_rank, token, tf, df): the TFIDF_TOPK
+    highest-tf/df terms per document (rank 1 = highest)."""
+    terms = docs.map_batches(term_freq_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    bucketed = terms.map_batches(_token_bucket_batch,
+                                 batch_format="pyarrow")
+    cands = bucketed.groupby("bucket").map_groups(
+        _df_in_bucket, batch_format="pandas")
+    return cands.groupby("shard").map_groups(
+        _topk_in_shard, batch_format="pandas")
+
+
+TFIDF_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t.token AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM documents d,
+       unnest(regexp_extract_all(lower(coalesce(d.text, '')), '\S+'))
+           AS t(token)
+  GROUP BY doc_id, t.token
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token
+), scored AS (
+  SELECT toks.doc_id, toks.token, toks.tf, df.df,
+         row_number() OVER (
+             PARTITION BY toks.doc_id
+             ORDER BY (toks.tf * {_SCALE}) // df.df DESC, toks.token)
+             AS term_rank
+  FROM toks JOIN df USING (token)
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf, df
+FROM scored WHERE term_rank <= {TFIDF_TOPK}
+"""

@@ -1004,3 +1004,47 @@ def test_stratified_sample_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_tfidf_topk_semantics(ray_session):
+    """A term appearing in fewer docs outranks a same-tf common term;
+    rank order is tf/df desc, token asc."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.tfidf import tfidf_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple apple banana common",
+            "banana common",
+            "common common cherry",
+        ], pa.string()),
+    })
+    out = tfidf_topk(rd.from_arrow(tbl)).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("term_rank")
+    # doc 0: apple tf=2 df=1 (key 2e12) > banana tf=1 df=2 (5e11)
+    #        > common tf=1 df=3 (3.33e11)
+    assert d0["token"].tolist() == ["apple", "banana", "common"]
+    assert d0["tf"].tolist() == [2, 1, 1]
+    assert d0["df"].tolist() == [1, 2, 3]
+    d2 = out[out.doc_id == 2].sort_values("term_rank")
+    # doc 2: cherry tf=1 df=1 (1e12) > common tf=2 df=3 (6.66e11)
+    assert d2["token"].tolist() == ["cherry", "common"]
+
+
+def test_tfidf_topk_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["tfidf_topk"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["tfidf_topk"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
