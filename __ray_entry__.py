@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": td.q_decontaminate,
         "stratified_sample": td.q_stratified_sample,
         "tfidf_topk": td.q_tfidf_topk,
+        "inverted_index": td.q_inverted_index,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -298,7 +299,10 @@ def oracle_sql() -> dict[str, str]:
         TOPK_DOCS_SQL,
     )
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
-    from jsonld_js_ray.stages.tfidf import TFIDF_TOPK_SQL
+    from jsonld_js_ray.stages.tfidf import (
+        INVERTED_INDEX_SQL,
+        TFIDF_TOPK_SQL,
+    )
     from jsonld_js_ray.stages.rank import (
         TOP_EVENTS_SQL,
         USER_QUANTILES_SQL,
@@ -392,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         # corpus-wide document frequency + per-doc top terms by tf/df
         # (integer cross-ratio ordering — no floats in the contract)
         "tfidf_topk": TFIDF_TOPK_SQL,
+        # token -> exact df + capped ascending posting list
+        "inverted_index": INVERTED_INDEX_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

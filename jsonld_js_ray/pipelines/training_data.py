@@ -156,6 +156,12 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir))
 
 
+def q_inverted_index(sf_dir: str):
+    from ..stages.tfidf import inverted_index
+
+    return inverted_index(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     from ..stages.text import decontaminate
 

@@ -148,6 +148,70 @@ def tfidf_topk(docs):
         _topk_in_shard, batch_format="pandas")
 
 
+# --- inverted index (token → df + bounded posting list) ---
+# Same token-hash bucket shuffle as tfidf_topk: all of a token's
+# (doc_id, token, tf) rows co-locate, so df and the posting list are
+# one in-bucket pass. Postings are BOUNDED by contract — the
+# POSTINGS_CAP smallest doc_ids, comma-joined — because at web scale a
+# stopword's full posting list is corpus-sized and belongs in chunked
+# list storage, not one row; df stays exact regardless.
+
+POSTINGS_CAP = 32
+
+
+def _index_in_bucket(g) -> pa.Table:
+    """Vectorized: one lexsort, group-boundary arithmetic for df, and
+    Arrow list construction + binary_join for the capped posting
+    strings — no per-token Python."""
+    toks = g["token"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc_ids, toks))
+    t_s, d_s = toks[order], doc_ids[order]
+    n = len(t_s)
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], t_s[1:] != t_s[:-1]])) if n else np.array([], np.int64)
+    df = (np.append(bounds[1:], n) - bounds).astype(np.int64)
+    pos = np.arange(n) - np.repeat(bounds, df)
+    keep = pos < POSTINGS_CAP
+    offsets = np.concatenate(
+        [[0], np.cumsum(np.minimum(df, POSTINGS_CAP))]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pc.cast(pa.array(d_s[keep]), pa.string()))
+    return pa.table({
+        "token": pa.array(t_s[bounds], pa.string()),
+        "df": pa.array(df),
+        "postings": pc.binary_join(lists, ","),
+    })
+
+
+def inverted_index(docs):
+    """documents → (token, df, postings): exact document frequency and
+    the POSTINGS_CAP smallest doc_ids per token, ascending."""
+    terms = docs.map_batches(term_freq_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    bucketed = terms.map_batches(_token_bucket_batch,
+                                 batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        _index_in_bucket, batch_format="pandas")
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token AS token
+  FROM documents d,
+       unnest(regexp_extract_all(lower(coalesce(d.text, '')), '\S+'))
+           AS t(token)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+           list_slice(list(CAST(doc_id AS VARCHAR)
+                           ORDER BY doc_id), 1, {POSTINGS_CAP}),
+           ',') AS postings
+FROM toks GROUP BY token
+"""
+
+
 TFIDF_TOPK_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, t.token AS token, CAST(count(*) AS BIGINT) AS tf

@@ -1048,3 +1048,38 @@ def test_tfidf_topk_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_inverted_index_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.tfidf import POSTINGS_CAP, inverted_index
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(
+            ["common word"] * 40, pa.string()),
+    })
+    out = inverted_index(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("token")
+    assert int(out.loc["common", "df"]) == 40          # df exact
+    posted = out.loc["common", "postings"].split(",")
+    assert len(posted) == POSTINGS_CAP                 # postings capped
+    assert posted == [str(i) for i in range(POSTINGS_CAP)]
+
+
+def test_inverted_index_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["inverted_index"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["inverted_index"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
