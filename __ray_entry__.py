@@ -84,6 +84,12 @@ def _q_kg_entities_canonical_planted(sf_dir: str):
         detect_mentions(read_transcripts(sf_dir)))
 
 
+def _q_kg_conv_entity_mentions(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import conv_entity_mentions
+
+    return conv_entity_mentions(sf_dir)
+
+
 def _q_kg_quads_roundtrip(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import roundtrip_quads
 
@@ -121,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_entities_canonical": _q_kg_entities_canonical,
         "kg_entities_canonical_planted": _q_kg_entities_canonical_planted,
+        "kg_conv_entity_mentions": _q_kg_conv_entity_mentions,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -264,6 +271,7 @@ def _q_window_session(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.pipelines.oracle import (
+        CONV_ENTITY_MENTIONS_ORACLE_SQL,
         ENTITIES_ORACLE_SQL,
         KG_QUADS_ORACLE_SQL,
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
@@ -328,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
         "kg_mentions": MENTIONS_SQL,
         "kg_entities": ENTITIES_ORACLE_SQL,
+        # 2-hop SPARQL-style BGP join over the quad table
+        "kg_conv_entity_mentions": CONV_ENTITY_MENTIONS_ORACLE_SQL,
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

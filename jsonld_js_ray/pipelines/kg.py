@@ -553,3 +553,77 @@ def quad_stats(quads):
     ).groupby("pred").aggregate(
         Sum("n", alias_name="n"),
         Sum("n_subj", alias_name="n_subj"))
+
+
+# --- SPARQL-style basic-graph-pattern join over the quad table ---
+# ?conv :hasTurn ?turn . ?turn :mentions ?entity  →  per-(conv, entity)
+# mention counts. This is the canonical 2-hop triple-pattern join a KG
+# query layer needs; it deliberately joins on the turn IRI VALUE (a
+# bucketed hash join over the quad stream) rather than parsing the IRI
+# structure, so it works for any quad table.
+
+BGP_JOIN_BUCKETS = 128
+
+
+def conv_entity_mentions(sf_dir: str):
+    """quads-with-mentions → (conv, entity, n_mentions): the number of
+    turns of each conversation that mention each entity IRI.
+
+    Shape: one filtered pass tags the two triple patterns and buckets
+    them by the shared join variable's hash (every turn's rows
+    co-locate); each bucket does one vectorized pandas merge + partial
+    (conv, entity) count; a final small groupby sums partials.
+    Reference query surface: jsonld.js users run this class of query
+    via RDF stores after toRDF (lib/jsonld.js toRDF + downstream
+    SPARQL); the engine makes it a native dataset operator."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.assemble import CONV_VOCAB
+
+    has_turn = CONV_VOCAB + "hasTurn"
+    mentions = CONV_VOCAB + "mentions"
+    quads = build_quads_with_mentions(sf_dir)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["pred"],
+                        value_set=pa.array([has_turn, mentions]))
+        t = batch.filter(keep)
+        is_h = pc.equal(t["pred"], has_turn).to_numpy(
+            zero_copy_only=False)
+        subj = t["subj"].to_numpy(zero_copy_only=False)
+        obj = t["obj_value"].to_numpy(zero_copy_only=False)
+        key = np.where(is_h, obj, subj)           # the turn IRI
+        val = np.where(is_h, subj, obj)           # conv | entity
+        bucket = (pd.util.hash_array(key.astype(object))
+                  % BGP_JOIN_BUCKETS).astype(np.int32)
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "val": pa.array(val, pa.string()),
+            "side": pa.array(is_h.astype(np.int8)),
+            "bucket": pa.array(bucket),
+        })
+
+    def join_in_bucket(g: "pd.DataFrame") -> pa.Table:
+        h = g[g["side"] == 1][["key", "val"]].rename(
+            columns={"val": "conv"})
+        m = g[g["side"] == 0][["key", "val"]].rename(
+            columns={"val": "entity"})
+        merged = h.merge(m, on="key")
+        part = merged.groupby(["conv", "entity"], sort=False) \
+            .size().reset_index(name="n_part")
+        return pa.table({
+            "conv": pa.array(part["conv"], pa.string()),
+            "entity": pa.array(part["entity"], pa.string()),
+            "n_part": pa.array(part["n_part"].to_numpy()
+                               .astype(np.int64)),
+        })
+
+    parts = quads.map_batches(edges, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(join_in_bucket,
+                                      batch_format="pandas")
+    return parts.groupby(["conv", "entity"]).aggregate(
+        Sum("n_part", alias_name="n_mentions"))

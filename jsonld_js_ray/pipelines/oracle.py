@@ -132,3 +132,16 @@ KG_QUADS_WITH_MENTIONS_ORACLE_SQL = (
     "SELECT * FROM (" + KG_QUADS_ORACLE_SQL + ") "
     "UNION ALL SELECT * FROM (" + MENTION_QUADS_ORACLE_SQL + ")"
 )
+
+
+# 2-hop BGP join: ?conv :hasTurn ?turn . ?turn :mentions ?entity
+CONV_ENTITY_MENTIONS_ORACLE_SQL = f"""
+WITH q AS ({KG_QUADS_WITH_MENTIONS_ORACLE_SQL}),
+h AS (SELECT subj AS conv, obj_value AS turn FROM q
+      WHERE pred = '{CONV_VOCAB}hasTurn'),
+m AS (SELECT subj AS turn, obj_value AS entity FROM q
+      WHERE pred = '{CONV_VOCAB}mentions')
+SELECT h.conv, m.entity, CAST(count(*) AS BIGINT) AS n_mentions
+FROM h JOIN m ON h.turn = m.turn
+GROUP BY h.conv, m.entity
+"""

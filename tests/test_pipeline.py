@@ -453,3 +453,23 @@ def test_entities_canonical_planted_oracle(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_conv_entity_mentions_matches_oracle(ray_session, sf_dir):
+    """2-hop BGP join (?conv hasTurn ?turn . ?turn mentions ?entity)
+    over the quad stream equals the SQL self-join oracle."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_conv_entity_mentions"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_conv_entity_mentions"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0
