@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": td.q_stratified_sample,
         "tfidf_topk": td.q_tfidf_topk,
         "inverted_index": td.q_inverted_index,
+        "repetition": td.q_repetition,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.text import (
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
+        REPETITION_SQL,
         STRATIFIED_SAMPLE_SQL,
         QUALITY_SQL,
         SAMPLE_DOCS_SQL,
@@ -408,6 +410,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": TFIDF_TOPK_SQL,
         # token -> exact df + capped ascending posting list
         "inverted_index": INVERTED_INDEX_SQL,
+        # within-doc duplicate bigram/trigram fraction (integer ppm)
+        "repetition": REPETITION_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

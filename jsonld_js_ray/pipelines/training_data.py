@@ -156,6 +156,13 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir))
 
 
+def q_repetition(sf_dir: str):
+    from ..stages.text import repetition_batch
+
+    return _docs(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow", batch_size=8192)
+
+
 def q_inverted_index(sf_dir: str):
     from ..stages.tfidf import inverted_index
 

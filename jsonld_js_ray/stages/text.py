@@ -679,3 +679,103 @@ SELECT doc_id, is_benchmark, n_hits,
        (NOT is_benchmark AND n_hits > 0) AS contaminated
 FROM hits
 """
+
+
+# --- repetition ratio (Gopher-style within-doc duplicate n-grams) ---
+# Heavily repetitive documents are low-quality training data. Contract
+# (exact integers, SQL-mirrored): over the '\S+' lowercase token
+# sequence, rep{2,3}_u = ppm fraction of duplicated {bi,tri}grams =
+# 1e6 * (n_grams - n_distinct_grams) // max(n_grams, 1).
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc bigram/trigram totals, distinct counts
+    and duplicate-fraction ppm. One flatten + np.unique passes — no
+    per-row Python. Token adjacency survives the '' filter because
+    phantom split tokens only occur at string boundaries."""
+    n = batch.num_rows
+    tokens = _token_lists(batch["text"])
+    combined = tokens.combine_chunks() \
+        if isinstance(tokens, pa.ChunkedArray) else tokens
+    flat_arr = pc.list_flatten(combined)
+    parents_arr = pc.list_parent_indices(combined)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
+    parents = pc.filter(parents_arr, nonempty).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    codes = np.unique(flat, return_inverse=True)[1] if len(flat) \
+        else np.zeros(0, dtype=np.int64)
+
+    def gram_counts(width: int):
+        if len(parents) < width:
+            z = np.zeros(n, dtype=np.int64)
+            return z, z
+        same = np.ones(len(parents) - width + 1, dtype=bool)
+        for j in range(1, width):
+            same &= parents[j:len(parents) - width + 1 + j] == \
+                parents[:len(parents) - width + 1]
+        gp = parents[:len(parents) - width + 1][same]
+        cols = [codes[j:len(codes) - width + 1 + j][same]
+                for j in range(width)]
+        total = np.bincount(gp, minlength=n).astype(np.int64)
+        if len(gp):
+            uniq = np.unique(np.stack([gp] + cols, axis=1), axis=0)
+            distinct = np.bincount(uniq[:, 0],
+                                   minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+        return total, distinct
+
+    n_bi, nd_bi = gram_counts(2)
+    n_tri, nd_tri = gram_counts(3)
+    rep2 = (1_000_000 * (n_bi - nd_bi)) // np.maximum(n_bi, 1)
+    rep3 = (1_000_000 * (n_tri - nd_tri)) // np.maximum(n_tri, 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bigrams": pa.array(n_bi),
+        "n_distinct_bigrams": pa.array(nd_bi),
+        "rep2_u": pa.array(rep2),
+        "n_trigrams": pa.array(n_tri),
+        "n_distinct_trigrams": pa.array(nd_tri),
+        "rep3_u": pa.array(rep3),
+    })
+
+
+# tokens are '\S+' runs, so ' ' is a collision-free gram separator
+REPETITION_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN list_transform(
+             list_zip(list_slice(toks, 1, len(toks)-1),
+                      list_slice(toks, 2, len(toks))),
+             x -> x[1] || ' ' || x[2])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+             list_zip(list_slice(toks, 1, len(toks)-2),
+                      list_slice(toks, 2, len(toks)-1),
+                      list_slice(toks, 3, len(toks))),
+             x -> x[1] || ' ' || x[2] || ' ' || x[3])
+         ELSE CAST([] AS VARCHAR[]) END AS trigrams
+  FROM l
+), c AS (
+  SELECT doc_id,
+         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bigrams)) AS BIGINT)
+             AS n_distinct_bigrams,
+         CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+         CAST(len(list_distinct(trigrams)) AS BIGINT)
+             AS n_distinct_trigrams
+  FROM grams
+)
+SELECT doc_id, n_bigrams, n_distinct_bigrams,
+       (1000000 * (n_bigrams - n_distinct_bigrams))
+           // greatest(n_bigrams, 1) AS rep2_u,
+       n_trigrams, n_distinct_trigrams,
+       (1000000 * (n_trigrams - n_distinct_trigrams))
+           // greatest(n_trigrams, 1) AS rep3_u
+FROM c
+"""

@@ -1083,3 +1083,51 @@ def test_inverted_index_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_repetition_semantics(ray_session):
+    from jsonld_js_ray.stages.text import repetition_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a b c", "x x x x", "one", None],
+                         pa.string()),
+    })
+    out = repetition_batch(tbl).to_pydict()
+    # doc 1: bigrams [ab, ba, ab, bc] -> 4 total, 3 distinct
+    assert out["n_bigrams"] == [4, 3, 0, 0]
+    assert out["n_distinct_bigrams"] == [3, 1, 0, 0]
+    assert out["rep2_u"] == [250000, 666666, 0, 0]
+    assert out["n_trigrams"] == [3, 2, 0, 0]
+    assert out["n_distinct_trigrams"] == [3, 1, 0, 0]
+    assert out["rep3_u"] == [0, 500000, 0, 0]
+
+
+def test_repetition_cross_doc_boundary(ray_session):
+    """Adjacent docs in one batch must not leak grams across rows."""
+    from jsonld_js_ray.stages.text import repetition_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["p q", "q p q p"], pa.string()),
+    })
+    out = repetition_batch(tbl).to_pydict()
+    assert out["n_bigrams"] == [1, 3]
+    assert out["n_distinct_bigrams"] == [1, 2]
+
+
+def test_repetition_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["repetition"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["repetition"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
