@@ -217,6 +217,11 @@ def bench_queries():
         "fingerprint": run(q_fingerprint),
         "scrub_pii": run(q_scrub_pii),
         "curation_filter": run(q_curation_filter),
+        "decontaminate": run(q_decontaminate),
+        "stratified_sample": run(q_stratified_sample),
+        "tfidf_topk": run(q_tfidf_topk),
+        "inverted_index": run(q_inverted_index),
+        "repetition": run(q_repetition),
     }
 
 

@@ -46,12 +46,12 @@ TARGET_ROWS_PER_PAIR_SHARD = 2_000_000
 # --- exact dedup ---
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
+    from .text import md5_hex_list
+
     return pa.table({
         "doc_id": batch["doc_id"],
         "content_hash": pa.array(
-            [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-             for t in texts], pa.string()),
+            md5_hex_list(batch["text"].to_pylist()), pa.string()),
     })
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .groupkit import run_lengths, run_positions, run_starts
+
 RANK_SHARDS = 64
 QUANTILES = (0.5, 0.95)
 TOP_N = 2
@@ -50,14 +52,8 @@ def user_value_quantiles(sf_dir: str, quantiles=QUANTILES):
         users, vals = users[valid], vals[valid]
         order = np.lexsort((vals, users))
         users, vals = users[order], vals[order]
-        if len(users):
-            bounds = np.flatnonzero(np.concatenate(
-                [[True], users[1:] != users[:-1]]))
-            bounds = np.append(bounds, len(users))
-            starts, ends = bounds[:-1], bounds[1:]
-        else:
-            starts = ends = np.array([], dtype=np.int64)
-        ns = ends - starts
+        starts = run_starts(users)
+        ns = run_lengths(users, starts)
         cols: dict = {"user_id": pa.array(users[starts], pa.int64())}
         for p in quantiles:
             # 1-based position ceil(p*n), clamped to [1, n]
@@ -104,11 +100,7 @@ def top_events_per_user(sf_dir: str, n: int = TOP_N):
         order = np.lexsort((eids, -vals, users))
         users, eids = users[order], eids[order]
         # rank within user = position since group start
-        bounds = np.flatnonzero(np.concatenate(
-            [[True], users[1:] != users[:-1]]))
-        group_start = np.repeat(bounds,
-                                np.diff(np.append(bounds, len(users))))
-        rank = np.arange(len(users)) - group_start + 1
+        rank = run_positions(users) + 1
         keep = rank <= _n
         return pa.table({
             "user_id": pa.array(users[keep], pa.int64()),

@@ -41,6 +41,23 @@ def _token_lists(texts: pa.Array) -> pa.Array:
     return pc.split_pattern_regex(lowered, pattern=TOKEN_SPLIT)
 
 
+def _flat_tokens(tokens) -> tuple[np.ndarray, np.ndarray]:
+    """token-list array → (flat tokens, parent row indices) as numpy,
+    with the phantom '' boundary tokens dropped (see _token_lists —
+    dropping them preserves in-doc adjacency because '' only occurs at
+    string boundaries). The shared preamble of every token-stream
+    kernel (text stats, repetition, tfidf)."""
+    combined = tokens.combine_chunks() \
+        if isinstance(tokens, pa.ChunkedArray) else tokens
+    flat_arr = pc.list_flatten(combined)
+    parents_arr = pc.list_parent_indices(combined)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
+    parents = pc.filter(parents_arr, nonempty).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return flat, parents
+
+
 def _hits_per_row(tokens: pa.Array, vocab: list[str],
                   n_rows: int) -> np.ndarray:
     """Vectorized per-row count of tokens in vocab (flatten + bincount)."""
@@ -64,15 +81,7 @@ def _text_stats_core(batch: pa.Table, texts, tokens) -> pa.Table:
     """Stats kernel over precomputed filled texts + token lists, so
     composed stages (curation_filter) tokenize exactly once."""
     n = batch.num_rows
-    combined = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) \
-        else tokens
-    flat_arr = pc.list_flatten(combined)
-    parents_arr = pc.list_parent_indices(combined)
-    # drop phantom '' boundary tokens (see _token_lists)
-    nonempty = pc.not_equal(flat_arr, "")
-    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
-    parents = pc.filter(parents_arr, nonempty).to_numpy(
-        zero_copy_only=False)
+    flat, parents = _flat_tokens(tokens)
 
     n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
     n_distinct = np.zeros(n, dtype=np.int64)
@@ -342,15 +351,20 @@ SPLIT_THRESHOLD = 0.9       # 90% train / 10% val
 SAMPLE_RATE = 0.1
 
 
-def _md5_unit_interval(texts: list) -> np.ndarray:
-    """md5(text) first 8 hex chars → uniform float in [0, 1)."""
+def md5_hex_list(texts: list) -> list:
+    """Canonical md5-of-text helper (the repo-wide '(t or "")' NULL
+    contract lives HERE; dedup.content_hash_batch and the samplers
+    share it)."""
     import hashlib
 
-    vals = np.empty(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
-        vals[i] = int(h, 16) / float(1 << 32)
-    return vals
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in texts]
+
+
+def _md5_unit_interval(texts: list) -> np.ndarray:
+    """md5(text) first 8 hex chars → uniform float in [0, 1)."""
+    return np.array([int(h[:8], 16) for h in md5_hex_list(texts)],
+                    dtype=np.float64) / float(1 << 32)
 
 
 def split_assign_batch(batch: pa.Table) -> pa.Table:
@@ -396,13 +410,6 @@ SELECT doc_id FROM documents WHERE {_MD5_UNIT_SQL} < {SAMPLE_RATE}
 STRATIFIED_K = 3
 
 
-def _md5_hex(texts: list) -> list:
-    import hashlib
-
-    return [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in texts]
-
-
 def stratified_sample_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial: the K hash-smallest docs per stratum in this
     batch (a superset of the stratum's global top-K members here)."""
@@ -412,11 +419,14 @@ def stratified_sample_partial(batch: pa.Table) -> pa.Table:
         "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
         "lang": batch["lang"].to_pylist(),
         "source": batch["source"].to_pylist(),
-        "h": _md5_hex(batch["text"].to_pylist()),
+        "h": md5_hex_list(batch["text"].to_pylist()),
     })
     df = df.sort_values(["lang", "source", "h", "doc_id"],
                         kind="mergesort")
-    df = df.groupby(["lang", "source"], sort=False).head(STRATIFIED_K)
+    # dropna=False: NULL lang/source is a real stratum (SQL PARTITION BY
+    # groups NULLs together; Ray's groupby does too)
+    df = df.groupby(["lang", "source"], sort=False,
+                    dropna=False).head(STRATIFIED_K)
     return pa.table({
         "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
         "lang": pa.array(df["lang"], pa.string()),
@@ -581,16 +591,25 @@ def curation_filter_sql() -> str:
 # --- decontamination (benchmark-overlap check) ---
 # A training-data pipeline must drop documents that contain benchmark
 # content. Contract (exactly mirrored in SQL): the benchmark set is the
-# documents with doc_id % BENCH_MOD == 0 and >= SNIP_MIN_CHARS chars
-# (a deterministic stand-in for an external benchmark table); each
-# contributes ONE probe snippet = its first SNIP_LEN characters; a doc
-# is contaminated iff it is NOT itself a benchmark member and contains
-# at least one probe snippet. n_hits counts containing snippets with
-# per-benchmark-doc multiplicity (duplicate snippets count twice).
+# documents with doc_id % BENCH_MOD == 0, doc_id < BENCH_ID_CAP and
+# >= SNIP_MIN_CHARS chars (a deterministic stand-in for an external
+# benchmark table; the ID cap makes the probe set BOUNDED — at most
+# BENCH_ID_CAP/BENCH_MOD ≈ 1031 probes — independent of corpus size,
+# like a real benchmark suite); each member contributes ONE probe
+# snippet = its first SNIP_LEN characters; a doc is contaminated iff it
+# is NOT itself a benchmark member and contains at least one probe
+# snippet. n_hits counts containing snippets with per-benchmark-doc
+# multiplicity (duplicate snippets count twice).
 
 BENCH_MOD = 97
+BENCH_ID_CAP = 100_000
 SNIP_LEN = 64
 SNIP_MIN_CHARS = 8
+
+
+def _bench_mask(ids: np.ndarray, nchars: np.ndarray) -> np.ndarray:
+    return ((ids % BENCH_MOD == 0) & (ids < BENCH_ID_CAP)
+            & (nchars >= SNIP_MIN_CHARS))
 
 
 def bench_snippet_batch(batch: pa.Table) -> pa.Table:
@@ -598,8 +617,7 @@ def bench_snippet_batch(batch: pa.Table) -> pa.Table:
     texts = pc.fill_null(batch["text"], "")
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
-    mask = (ids % BENCH_MOD == 0) & (nchars >= SNIP_MIN_CHARS)
-    kept = pc.filter(texts, pa.array(mask))
+    kept = pc.filter(texts, pa.array(_bench_mask(ids, nchars)))
     return pa.table({
         "snip": pc.utf8_slice_codeunits(kept, 0, SNIP_LEN)})
 
@@ -624,7 +642,7 @@ class ContaminationMarker:
         for s in self._snips:
             hits += pc.match_substring(texts, pattern=s).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-        is_bench = (ids % BENCH_MOD == 0) & (nchars >= SNIP_MIN_CHARS)
+        is_bench = _bench_mask(ids, nchars)
         return pa.table({
             "doc_id": batch["doc_id"],
             "is_benchmark": pa.array(is_bench),
@@ -637,9 +655,10 @@ def decontaminate(docs):
     """documents → (doc_id, is_benchmark, n_hits, contaminated).
 
     Two passes: (1) a distributed filter+slice extracts the benchmark
-    snippets — the benchmark side is DRIVER-SMALL by nature (real
-    decontamination sets are 10^3-10^5 probes), so collecting it is
-    bounded and it then broadcasts once via ray.put; (2) a map_batches
+    snippets — the probe set is BOUNDED BY CONSTRUCTION (≤
+    BENCH_ID_CAP/BENCH_MOD members regardless of corpus size, matching
+    real decontamination sets of 10^3-10^5 probes), so collecting it is
+    driver-safe and it then broadcasts once via ray.put; (2) a map_batches
     pass counts containments with one vectorized match_substring per
     snippet. The per-snippet loop is fine to ~10^3 probes; beyond that
     the scale path is a multi-pattern matcher (Aho-Corasick / RE2 set)
@@ -661,11 +680,11 @@ DECONTAMINATE_SQL = f"""
 WITH bench AS (
   SELECT substr(coalesce(text, ''), 1, {SNIP_LEN}) AS snip
   FROM documents
-  WHERE doc_id % {BENCH_MOD} = 0
+  WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {BENCH_ID_CAP}
     AND length(coalesce(text, '')) >= {SNIP_MIN_CHARS}
 ), hits AS (
   SELECT d.doc_id,
-         (d.doc_id % {BENCH_MOD} = 0
+         (d.doc_id % {BENCH_MOD} = 0 AND d.doc_id < {BENCH_ID_CAP}
           AND length(coalesce(d.text, '')) >= {SNIP_MIN_CHARS})
              AS is_benchmark,
          CAST(coalesce(sum(CASE WHEN instr(coalesce(d.text, ''), b.snip)
@@ -693,15 +712,7 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     per-row Python. Token adjacency survives the '' filter because
     phantom split tokens only occur at string boundaries."""
     n = batch.num_rows
-    tokens = _token_lists(batch["text"])
-    combined = tokens.combine_chunks() \
-        if isinstance(tokens, pa.ChunkedArray) else tokens
-    flat_arr = pc.list_flatten(combined)
-    parents_arr = pc.list_parent_indices(combined)
-    nonempty = pc.not_equal(flat_arr, "")
-    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
-    parents = pc.filter(parents_arr, nonempty).to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
 
     codes = np.unique(flat, return_inverse=True)[1] if len(flat) \
         else np.zeros(0, dtype=np.int64)

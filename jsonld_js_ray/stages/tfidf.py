@@ -33,7 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .text import _token_lists
+from .groupkit import run_lengths, run_positions, run_starts
+from .text import _flat_tokens, _token_lists
 
 TFIDF_TOPK = 3
 TFIDF_BUCKETS = 256        # token-hash buckets (df + join shuffle)
@@ -44,15 +45,7 @@ _SCALE = 10 ** 12
 def term_freq_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → one (doc_id, token, tf) row per distinct token
     per doc. Vectorized: one flatten, one np.unique over code pairs."""
-    tokens = _token_lists(batch["text"])
-    combined = tokens.combine_chunks() \
-        if isinstance(tokens, pa.ChunkedArray) else tokens
-    flat_arr = pc.list_flatten(combined)
-    parents_arr = pc.list_parent_indices(combined)
-    nonempty = pc.not_equal(flat_arr, "")   # phantom '' split tokens
-    flat = pc.filter(flat_arr, nonempty).to_numpy(zero_copy_only=False)
-    parents = pc.filter(parents_arr, nonempty).to_numpy(
-        zero_copy_only=False)
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
     if not len(flat):
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "token": pa.array([], pa.string()),
@@ -91,14 +84,7 @@ def _df_in_bucket(g) -> pa.Table:
     key = (tf * _SCALE) // df
     # partial per-doc top-k: sort doc asc, key desc, token asc
     order = np.lexsort((toks, -key, doc_ids))
-    d_s, t_s = doc_ids[order], toks[order]
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], d_s[1:] != d_s[:-1]])) if len(d_s) else np.array([], int)
-    group_start = np.repeat(
-        bounds, np.diff(np.append(bounds, len(d_s)))) if len(d_s) \
-        else np.array([], int)
-    pos = np.arange(len(d_s)) - group_start
-    keep = pos < TFIDF_TOPK
+    keep = run_positions(doc_ids[order]) < TFIDF_TOPK
     sel = order[keep]
     return pa.table({
         "doc_id": pa.array(doc_ids[sel], pa.int64()),
@@ -117,13 +103,7 @@ def _topk_in_shard(g, _k: int = TFIDF_TOPK) -> pa.Table:
     df = g["df"].to_numpy().astype(np.int64)
     key = (tf * _SCALE) // df
     order = np.lexsort((toks, -key, doc_ids))
-    d_s = doc_ids[order]
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], d_s[1:] != d_s[:-1]])) if len(d_s) else np.array([], int)
-    group_start = np.repeat(
-        bounds, np.diff(np.append(bounds, len(d_s)))) if len(d_s) \
-        else np.array([], int)
-    rank = np.arange(len(d_s)) - group_start + 1
+    rank = run_positions(doc_ids[order]) + 1
     keep = rank <= _k
     sel = order[keep]
     return pa.table({
@@ -167,12 +147,9 @@ def _index_in_bucket(g) -> pa.Table:
     doc_ids = g["doc_id"].to_numpy().astype(np.int64)
     order = np.lexsort((doc_ids, toks))
     t_s, d_s = toks[order], doc_ids[order]
-    n = len(t_s)
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], t_s[1:] != t_s[:-1]])) if n else np.array([], np.int64)
-    df = (np.append(bounds[1:], n) - bounds).astype(np.int64)
-    pos = np.arange(n) - np.repeat(bounds, df)
-    keep = pos < POSTINGS_CAP
+    bounds = run_starts(t_s)
+    df = run_lengths(t_s, bounds)
+    keep = run_positions(t_s, bounds) < POSTINGS_CAP
     offsets = np.concatenate(
         [[0], np.cumsum(np.minimum(df, POSTINGS_CAP))]).astype(np.int32)
     lists = pa.ListArray.from_arrays(

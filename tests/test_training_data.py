@@ -1131,3 +1131,55 @@ def test_repetition_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_stratified_sample_null_strata(ray_session):
+    """NULL lang/source is a real stratum on BOTH sides (SQL PARTITION
+    BY groups NULLs; the engine must not drop them)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import (
+        STRATIFIED_SAMPLE_SQL, stratified_sample,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(6)], pa.string()),
+        "lang": pa.array(["en", "en", None, None, "en", None],
+                         pa.string()),
+        "source": pa.array(["a", None, "a", None, "a", "a"],
+                           pa.string()),
+    })
+    out = stratified_sample(rd.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.sql(STRATIFIED_SAMPLE_SQL).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) == 6          # every doc survives (all strata <= K)
+
+
+def test_decontaminate_id_cap(ray_session):
+    """doc_ids >= BENCH_ID_CAP are never benchmark members even when
+    divisible by BENCH_MOD (bounded probe-set contract)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import (
+        BENCH_ID_CAP, BENCH_MOD, decontaminate,
+    )
+
+    big = ((BENCH_ID_CAP // BENCH_MOD) + 7) * BENCH_MOD  # >= cap
+    assert big % BENCH_MOD == 0 and big >= BENCH_ID_CAP
+    tbl = pa.table({
+        "doc_id": pa.array([0, big], pa.int64()),
+        "text": pa.array(["benchmark question text here",
+                          "unrelated long document body"], pa.string()),
+    })
+    out = decontaminate(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id")
+    assert bool(out.loc[0, "is_benchmark"]) is True
+    assert bool(out.loc[big, "is_benchmark"]) is False
