@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": td.q_tfidf_topk,
         "inverted_index": td.q_inverted_index,
         "repetition": td.q_repetition,
+        "corpus_token_quantiles": td.q_corpus_token_quantiles,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
+        CORPUS_TOKEN_QUANTILES_SQL,
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
         REPETITION_SQL,
@@ -412,6 +414,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": INVERTED_INDEX_SQL,
         # within-doc duplicate bigram/trigram fraction (integer ppm)
         "repetition": REPETITION_SQL,
+        # corpus-wide exact token-count quantiles via value histogram
+        "corpus_token_quantiles": CORPUS_TOKEN_QUANTILES_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

@@ -156,6 +156,12 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir))
 
 
+def q_corpus_token_quantiles(sf_dir: str):
+    from ..stages.text import corpus_token_quantiles
+
+    return corpus_token_quantiles(_docs(sf_dir))
+
+
 def q_repetition(sf_dir: str):
     from ..stages.text import repetition_batch
 

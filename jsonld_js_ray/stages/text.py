@@ -790,3 +790,66 @@ SELECT doc_id, n_bigrams, n_distinct_bigrams,
            // greatest(n_trigrams, 1) AS rep3_u
 FROM c
 """
+
+
+# --- corpus-wide exact quantiles (global order statistics, no sort) ---
+# Exact distributed quantiles over an integer statistic: per-batch value
+# histograms, one groupby(value) sum, then the quantile positions are
+# read off the cumulative histogram. The histogram is DRIVER-SMALL by
+# nature (distinct token counts are bounded by the longest document, not
+# the corpus), so no corpus-wide sort is ever needed. quantile_disc
+# convention (rank.py): the sorted element at 1-based position ceil(p*n).
+
+CORPUS_QUANTILES = (0.25, 0.5, 0.9, 0.99)
+
+
+def _token_count_hist_batch(batch: pa.Table) -> pa.Table:
+    texts = pc.fill_null(batch["text"], "")
+    nt = pc.count_substring_regex(texts, pattern=r"\S+") \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    vals, cnts = np.unique(nt, return_counts=True)
+    return pa.table({
+        "nt": pa.array(vals, pa.int64()),
+        "cnt": pa.array(cnts.astype(np.int64)),
+    })
+
+
+def corpus_token_quantiles(docs):
+    """documents → ONE row (n_docs, p25, p50, p90, p99): exact corpus
+    quantiles of per-doc whitespace-token counts.
+
+    The final cumsum runs on the driver over the aggregated histogram —
+    a bounded, already-reduced result (distinct-value count, not corpus
+    size)."""
+    from ray.data.aggregate import Sum
+
+    hist = docs.map_batches(
+        _token_count_hist_batch, batch_format="pyarrow",
+        batch_size=8192,
+    ).groupby("nt").aggregate(Sum("cnt", alias_name="cnt"))
+    h = hist.to_pandas().sort_values("nt").reset_index(drop=True)
+    counts = h["cnt"].to_numpy(dtype=np.int64)
+    vals = h["nt"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    row: dict = {"n_docs": [n]}
+    for p in CORPUS_QUANTILES:
+        pos = max(int(np.ceil(p * n)), 1)        # 1-based
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        row[f"p{int(p * 100)}"] = [int(vals[idx])] if n else [None]
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+
+CORPUS_TOKEN_QUANTILES_SQL = r"""
+WITH s AS (
+  SELECT CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+         AS BIGINT) AS nt
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_disc(nt, 0.25) AS p25,
+       quantile_disc(nt, 0.5) AS p50,
+       quantile_disc(nt, 0.9) AS p90,
+       quantile_disc(nt, 0.99) AS p99
+FROM s
+"""

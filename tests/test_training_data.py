@@ -1183,3 +1183,40 @@ def test_decontaminate_id_cap(ray_session):
         .set_index("doc_id")
     assert bool(out.loc[0, "is_benchmark"]) is True
     assert bool(out.loc[big, "is_benchmark"]) is False
+
+
+def test_corpus_token_quantiles_semantics(ray_session):
+    """quantile_disc convention: sorted element at 1-based ceil(p*n)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import corpus_token_quantiles
+
+    # token counts: 1..10 (one doc each)
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([" ".join(["w"] * (i + 1)) for i in range(10)],
+                         pa.string()),
+    })
+    out = corpus_token_quantiles(rd.from_arrow(tbl)).to_pydict()
+    assert out["n_docs"] == [10]
+    assert out["p25"] == [3]      # ceil(0.25*10)=3rd smallest
+    assert out["p50"] == [5]
+    assert out["p90"] == [9]
+    assert out["p99"] == [10]
+
+
+def test_corpus_token_quantiles_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["corpus_token_quantiles"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["corpus_token_quantiles"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].reset_index(drop=True)
+    b = orc[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
