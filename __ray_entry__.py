@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": td.q_inverted_index,
         "repetition": td.q_repetition,
         "corpus_token_quantiles": td.q_corpus_token_quantiles,
+        "chunk_docs": td.q_chunk_docs,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
+        CHUNK_DOCS_SQL,
         CORPUS_TOKEN_QUANTILES_SQL,
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
@@ -416,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition": REPETITION_SQL,
         # corpus-wide exact token-count quantiles via value histogram
         "corpus_token_quantiles": CORPUS_TOKEN_QUANTILES_SQL,
+        # overlapping token-window chunking (1->N flat_map class)
+        "chunk_docs": CHUNK_DOCS_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

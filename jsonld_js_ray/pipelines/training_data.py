@@ -156,6 +156,13 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir))
 
 
+def q_chunk_docs(sf_dir: str):
+    from ..stages.text import chunk_docs_batch
+
+    return _docs(sf_dir).map_batches(
+        chunk_docs_batch, batch_format="pyarrow", batch_size=4096)
+
+
 def q_corpus_token_quantiles(sf_dir: str):
     from ..stages.text import corpus_token_quantiles
 

@@ -853,3 +853,74 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        quantile_disc(nt, 0.99) AS p99
 FROM s
 """
+
+
+# --- document chunking (context-window preparation, 1→N flat_map) ---
+# Chunk i of a doc covers tokens [i*STRIDE, min(i*STRIDE+CHUNK, nt));
+# chunks are emitted for i in 0..(nt-1)//STRIDE (nt > 0), so every
+# token appears in at least one chunk and consecutive chunks overlap by
+# CHUNK-STRIDE tokens. chunk_text is the ' '-joined token slice (token
+# space, not original whitespace — the contract both sides share).
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_docs_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, chunk_idx, n_chunk_tokens, chunk_text)
+    rows. Fully vectorized: one flatten, index arithmetic, one gather
+    (pc.take) and one Arrow binary_join — no per-doc Python."""
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
+    n = batch.num_rows
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    nt = np.bincount(parents, minlength=n).astype(np.int64)
+    doc_start = np.concatenate([[0], np.cumsum(nt)])
+    n_chunks = np.where(nt > 0, (nt - 1) // CHUNK_STRIDE + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+    c_doc = np.repeat(np.arange(n), n_chunks)
+    first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_idx = np.arange(total) - np.repeat(first, n_chunks)
+    start = chunk_idx * CHUNK_STRIDE
+    lengths = np.minimum(start + CHUNK_TOKENS, nt[c_doc]) - start
+    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    tok_idx = (np.repeat(doc_start[c_doc] + start, lengths)
+               + np.arange(offs[-1])
+               - np.repeat(offs[:-1], lengths))
+    taken = pc.take(pa.array(flat, pa.string()), pa.array(tok_idx))
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), taken)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[c_doc], pa.int64()),
+        "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+        "n_chunk_tokens": pa.array(lengths.astype(np.int64)),
+        "chunk_text": pc.binary_join(lists, " "),
+    })
+
+
+CHUNK_DOCS_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         unnest(generate_series(0, (len(toks)-1)//{CHUNK_STRIDE}))
+             AS chunk_idx
+  FROM l WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}, nt)
+            - chunk_idx*{CHUNK_STRIDE} AS BIGINT) AS n_chunk_tokens,
+       array_to_string(
+           list_slice(toks, chunk_idx*{CHUNK_STRIDE}+1,
+                      least(chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}, nt)),
+           ' ') AS chunk_text
+FROM c
+"""

@@ -1220,3 +1220,47 @@ def test_corpus_token_quantiles_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].reset_index(drop=True)
     b = orc[cols].reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_chunk_docs_semantics(ray_session):
+    from jsonld_js_ray.stages.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, chunk_docs_batch,
+    )
+
+    toks = [f"t{i}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE + 5)]
+    tbl = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array([" ".join(toks), "a b", None], pa.string()),
+    })
+    out = chunk_docs_batch(tbl).to_pandas()
+    d7 = out[out.doc_id == 7].sort_values("chunk_idx")
+    # nt = C+S+5 -> chunks at 0, S, 2S (since (nt-1)//S = 2)
+    assert d7["chunk_idx"].tolist() == [0, 1, 2]
+    assert d7["n_chunk_tokens"].tolist() == [
+        CHUNK_TOKENS,
+        min(CHUNK_TOKENS, len(toks) - CHUNK_STRIDE),
+        len(toks) - 2 * CHUNK_STRIDE]
+    assert d7.iloc[0]["chunk_text"].split(" ") == toks[:CHUNK_TOKENS]
+    # overlap: chunk 1 starts at STRIDE
+    assert d7.iloc[1]["chunk_text"].split(" ")[0] == toks[CHUNK_STRIDE]
+    d8 = out[out.doc_id == 8]
+    assert len(d8) == 1 and d8.iloc[0]["chunk_text"] == "a b"
+    assert (out.doc_id != 9).all()             # empty doc -> no chunks
+
+
+def test_chunk_docs_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["chunk_docs"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["chunk_docs"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) >= 500       # docs have >= 10 tokens, so >= 1 chunk
