@@ -164,9 +164,12 @@ def q_chunk_docs(sf_dir: str):
 
 
 def q_corpus_token_quantiles(sf_dir: str):
+    import ray.data as rd
+
     from ..stages.text import corpus_token_quantiles
 
-    return corpus_token_quantiles(_docs(sf_dir))
+    # wrap: every queries() entry returns a Dataset (registry contract)
+    return rd.from_arrow(corpus_token_quantiles(_docs(sf_dir)))
 
 
 def q_repetition(sf_dir: str):

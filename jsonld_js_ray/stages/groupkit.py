@@ -34,3 +34,12 @@ def run_positions(sorted_ids: np.ndarray,
         starts = run_starts(sorted_ids)
     lengths = run_lengths(sorted_ids, starts)
     return np.arange(len(sorted_ids)) - np.repeat(starts, lengths)
+
+
+def quantile_disc_pos(p: float, n):
+    """1-based sorted position of DuckDB's quantile_disc(x, p) in a
+    group of n non-NULL values: ceil(p*n) clamped to >= 1. Verified
+    empirically against DuckDB for n = 1..3000 and p in {.25,.5,.9,.99}
+    (see stages/rank.py). n may be a scalar or an int array; the result
+    matches its shape."""
+    return np.maximum(np.ceil(p * np.asarray(n)).astype(np.int64), 1)

@@ -15,7 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .groupkit import run_lengths, run_positions, run_starts
+from .groupkit import (
+    quantile_disc_pos, run_lengths, run_positions, run_starts,
+)
 
 RANK_SHARDS = 64
 QUANTILES = (0.5, 0.95)
@@ -56,8 +58,7 @@ def user_value_quantiles(sf_dir: str, quantiles=QUANTILES):
         ns = run_lengths(users, starts)
         cols: dict = {"user_id": pa.array(users[starts], pa.int64())}
         for p in quantiles:
-            # 1-based position ceil(p*n), clamped to [1, n]
-            pos = np.maximum(np.ceil(p * ns).astype(np.int64), 1)
+            pos = quantile_disc_pos(p, ns)
             idx = (starts + pos - 1) if len(starts) else starts
             name = f"p{int(p * 100)}"
             cols[name] = pa.array(vals[idx], pa.float64())

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .groupkit import quantile_disc_pos
+
 TOKEN_SPLIT = r"\s+"
 
 STOPWORDS = {
@@ -798,7 +800,8 @@ FROM c
 # read off the cumulative histogram. The histogram is DRIVER-SMALL by
 # nature (distinct token counts are bounded by the longest document, not
 # the corpus), so no corpus-wide sort is ever needed. quantile_disc
-# convention (rank.py): the sorted element at 1-based position ceil(p*n).
+# convention (groupkit.quantile_disc_pos): the sorted element at 1-based
+# position ceil(p*n).
 
 CORPUS_QUANTILES = (0.25, 0.5, 0.9, 0.99)
 
@@ -834,7 +837,7 @@ def corpus_token_quantiles(docs):
     cum = np.cumsum(counts)
     row: dict = {"n_docs": [n]}
     for p in CORPUS_QUANTILES:
-        pos = max(int(np.ceil(p * n)), 1)        # 1-based
+        pos = int(quantile_disc_pos(p, n))       # 1-based
         idx = int(np.searchsorted(cum, pos, side="left"))
         row[f"p{int(p * 100)}"] = [int(vals[idx])] if n else [None]
     return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
@@ -857,10 +860,13 @@ FROM s
 
 # --- document chunking (context-window preparation, 1→N flat_map) ---
 # Chunk i of a doc covers tokens [i*STRIDE, min(i*STRIDE+CHUNK, nt));
-# chunks are emitted for i in 0..(nt-1)//STRIDE (nt > 0), so every
-# token appears in at least one chunk and consecutive chunks overlap by
-# CHUNK-STRIDE tokens. chunk_text is the ' '-joined token slice (token
-# space, not original whitespace — the contract both sides share).
+# n_chunks = 1 if nt <= CHUNK else ceil((nt-CHUNK)/STRIDE)+1 (nt > 0),
+# the conventional rule: every token appears in at least one chunk,
+# consecutive chunks overlap by CHUNK-STRIDE tokens, and every chunk
+# contributes at least one token not in the previous chunk (no trailing
+# chunk that is a strict subset of its predecessor). chunk_text is the
+# ' '-joined token slice (token space, not original whitespace — the
+# contract both sides share).
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -875,14 +881,18 @@ def chunk_docs_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     nt = np.bincount(parents, minlength=n).astype(np.int64)
     doc_start = np.concatenate([[0], np.cumsum(nt)])
-    n_chunks = np.where(nt > 0, (nt - 1) // CHUNK_STRIDE + 1, 0)
+    n_chunks = np.where(
+        nt > 0,
+        np.where(nt <= CHUNK_TOKENS, 1,
+                 (nt - CHUNK_TOKENS + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1),
+        0)
     total = int(n_chunks.sum())
     if total == 0:
         return pa.table({
             "doc_id": pa.array([], pa.int64()),
             "chunk_idx": pa.array([], pa.int64()),
             "n_chunk_tokens": pa.array([], pa.int64()),
-            "chunk_text": pa.array([], pa.string()),
+            "chunk_text": pa.array([], pa.large_string()),
         })
     c_doc = np.repeat(np.arange(n), n_chunks)
     first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
@@ -893,14 +903,18 @@ def chunk_docs_batch(batch: pa.Table) -> pa.Table:
     tok_idx = (np.repeat(doc_start[c_doc] + start, lengths)
                + np.arange(offs[-1])
                - np.repeat(offs[:-1], lengths))
-    taken = pc.take(pa.array(flat, pa.string()), pa.array(tok_idx))
+    # large_string throughout: the gathered token text is ~1.3x the
+    # input batch's text (overlap), so 32-bit string offsets could
+    # overflow on big batches of big docs.
+    taken = pc.take(pa.array(flat, pa.large_string()), pa.array(tok_idx))
     lists = pa.LargeListArray.from_arrays(
         pa.array(offs, pa.int64()), taken)
     return pa.table({
         "doc_id": pa.array(doc_ids[c_doc], pa.int64()),
         "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
         "n_chunk_tokens": pa.array(lengths.astype(np.int64)),
-        "chunk_text": pc.binary_join(lists, " "),
+        "chunk_text": pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())),
     })
 
 
@@ -911,8 +925,11 @@ WITH l AS (
   FROM documents
 ), c AS (
   SELECT doc_id, toks, len(toks) AS nt,
-         unnest(generate_series(0, (len(toks)-1)//{CHUNK_STRIDE}))
-             AS chunk_idx
+         unnest(generate_series(0,
+             CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 0
+                  ELSE (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE} + 1 - 1
+             END)) AS chunk_idx
   FROM l WHERE len(toks) > 0
 )
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,

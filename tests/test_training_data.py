@@ -1228,13 +1228,17 @@ def test_chunk_docs_semantics(ray_session):
     )
 
     toks = [f"t{i}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE + 5)]
+    sub = [f"s{i}" for i in range(CHUNK_TOKENS + 5)]  # nt in (C, C+S]
     tbl = pa.table({
-        "doc_id": pa.array([7, 8, 9], pa.int64()),
-        "text": pa.array([" ".join(toks), "a b", None], pa.string()),
+        "doc_id": pa.array([7, 8, 9, 10, 11], pa.int64()),
+        "text": pa.array([" ".join(toks), "a b", None,
+                          " ".join(sub),
+                          " ".join(f"u{i}" for i in range(CHUNK_TOKENS))],
+                         pa.string()),
     })
     out = chunk_docs_batch(tbl).to_pandas()
     d7 = out[out.doc_id == 7].sort_values("chunk_idx")
-    # nt = C+S+5 -> chunks at 0, S, 2S (since (nt-1)//S = 2)
+    # nt = C+S+5 -> 3 chunks (ceil((nt-C)/S)+1 = 3) at 0, S, 2S
     assert d7["chunk_idx"].tolist() == [0, 1, 2]
     assert d7["n_chunk_tokens"].tolist() == [
         CHUNK_TOKENS,
@@ -1246,6 +1250,18 @@ def test_chunk_docs_semantics(ray_session):
     d8 = out[out.doc_id == 8]
     assert len(d8) == 1 and d8.iloc[0]["chunk_text"] == "a b"
     assert (out.doc_id != 9).all()             # empty doc -> no chunks
+    # no trailing chunk that is a subset of its predecessor: a doc with
+    # C < nt <= C+S gets exactly 2 chunks, one of exactly C gets 1
+    d10 = out[out.doc_id == 10].sort_values("chunk_idx")
+    assert d10["chunk_idx"].tolist() == [0, 1]
+    assert d10["n_chunk_tokens"].tolist() == [
+        CHUNK_TOKENS, len(sub) - CHUNK_STRIDE]
+    assert len(out[out.doc_id == 11]) == 1
+    # every chunk contributes tokens beyond the previous chunk's end
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        ends = (g["chunk_idx"] * CHUNK_STRIDE + g["n_chunk_tokens"]).tolist()
+        assert all(b > a for a, b in zip(ends, ends[1:]))
 
 
 def test_chunk_docs_oracle_parity_sf(ray_session, sf_dir):
