@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": td.q_repetition,
         "corpus_token_quantiles": td.q_corpus_token_quantiles,
         "chunk_docs": td.q_chunk_docs,
+        "pack_sequences": td.q_pack_sequences,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PLANTED_SQL,
     )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
+    from jsonld_js_ray.stages.pack import PACK_SEQUENCES_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
         CHUNK_DOCS_SQL,
@@ -420,6 +422,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_quantiles": CORPUS_TOKEN_QUANTILES_SQL,
         # overlapping token-window chunking (1->N flat_map class)
         "chunk_docs": CHUNK_DOCS_SQL,
+        # doc_id-order sequence packing (distributed prefix-sum scan)
+        "pack_sequences": PACK_SEQUENCES_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

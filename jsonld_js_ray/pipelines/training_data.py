@@ -172,6 +172,12 @@ def q_corpus_token_quantiles(sf_dir: str):
     return rd.from_arrow(corpus_token_quantiles(_docs(sf_dir)))
 
 
+def q_pack_sequences(sf_dir: str):
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir))
+
+
 def q_repetition(sf_dir: str):
     from ..stages.text import repetition_batch
 

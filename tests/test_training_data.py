@@ -1280,3 +1280,60 @@ def test_chunk_docs_oracle_parity_sf(ray_session, sf_dir):
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) >= 500       # docs have >= 10 tokens, so >= 1 chunk
+
+
+def test_pack_sequences_semantics_multibucket(ray_session):
+    """Docs spread across several doc_id-range buckets, with sequences
+    crossing both document AND bucket boundaries — the packed stream
+    must equal the plain Python concat-and-chop."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.pack import (
+        PACK_BUCKET_DOCS, SEQ_LEN, pack_sequences,
+    )
+
+    rng = np.random.default_rng(7)
+    # doc_ids span 3 buckets; lengths are coprime-ish with SEQ_LEN so
+    # pieces land mid-sequence; one empty and one whitespace-only doc
+    ids = [1, 3, PACK_BUCKET_DOCS + 2, PACK_BUCKET_DOCS + 9,
+           3 * PACK_BUCKET_DOCS + 1, 3 * PACK_BUCKET_DOCS + 5]
+    texts = []
+    for i, d in enumerate(ids):
+        nt = int(rng.integers(SEQ_LEN // 3, 3 * SEQ_LEN))
+        texts.append(" ".join(f"d{d}w{j}" for j in range(nt)))
+    ids += [2, PACK_BUCKET_DOCS + 3]
+    texts += ["", "   "]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = pack_sequences(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("seq_id").reset_index(drop=True)
+
+    stream: list[str] = []
+    for d, t in sorted(zip(ids, texts)):
+        stream.extend(t.lower().split())
+    want = [stream[i:i + SEQ_LEN] for i in range(0, len(stream), SEQ_LEN)]
+    assert out["seq_id"].tolist() == list(range(len(want)))
+    assert out["n_tokens"].tolist() == [len(w) for w in want]
+    assert out["seq_text"].tolist() == [" ".join(w) for w in want]
+
+
+def test_pack_sequences_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    from jsonld_js_ray.stages.pack import SEQ_LEN
+
+    mine = E.queries()["pack_sequences"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["pack_sequences"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # every sequence but the highest-seq_id tail is exactly full
+    body = a[a["seq_id"] < a["seq_id"].max()]
+    assert (body["n_tokens"] == SEQ_LEN).all()
