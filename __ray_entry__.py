@@ -164,12 +164,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_quantiles": td.q_corpus_token_quantiles,
         "chunk_docs": td.q_chunk_docs,
         "pack_sequences": td.q_pack_sequences,
+        "top_bigrams": td.q_top_bigrams,
+        "length_outlier_filter": td.q_length_outlier_filter,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
         # joins / sort-limit (relational operator classes)
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "join_anti": _q_join_anti,
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
@@ -194,6 +197,14 @@ def _q_join_bucketed(sf_dir: str):
     from jsonld_js_ray.stages.joins import bucketed_hash_join_lineitem_orders
 
     return bucketed_hash_join_lineitem_orders(sf_dir)
+
+
+def _q_join_anti(sf_dir: str):
+    from jsonld_js_ray.stages.joins import (
+        anti_join_customers_without_orders,
+    )
+
+    return anti_join_customers_without_orders(sf_dir)
 
 
 def _q_join_asof(sf_dir: str):
@@ -290,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PLANTED_SQL,
     )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
+    from jsonld_js_ray.stages.ngrams import TOP_BIGRAMS_SQL
     from jsonld_js_ray.stages.pack import PACK_SEQUENCES_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
     from jsonld_js_ray.stages.text import (
@@ -297,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         CORPUS_TOKEN_QUANTILES_SQL,
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
+        LENGTH_OUTLIER_FILTER_SQL,
         REPETITION_SQL,
         STRATIFIED_SAMPLE_SQL,
         QUALITY_SQL,
@@ -308,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         curation_filter_sql,
     )
     from jsonld_js_ray.stages.joins import (
+        ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
@@ -424,6 +438,12 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": CHUNK_DOCS_SQL,
         # doc_id-order sequence packing (distributed prefix-sum scan)
         "pack_sequences": PACK_SEQUENCES_SQL,
+        # global top-k bigram collocations (partial counts -> hash
+        # buckets -> bounded final sort; ties broken by words asc)
+        "top_bigrams": TOP_BIGRAMS_SQL,
+        # self-calibrating length filter: corpus [p25, p99] band from
+        # the exact quantile scan, then one streaming filter pass
+        "length_outlier_filter": LENGTH_OUTLIER_FILTER_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,
@@ -431,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": EMBEDDING_DEDUP_SQL,
         "join_broadcast": BROADCAST_JOIN_SQL,
         "join_bucketed": BUCKETED_JOIN_SQL,
+        # partitioned hash ANTI join (NOT EXISTS / set difference)
+        "join_anti": ANTI_JOIN_SQL,
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,

@@ -172,6 +172,18 @@ def q_corpus_token_quantiles(sf_dir: str):
     return rd.from_arrow(corpus_token_quantiles(_docs(sf_dir)))
 
 
+def q_length_outlier_filter(sf_dir: str):
+    from ..stages.text import length_outlier_filter
+
+    return length_outlier_filter(_docs(sf_dir))
+
+
+def q_top_bigrams(sf_dir: str):
+    from ..stages.ngrams import top_bigrams
+
+    return top_bigrams(_docs(sf_dir))
+
+
 def q_pack_sequences(sf_dir: str):
     from ..stages.pack import pack_sequences
 
@@ -244,6 +256,11 @@ def bench_queries():
         "tfidf_topk": run(q_tfidf_topk),
         "inverted_index": run(q_inverted_index),
         "repetition": run(q_repetition),
+        "chunk_docs": run(q_chunk_docs),
+        "corpus_token_quantiles": run(q_corpus_token_quantiles),
+        "pack_sequences": run(q_pack_sequences),
+        "top_bigrams": run(q_top_bigrams),
+        "length_outlier_filter": run(q_length_outlier_filter),
     }
 
 

@@ -168,6 +168,89 @@ GROUP BY o.o_orderpriority
 """
 
 
+ANTI_PRICE_FLOOR = 400000.0
+
+
+def anti_join_customers_without_orders(sf_dir: str):
+    """customer ▷ σ(orders) (ANTI join on custkey): customers with NO
+    order above ANTI_PRICE_FLOOR, as (c_custkey, segment) rows. (The
+    unfiltered variant is vacuous on this generator — every customer
+    has at least one order — so the probe side is the high-value order
+    subset, pruned AT THE READ via a parquet row filter.)
+
+    Same explicit partitioned-hash shape as the bucketed inner join —
+    tag sides, bucket by splitmix64(custkey), one groupby — but the
+    probe side ships only per-batch DISTINCT custkeys (the partial
+    dedup cuts the shuffled orders volume to |distinct keys per batch|)
+    and the in-bucket kernel is one vectorized ``np.isin`` set
+    difference, no pandas merge."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .sketches import _hash64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        buckets = (_hash64(keys.astype(np.int64))
+                   % np.uint64(NUM_BUCKETS)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets))
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "segment": batch["c_mktsegment"],
+            "side": pa.array(["C"] * batch.num_rows, pa.string()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > ANTI_PRICE_FLOOR,
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": pa.array(keys.astype(np.int64)),
+            "segment": pa.array([None] * len(keys), pa.string()),
+            "side": pa.array(["O"] * len(keys), pa.string()),
+        })
+
+    both = customers.map_batches(c_prep, batch_format="pyarrow") \
+        .union(orders.map_batches(o_prep, batch_format="pyarrow")) \
+        .map_batches(bucketize, batch_format="pyarrow")
+
+    def anti_bucket(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        keys = g["key"].to_numpy().astype(np.int64)
+        is_c = side == "C"
+        keep = is_c & ~np.isin(keys, keys[~is_c])
+        return pa.table({
+            "c_custkey": pa.array(keys[keep], pa.int64()),
+            "segment": pa.array(g["segment"].to_numpy()[keep],
+                                pa.string()),
+        })
+
+    return both.groupby("bucket").map_groups(
+        anti_bucket, batch_format="pandas")
+
+
+ANTI_JOIN_SQL = f"""
+SELECT c.c_custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {ANTI_PRICE_FLOOR})
+"""
+
+
 def topk_docs_by_tokens(sf_dir: str, k: int = 20):
     """Top-k documents by token count (ties broken by doc_id).
 

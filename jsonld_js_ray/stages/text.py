@@ -843,6 +843,48 @@ def corpus_token_quantiles(docs):
     return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
 
 
+def length_outlier_filter(docs):
+    """documents → (doc_id, n_tokens) for docs whose token count lies
+    within the corpus's own [p25, p99] band — a self-calibrating
+    curation filter (too-short and too-long outliers dropped).
+
+    Two-phase: the exact corpus quantiles come from the value-histogram
+    scan above (driver holds the aggregated histogram, then exactly TWO
+    ints are closed over by the filter stage — nothing corpus-sized
+    ships anywhere); the filter itself is one streaming map pass."""
+    q = corpus_token_quantiles(docs)
+    lo, hi = q["p25"][0].as_py(), q["p99"][0].as_py()
+    if lo is None:                     # empty corpus → empty band
+        lo, hi = 0, -1
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "")
+        nt = pc.count_substring_regex(texts, pattern=r"\S+") \
+            .cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(nt, lo), pc.less_equal(nt, hi))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": nt}).filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+LENGTH_OUTLIER_FILTER_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+         AS BIGINT) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT quantile_disc(n_tokens, 0.25) AS lo,
+         quantile_disc(n_tokens, 0.99) AS hi
+  FROM s
+)
+SELECT s.doc_id, s.n_tokens
+FROM s, q WHERE s.n_tokens BETWEEN q.lo AND q.hi
+"""
+
+
 CORPUS_TOKEN_QUANTILES_SQL = r"""
 WITH s AS (
   SELECT CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+'))

@@ -1337,3 +1337,96 @@ def test_pack_sequences_oracle_parity_sf(ray_session, sf_dir):
     # every sequence but the highest-seq_id tail is exactly full
     body = a[a["seq_id"] < a["seq_id"].max()]
     assert (body["n_tokens"] == SEQ_LEN).all()
+
+
+def test_top_bigrams_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.ngrams import top_bigrams
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",      # (a,b) x3, (b,a) x2
+            "a b c",            # (a,b), (b,c)
+            "c",                # no bigrams
+            None,
+        ], pa.string()),
+    })
+    out = top_bigrams(rd.from_arrow(tbl), k=3).to_pandas()
+    rows = list(out.itertuples(index=False, name=None))
+    assert rows == [("a", "b", 4), ("b", "a", 2), ("b", "c", 1)]
+
+
+def test_top_bigrams_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["top_bigrams"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["top_bigrams"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) == 50
+
+
+def test_join_anti_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["join_anti"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    orc = con.sql(E.oracle_sql()["join_anti"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0          # the price floor makes the result real
+
+
+def test_length_outlier_filter_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import length_outlier_filter
+
+    # nt = [1, 10, 10, 10, 100]: p25 = sorted[ceil(.25*5)=2] = 10,
+    # p99 = sorted[5] = 100 -> band [10, 100] keeps 4 docs
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            "x", " ".join(["w"] * 10), " ".join(["w"] * 10),
+            " ".join(["w"] * 10), " ".join(["w"] * 100),
+        ], pa.string()),
+    })
+    out = length_outlier_filter(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+    assert set(out["n_tokens"]) == {10, 100}
+
+
+def test_length_outlier_filter_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["length_outlier_filter"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["length_outlier_filter"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert 0 < len(a) < 500    # a real band: keeps most, drops some
