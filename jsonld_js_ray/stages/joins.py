@@ -76,6 +76,21 @@ GROUP BY c.c_mktsegment
 NUM_BUCKETS = 16
 
 
+def _bucketize(key_col: str):
+    """map_batches fn: append a splitmix64(key) % NUM_BUCKETS bucket
+    column — the shared partitioner of every explicit hash join here.
+    Vectorized over the whole column; the bucket id only co-locates
+    rows, so any deterministic mix works."""
+    from .sketches import _hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        buckets = (_hash64(keys.astype(np.int64))
+                   % np.uint64(NUM_BUCKETS)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets))
+    return fn
+
+
 def bucketed_hash_join_lineitem_orders(sf_dir: str):
     """lineitem ⋈ orders on orderkey (both sides 'large') → revenue cents
     per order priority.
@@ -88,18 +103,6 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-
-    def bucketize(key_col):
-        from .sketches import _hash64
-
-        def fn(batch: pa.Table, _col=key_col) -> pa.Table:
-            # vectorized splitmix64 over the whole column — the bucket id
-            # only co-locates rows, so any deterministic mix works
-            keys = batch[_col].to_numpy(zero_copy_only=False)
-            buckets = (_hash64(keys.astype(np.int64))
-                       % np.uint64(NUM_BUCKETS)).astype(np.int32)
-            return batch.append_column("bucket", pa.array(buckets))
-        return fn
 
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -135,7 +138,7 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
 
     both = lineitem.map_batches(li_prep, batch_format="pyarrow") \
         .union(orders.map_batches(o_prep, batch_format="pyarrow")) \
-        .map_batches(bucketize("key"), batch_format="pyarrow")
+        .map_batches(_bucketize("key"), batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == "L"]
@@ -187,14 +190,6 @@ def anti_join_customers_without_orders(sf_dir: str):
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    from .sketches import _hash64
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_numpy(zero_copy_only=False)
-        buckets = (_hash64(keys.astype(np.int64))
-                   % np.uint64(NUM_BUCKETS)).astype(np.int32)
-        return batch.append_column("bucket", pa.array(buckets))
-
     customers = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"]
@@ -225,16 +220,17 @@ def anti_join_customers_without_orders(sf_dir: str):
 
     both = customers.map_batches(c_prep, batch_format="pyarrow") \
         .union(orders.map_batches(o_prep, batch_format="pyarrow")) \
-        .map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(_bucketize("key"), batch_format="pyarrow")
 
     def anti_bucket(g) -> pa.Table:
         side = g["side"].to_numpy()
         keys = g["key"].to_numpy().astype(np.int64)
         is_c = side == "C"
-        keep = is_c & ~np.isin(keys, keys[~is_c])
+        c_keys = keys[is_c]
+        keep = ~np.isin(c_keys, keys[~is_c])
         return pa.table({
-            "c_custkey": pa.array(keys[keep], pa.int64()),
-            "segment": pa.array(g["segment"].to_numpy()[keep],
+            "c_custkey": pa.array(c_keys[keep], pa.int64()),
+            "segment": pa.array(g["segment"].to_numpy()[is_c][keep],
                                 pa.string()),
         })
 

@@ -65,25 +65,29 @@ def _bigram_counts_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _topk_in_bucket(g) -> pa.Table:
-    """Exact in-bucket totals (all partials of a bigram land here),
-    then the bucket's local top-k — one lexsort, no per-pair Python."""
-    w1 = g["w1"].to_numpy()
-    w2 = g["w2"].to_numpy()
-    cnt = g["cnt"].to_numpy().astype(np.int64)
-    order = np.lexsort((w2, w1))
-    w1, w2, cnt = w1[order], w2[order], cnt[order]
-    new = np.concatenate(
-        [[True], (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])])
-    starts = np.flatnonzero(new)
-    total = np.add.reduceat(cnt, starts)
-    rw1, rw2 = w1[starts], w2[starts]
-    top = np.lexsort((rw2, rw1, -total))[:TOP_BIGRAMS_K]
-    return pa.table({
-        "w1": pa.array(rw1[top], pa.string()),
-        "w2": pa.array(rw2[top], pa.string()),
-        "cnt": pa.array(total[top], pa.int64()),
-    })
+def _topk_in_bucket(k: int):
+    """In-bucket kernel factory: exact totals (all partials of a
+    bigram land in one bucket), then the bucket's local top-k — one
+    lexsort, no per-pair Python. The cap uses the CALLER's k so any
+    k is correct, not just the module default."""
+    def fn(g) -> pa.Table:
+        w1 = g["w1"].to_numpy()
+        w2 = g["w2"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((w2, w1))
+        w1, w2, cnt = w1[order], w2[order], cnt[order]
+        new = np.concatenate(
+            [[True], (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])])
+        starts = np.flatnonzero(new)
+        total = np.add.reduceat(cnt, starts)
+        rw1, rw2 = w1[starts], w2[starts]
+        top = np.lexsort((rw2, rw1, -total))[:k]
+        return pa.table({
+            "w1": pa.array(rw1[top], pa.string()),
+            "w2": pa.array(rw2[top], pa.string()),
+            "cnt": pa.array(total[top], pa.int64()),
+        })
+    return fn
 
 
 def top_bigrams(docs, k: int = TOP_BIGRAMS_K):
@@ -92,7 +96,7 @@ def top_bigrams(docs, k: int = TOP_BIGRAMS_K):
     parts = docs.map_batches(
         _bigram_counts_batch, batch_format="pyarrow", batch_size=4096)
     cands = parts.groupby("bucket").map_groups(
-        _topk_in_bucket, batch_format="pandas")
+        _topk_in_bucket(k), batch_format="pandas")
     return cands.sort(["cnt", "w1", "w2"],
                       descending=[True, False, False]).limit(k)
 

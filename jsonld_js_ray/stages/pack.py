@@ -70,7 +70,10 @@ def _bucket_offsets(docs) -> dict[int, int]:
     agg = docs.map_batches(
         _bucket_token_sums, batch_format="pyarrow", batch_size=8192,
     ).groupby("bucket").aggregate(Sum("nt", alias_name="nt"))
-    h = agg.to_pandas().sort_values("bucket")
+    h = agg.to_pandas()
+    if h.empty:        # zero-row corpus: the aggregate has no columns
+        return {}
+    h = h.sort_values("bucket")
     off = np.concatenate([[0], np.cumsum(h["nt"].to_numpy(np.int64))])
     return dict(zip(h["bucket"].astype(int), off[:-1].astype(int)))
 

@@ -830,9 +830,14 @@ def corpus_token_quantiles(docs):
         _token_count_hist_batch, batch_format="pyarrow",
         batch_size=8192,
     ).groupby("nt").aggregate(Sum("cnt", alias_name="cnt"))
-    h = hist.to_pandas().sort_values("nt").reset_index(drop=True)
-    counts = h["cnt"].to_numpy(dtype=np.int64)
-    vals = h["nt"].to_numpy(dtype=np.int64)
+    h = hist.to_pandas()
+    if h.empty:        # zero-row corpus: the aggregate has no columns
+        counts = np.zeros(0, dtype=np.int64)
+        vals = np.zeros(0, dtype=np.int64)
+    else:
+        h = h.sort_values("nt").reset_index(drop=True)
+        counts = h["cnt"].to_numpy(dtype=np.int64)
+        vals = h["nt"].to_numpy(dtype=np.int64)
     n = int(counts.sum())
     cum = np.cumsum(counts)
     row: dict = {"n_docs": [n]}

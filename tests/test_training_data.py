@@ -1430,3 +1430,49 @@ def test_length_outlier_filter_oracle_parity_sf(ray_session, sf_dir):
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert 0 < len(a) < 500    # a real band: keeps most, drops some
+
+
+def test_scan_operators_empty_corpus(ray_session):
+    """Zero-row corpora must produce empty results, not KeyError on the
+    column-less empty aggregate (regression)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.pack import pack_sequences
+    from jsonld_js_ray.stages.text import (
+        corpus_token_quantiles, length_outlier_filter,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert pack_sequences(empty).count() == 0
+    q = corpus_token_quantiles(empty).to_pydict()
+    assert q["n_docs"] == [0] and q["p50"] == [None]
+    assert length_outlier_filter(empty).count() == 0
+
+
+def test_top_bigrams_k_above_default(ray_session):
+    """k > the module default must not be silently truncated per
+    bucket (regression)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.ngrams import TOP_BIGRAMS_K, top_bigrams
+
+    from collections import Counter
+
+    n = TOP_BIGRAMS_K + 20
+    texts = [" ".join([f"a{i} b{i}"] * (i + 1)) for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    k = 2 * n - 10          # above the per-bucket default cap
+    out = top_bigrams(ds, k=k).to_pandas()
+    cnt: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        cnt.update(zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = [((r.w1, r.w2), r.cnt) for r in out.itertuples()]
+    assert got == want
