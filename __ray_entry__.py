@@ -90,6 +90,13 @@ def _q_kg_conv_entity_mentions(sf_dir: str):
     return conv_entity_mentions(sf_dir)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import pagerank_quads
+
+    return pagerank_quads(build_quads_with_mentions(sf_dir))
+
+
 def _q_kg_quads_roundtrip(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import roundtrip_quads
 
@@ -128,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_canonical": _q_kg_entities_canonical,
         "kg_entities_canonical_planted": _q_kg_entities_canonical_planted,
         "kg_conv_entity_mentions": _q_kg_conv_entity_mentions,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -166,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": td.q_pack_sequences,
         "top_bigrams": td.q_top_bigrams,
         "length_outlier_filter": td.q_length_outlier_filter,
+        "lm_unigram_score": td.q_lm_unigram_score,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -284,6 +293,15 @@ def _q_window_session(sf_dir: str):
     return session_window(_events(sf_dir, ["ts", "user_id"]))
 
 
+def _pagerank_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _pagerank_oracle_sql
+
+    return _pagerank_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.pipelines.oracle import (
         CONV_ENTITY_MENTIONS_ORACLE_SQL,
@@ -331,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
     from jsonld_js_ray.stages.tfidf import (
         INVERTED_INDEX_SQL,
+        LM_UNIGRAM_SCORE_SQL,
         TFIDF_TOPK_SQL,
     )
     from jsonld_js_ray.stages.rank import (
@@ -360,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": ENTITIES_ORACLE_SQL,
         # 2-hop SPARQL-style BGP join over the quad table
         "kg_conv_entity_mentions": CONV_ENTITY_MENTIONS_ORACLE_SQL,
+        # integer damped PageRank over the quad graph (3 fixed rounds;
+        # every op order-independent so the hash compare is exact)
+        "kg_pagerank": _pagerank_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (
@@ -444,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
         # self-calibrating length filter: corpus [p25, p99] band from
         # the exact quantile scan, then one streaming filter pass
         "length_outlier_filter": LENGTH_OUTLIER_FILTER_SQL,
+        # unigram-LM quality proxy: tf-weighted mean corpus token
+        # frequency per doc, integer-scaled (CCNet-style LM signal)
+        "lm_unigram_score": LM_UNIGRAM_SCORE_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

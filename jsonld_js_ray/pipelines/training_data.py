@@ -172,6 +172,12 @@ def q_corpus_token_quantiles(sf_dir: str):
     return rd.from_arrow(corpus_token_quantiles(_docs(sf_dir)))
 
 
+def q_lm_unigram_score(sf_dir: str):
+    from ..stages.tfidf import lm_unigram_score
+
+    return lm_unigram_score(_docs(sf_dir))
+
+
 def q_length_outlier_filter(sf_dir: str):
     from ..stages.text import length_outlier_filter
 
@@ -261,6 +267,7 @@ def bench_queries():
         "pack_sequences": run(q_pack_sequences),
         "top_bigrams": run(q_top_bigrams),
         "length_outlier_filter": run(q_length_outlier_filter),
+        "lm_unigram_score": run(q_lm_unigram_score),
     }
 
 

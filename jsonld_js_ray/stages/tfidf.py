@@ -209,3 +209,77 @@ WITH toks AS (
 SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf, df
 FROM scored WHERE term_rank <= {TFIDF_TOPK}
 """
+
+
+# --- unigram-LM quality proxy (per-doc mean corpus token frequency) ---
+# The CCNet-style "LM score" signal with an integer contract: a doc of
+# common tokens scores high, one of rare/garbage tokens low. ctf(token)
+# = the token's total corpus occurrences; the doc score is the
+# tf-weighted mean of ctf over the doc's tokens, kept exact as
+# lm_score = (Σ tf·ctf) · 10^6 // Σ tf. Same single token-hash shuffle
+# as tfidf: a token's rows co-locate, so ctf is the in-bucket tf sum —
+# the corpus unigram table never exists as one object. (The 10^6 scale
+# bounds exactness to Σ tf·ctf < 9.2e12 per doc — fine for test SFs and
+# for per-shard corpora; a log-domain float variant would replace the
+# contract at web scale.)
+
+LM_SCALE = 10 ** 6
+
+
+def _lm_partials_in_bucket(g) -> pa.Table:
+    """ctf per token (run sums), then this bucket's per-doc partial
+    (Σ tf·ctf, Σ tf) — one np.unique + two bincounts, no Python rows."""
+    toks = g["token"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    tf = g["tf"].to_numpy().astype(np.int64)
+    _, codes = np.unique(toks, return_inverse=True)
+    ctf = np.bincount(codes, weights=tf).astype(np.int64)
+    udocs, dcodes = np.unique(doc_ids, return_inverse=True)
+    wsum = np.bincount(dcodes, weights=tf * ctf[codes]).astype(np.int64)
+    ntok = np.bincount(dcodes, weights=tf).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(udocs, pa.int64()),
+        "wsum": pa.array(wsum),
+        "n_tokens": pa.array(ntok),
+    })
+
+
+def lm_unigram_score(docs):
+    """documents → (doc_id, wsum, n_tokens, lm_score): exact per-doc
+    tf-weighted mean corpus-frequency (×10^6, floor)."""
+    from ray.data.aggregate import Sum
+
+    terms = docs.map_batches(term_freq_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    bucketed = terms.map_batches(_token_bucket_batch,
+                                 batch_format="pyarrow")
+    partials = bucketed.groupby("bucket").map_groups(
+        _lm_partials_in_bucket, batch_format="pandas")
+    sums = partials.groupby("doc_id").aggregate(
+        Sum("wsum", alias_name="wsum"),
+        Sum("n_tokens", alias_name="n_tokens"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch["wsum"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "lm_score", pa.array((w * LM_SCALE) // n, pa.int64()))
+
+    return sums.map_batches(score, batch_format="pyarrow")
+
+
+LM_UNIGRAM_SCORE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t.token AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM documents d,
+       unnest(regexp_extract_all(lower(coalesce(d.text, '')), '\S+'))
+           AS t(token)
+  GROUP BY doc_id, t.token
+), ctf AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM toks GROUP BY token
+)
+SELECT doc_id, CAST(sum(tf * ctf) AS BIGINT) AS wsum,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * ctf) * {LM_SCALE} // sum(tf) AS BIGINT) AS lm_score
+FROM toks JOIN ctf USING (token) GROUP BY doc_id
+"""

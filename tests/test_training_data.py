@@ -1476,3 +1476,93 @@ def test_top_bigrams_k_above_default(ray_session):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     got = [((r.w1, r.w2), r.cnt) for r in out.itertuples()]
     assert got == want
+
+
+def test_lm_unigram_score_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.tfidf import LM_SCALE, lm_unigram_score
+
+    # corpus: 'a' x3 total, 'b' x2, 'z' x1
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a a b", "a b", "z"], pa.string()),
+    })
+    out = lm_unigram_score(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id")
+    # doc0: (2*3 + 1*2) / 3, doc1: (3 + 2) / 2, doc2: 1/1
+    assert out.loc[0, "lm_score"] == 8 * LM_SCALE // 3
+    assert out.loc[1, "lm_score"] == 5 * LM_SCALE // 2
+    assert out.loc[2, "lm_score"] == 1 * LM_SCALE
+    # common-token doc scores above the rare-token doc
+    assert out.loc[0, "lm_score"] > out.loc[2, "lm_score"]
+
+
+def test_lm_unigram_score_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["lm_unigram_score"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["lm_unigram_score"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) == 500
+
+
+def test_pagerank_semantics_tiny_graph(ray_session):
+    """3-node cycle + a hub: the distributed integer PageRank must
+    equal the plain-Python reference of the same integer recurrence."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import (
+        PR_BASE, PR_ITERS, PR_SCALE, pagerank_quads,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "hub"), ("b", "hub"), ("c", "hub"),
+             ("a", "b")]          # duplicate must collapse
+    quads = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = pagerank_quads(rd.from_arrow(quads)).to_pandas() \
+        .set_index("node")["pagerank"].to_dict()
+
+    dedup = sorted(set(edges))
+    nodes = sorted({u for u, _ in dedup} | {v for _, v in dedup})
+    deg = {u: sum(1 for s, _ in dedup if s == u) for u in nodes}
+    score = {u: PR_SCALE for u in nodes}
+    for _ in range(PR_ITERS):
+        nxt = {}
+        for v in nodes:
+            insum = sum(score[u] // deg[u] for u, w in dedup if w == v)
+            nxt[v] = PR_BASE + (85 * insum) // 100
+        score = nxt
+    assert out == score
+    assert out["hub"] > out["a"]          # 3 in-edges beats 1
+
+
+def test_pagerank_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_pagerank"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_pagerank"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 100
