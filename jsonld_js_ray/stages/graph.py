@@ -37,6 +37,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .entity_merge import _hashed_strings, _pin
+from .groupkit import int_group_sums as _int_group_sums
+
 PR_SCALE = 10 ** 9
 PR_BASE = 15 * PR_SCALE // 100
 PR_ITERS = 3
@@ -45,10 +48,10 @@ PR_STATE_BLOCKS = 16       # constant state block count across rounds
 
 
 def _bucket_of(keys: np.ndarray) -> pa.Array:
-    import pandas as pd
-
-    h = pd.util.hash_array(keys.astype(object))
-    return pa.array((h % PR_BUCKETS).astype(np.int32))
+    """Bucket id per string key (shared siphash kernel,
+    entity_merge._hashed_strings)."""
+    h = _hashed_strings(list(keys))
+    return pa.array((h % np.uint64(PR_BUCKETS)).astype(np.int32))
 
 
 def _distinct_edges(quads):
@@ -106,7 +109,7 @@ def _initial_state(edges):
         nodes = g["node"].to_numpy()
         deg = g["deg"].to_numpy().astype(np.int64)
         uniq, codes = np.unique(nodes, return_inverse=True)
-        total = np.bincount(codes, weights=deg).astype(np.int64)
+        total = _int_group_sums(codes, deg, len(uniq))
         return pa.table({
             "node": pa.array(uniq, pa.string()),
             "deg": pa.array(total),
@@ -118,18 +121,27 @@ def _initial_state(edges):
                                       batch_format="pandas")
 
 
-def _one_iteration(edges, state):
-    """state (node, deg, score) → next state. Two bucketed shuffles."""
+def _tagged_edges(edges):
+    """Round-invariant E-side rows (key=src, dst, sc=0, bucket) — built
+    and pinned ONCE before the loop; every round re-unions the same
+    executed blocks instead of re-hashing every src IRI."""
     def e_rows(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
         return pa.table({
             "key": batch["src"],
             "dst": batch["dst"],
             "sc": pa.array(np.zeros(len(src), np.int64)),
-            "side": pa.array(["E"] * len(src), pa.string()),
             "bucket": _bucket_of(src),
         })
 
+    return edges.map_batches(e_rows, batch_format="pyarrow")
+
+
+def _one_iteration(tagged_e, state):
+    """state (node, deg, score) → next state. Two bucketed shuffles.
+    Sides share one schema and are told apart by sentinels: E rows have
+    a non-null dst; S rows carry dst=NULL (shuffle 1) / partials carry
+    deg=-1 (shuffle 2) — no per-row side strings in the exchanges."""
     def s_rows(batch: pa.Table) -> pa.Table:
         deg = batch["deg"].to_numpy(zero_copy_only=False)
         score = batch["score"].to_numpy(zero_copy_only=False)
@@ -139,13 +151,13 @@ def _one_iteration(edges, state):
             "key": pa.array(node, pa.string()),
             "dst": pa.array([None] * len(node), pa.string()),
             "sc": pa.array(score[keep] // deg[keep], pa.int64()),
-            "side": pa.array(["S"] * len(node), pa.string()),
             "bucket": _bucket_of(node),
         })
 
     def contrib_in_bucket(g) -> pa.Table:
-        e = g[g["side"] == "E"][["key", "dst"]]
-        s = g[g["side"] == "S"][["key", "sc"]]
+        is_e = g["dst"].notna()
+        e = g[is_e][["key", "dst"]]
+        s = g[~is_e][["key", "sc"]]
         merged = e.merge(s, on="key")
         if not len(merged):
             return pa.table({"node": pa.array([], pa.string()),
@@ -153,11 +165,11 @@ def _one_iteration(edges, state):
         dst = merged["dst"].to_numpy()
         sc = merged["sc"].to_numpy().astype(np.int64)
         uniq, codes = np.unique(dst, return_inverse=True)
-        part = np.bincount(codes, weights=sc).astype(np.int64)
+        part = _int_group_sums(codes, sc, len(uniq))
         return pa.table({"node": pa.array(uniq, pa.string()),
                          "part": pa.array(part)})
 
-    contribs = edges.map_batches(e_rows, batch_format="pyarrow") \
+    contribs = tagged_e \
         .union(state.map_batches(s_rows, batch_format="pyarrow")) \
         .groupby("bucket").map_groups(contrib_in_bucket,
                                       batch_format="pandas")
@@ -185,7 +197,7 @@ def _one_iteration(edges, state):
         part = g["part"].to_numpy().astype(np.int64)
         deg = g["deg"].to_numpy().astype(np.int64)
         uniq, codes = np.unique(nodes, return_inverse=True)
-        insum = np.bincount(codes, weights=part).astype(np.int64)
+        insum = _int_group_sums(codes, part, len(uniq))
         # deg row is -1 on partials; max recovers the state's deg
         dmax = np.full(len(uniq), -1, np.int64)
         np.maximum.at(dmax, codes, deg)
@@ -213,17 +225,17 @@ def pagerank_quads(quads):
     """quad table → (node, pagerank): PR_ITERS rounds of the integer
     damped update over the distinct IRI→IRI edge graph.
 
-    ``edges`` is consumed once per round and ``state`` feeds its own
-    next round, so both get a HARD LINEAGE CUT (entity_merge._pin) —
-    without it every round re-executes the whole upstream quad build
-    and the plan compounds exponentially (measured 134 s → ~5 s at
-    sf0.01)."""
-    from .entity_merge import _pin
-
+    The tagged edge rows are consumed once per round and ``state``
+    feeds its own next round, so both get a HARD LINEAGE CUT
+    (entity_merge._pin) — without it every round re-executes the whole
+    upstream quad build and the plan compounds (measured 134 s → 10.8 s
+    at sf0.01 with pins + constant-block repartition, then 7.4 s with
+    the edge tagging hoisted out of the loop)."""
     edges = _pin(_distinct_edges(quads))
+    tagged_e = _pin(_tagged_edges(edges))
     state = _pin(_initial_state(edges))
     for _ in range(PR_ITERS):
-        state = _pin(_one_iteration(edges, state))
+        state = _pin(_one_iteration(tagged_e, state))
 
     def final(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"],

@@ -36,6 +36,17 @@ def run_positions(sorted_ids: np.ndarray,
     return np.arange(len(sorted_ids)) - np.repeat(starts, lengths)
 
 
+def int_group_sums(codes: np.ndarray, values: np.ndarray,
+                   n: int) -> np.ndarray:
+    """Exact int64 per-group sums (groups = codes in [0, n)).
+    np.bincount(weights=...) accumulates in FLOAT64 and silently rounds
+    once a group's sum passes 2^53 — any integer-contract kernel whose
+    sums can get large must use true integer accumulation instead."""
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, codes, values.astype(np.int64))
+    return out
+
+
 def quantile_disc_pos(p: float, n):
     """1-based sorted position of DuckDB's quantile_disc(x, p) in a
     group of n non-NULL values: ceil(p*n) clamped to >= 1. Verified

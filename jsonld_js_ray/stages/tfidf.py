@@ -229,14 +229,18 @@ LM_SCALE = 10 ** 6
 def _lm_partials_in_bucket(g) -> pa.Table:
     """ctf per token (run sums), then this bucket's per-doc partial
     (Σ tf·ctf, Σ tf) — one np.unique + two bincounts, no Python rows."""
+    from .groupkit import int_group_sums as _int_group_sums
+
     toks = g["token"].to_numpy()
     doc_ids = g["doc_id"].to_numpy().astype(np.int64)
     tf = g["tf"].to_numpy().astype(np.int64)
     _, codes = np.unique(toks, return_inverse=True)
-    ctf = np.bincount(codes, weights=tf).astype(np.int64)
+    # exact int64 sums — np.bincount(weights=) accumulates in float64
+    # and silently rounds past 2^53, breaking the integer contract
+    ctf = _int_group_sums(codes, tf, codes.max() + 1 if len(codes) else 0)
     udocs, dcodes = np.unique(doc_ids, return_inverse=True)
-    wsum = np.bincount(dcodes, weights=tf * ctf[codes]).astype(np.int64)
-    ntok = np.bincount(dcodes, weights=tf).astype(np.int64)
+    wsum = _int_group_sums(dcodes, tf * ctf[codes], len(udocs))
+    ntok = _int_group_sums(dcodes, tf, len(udocs))
     return pa.table({
         "doc_id": pa.array(udocs, pa.int64()),
         "wsum": pa.array(wsum),
@@ -262,6 +266,13 @@ def lm_unigram_score(docs):
     def score(batch: pa.Table) -> pa.Table:
         w = batch["wsum"].to_numpy(zero_copy_only=False)
         n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        # fail LOUDLY (like the oracle's HUGEINT cast would) instead of
+        # silently wrapping the highest-quality docs to negative scores
+        if len(w) and int(w.max()) > (2 ** 63 - 1) // LM_SCALE:
+            raise OverflowError(
+                "lm_unigram_score: sum(tf*ctf) exceeds the integer "
+                "contract bound (~9.2e12); use a log-domain variant "
+                "for corpora this large")
         return batch.append_column(
             "lm_score", pa.array((w * LM_SCALE) // n, pa.int64()))
 
