@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
         "stratified_sample": td.q_stratified_sample,
+        "mix_sources": td.q_mix_sources,
         "tfidf_topk": td.q_tfidf_topk,
         "inverted_index": td.q_inverted_index,
         "repetition": td.q_repetition,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         LENGTH_OUTLIER_FILTER_SQL,
         REPETITION_SQL,
         STRATIFIED_SAMPLE_SQL,
+        MIX_SOURCES_SQL,
         QUALITY_SQL,
         SAMPLE_DOCS_SQL,
         SCRUB_PII_SQL,
@@ -447,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
         # per-(lang, source) deterministic K-representative sample:
         # md5 hash order mirrored by row_number() in SQL
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        # per-source mixture resampling with epoch indices: integer
+        # ppt weights + md5-prefix32 decisions, range/unnest in SQL
+        "mix_sources": MIX_SOURCES_SQL,
         # corpus-wide document frequency + per-doc top terms by tf/df
         # (integer cross-ratio ordering — no floats in the contract)
         "tfidf_topk": TFIDF_TOPK_SQL,

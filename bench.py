@@ -120,6 +120,18 @@ def run_bench() -> dict:
     queries["kg_full_write"] = round(time.perf_counter() - t0, 3)
     extras["kg_full_quads"] = full_metrics["quads"]
 
+    # KG analytics over the quad stream (round-3 additions)
+    from jsonld_js_ray.pipelines.kg import conv_entity_mentions
+    from jsonld_js_ray.stages.graph import pagerank_quads
+
+    t0 = time.perf_counter()
+    pagerank_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    conv_entity_mentions(SF_DIR).count()
+    queries["kg_conv_entity_mentions"] = round(time.perf_counter() - t0, 3)
+
     # optional training-data ops (present from later milestones)
     try:
         from jsonld_js_ray.pipelines.training_data import bench_queries

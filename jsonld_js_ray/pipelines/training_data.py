@@ -150,6 +150,19 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def q_mix_sources(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import mix_sources
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return mix_sources(docs)
+
+
 def q_tfidf_topk(sf_dir: str):
     from ..stages.tfidf import tfidf_topk
 
@@ -259,6 +272,7 @@ def bench_queries():
         "curation_filter": run(q_curation_filter),
         "decontaminate": run(q_decontaminate),
         "stratified_sample": run(q_stratified_sample),
+        "mix_sources": run(q_mix_sources),
         "tfidf_topk": run(q_tfidf_topk),
         "inverted_index": run(q_inverted_index),
         "repetition": run(q_repetition),

@@ -365,8 +365,7 @@ def md5_hex_list(texts: list) -> list:
 
 def _md5_unit_interval(texts: list) -> np.ndarray:
     """md5(text) first 8 hex chars → uniform float in [0, 1)."""
-    return np.array([int(h[:8], 16) for h in md5_hex_list(texts)],
-                    dtype=np.float64) / float(1 << 32)
+    return _md5_prefix32(texts).astype(np.float64) / float(1 << 32)
 
 
 def split_assign_batch(batch: pa.Table) -> pa.Table:
@@ -469,6 +468,85 @@ FROM (
              AS rk
   FROM documents)
 WHERE rk <= {STRATIFIED_K}
+"""
+
+
+# --- source-mixture resampling (domain weighting) ---
+# Training mixtures repeat high-value domains and thin low-value ones
+# (The Pile / DoReMi style epoch weighting). Weights are integer
+# parts-per-thousand so the repeat decision is pure integer arithmetic
+# mirrored exactly in SQL: rep = wt//1000 plus one extra epoch iff
+# md5-prefix32 % 1000 < wt % 1000 (content-hash uniform, same md5
+# convention as split/sample above). Each kept copy carries an `epoch`
+# index so downstream shuffles can distinguish repeats. No shuffle —
+# a 1-to-N flat map that streams at any corpus size.
+
+MIX_DEFAULT_PPT = 1800      # weight for NULL / non-numeric sources
+
+
+def _md5_prefix32(texts: list) -> np.ndarray:
+    """md5(text) first 8 hex chars as int64 (the raw integer behind
+    _md5_unit_interval; SQL: CAST(concat('0x', substr(md5(..),1,8)) AS
+    BIGINT))."""
+    return np.array([int(h[:8], 16) for h in md5_hex_list(texts)],
+                    dtype=np.int64)
+
+
+def _mix_weights_ppt(source_col: pa.Array) -> np.ndarray:
+    """Demo weight table derived from the source name: 600 ppt per
+    (numeric-suffix mod 5) step → {0, 0.6, 1.2, 1.8, 2.4} epochs.
+    Covers drop-entirely, downsample, and multi-epoch upsample."""
+    import pandas as pd
+
+    tail = pa.array(source_col).cast(pa.string())
+    tail = pc.utf8_slice_codeunits(tail, 3)
+    s = pd.Series(tail.to_pylist(), dtype="object")
+    # strict integer parse to match SQL TRY_CAST(... AS BIGINT)
+    ok = s.str.fullmatch(r"[+-]?[0-9]+", na=False)
+    num = pd.to_numeric(s.where(ok), errors="coerce") \
+            .fillna(MIX_DEFAULT_PPT // 600).astype(np.int64).to_numpy()
+    return 600 * (((num % 5) + 5) % 5)
+
+
+def mix_sources_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, source, text) → (doc_id, source, epoch) with each doc
+    repeated per its source's mixture weight."""
+    n = len(batch)
+    wt = _mix_weights_ppt(batch["source"])
+    h32 = _md5_prefix32(batch["text"].to_pylist())
+    rep = wt // 1000 + (h32 % 1000 < wt % 1000)
+    idx = np.repeat(np.arange(n), rep)
+    starts = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    epoch = np.arange(int(rep.sum()), dtype=np.int64) \
+        - np.repeat(starts, rep)
+    return pa.table({
+        "doc_id": batch["doc_id"].take(pa.array(idx)),
+        "source": batch["source"].take(pa.array(idx)),
+        "epoch": pa.array(epoch, pa.int64()),
+    })
+
+
+def mix_sources(docs):
+    """documents → (doc_id, source, epoch) resampled to the per-source
+    mixture weights. Embarrassingly parallel; no shuffle."""
+    return docs.map_batches(mix_sources_batch, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+MIX_SOURCES_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         600 * (((coalesce(TRY_CAST(substr(source, 4) AS BIGINT),
+                           {MIX_DEFAULT_PPT // 600}) % 5) + 5) % 5)
+             AS wt,
+         CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8))
+              AS BIGINT) AS h32
+  FROM documents)
+SELECT doc_id, source,
+       CAST(unnest(range(wt // 1000
+            + CASE WHEN h32 % 1000 < wt % 1000 THEN 1 ELSE 0 END))
+            AS BIGINT) AS epoch
+FROM r
 """
 
 

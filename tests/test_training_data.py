@@ -1566,3 +1566,56 @@ def test_pagerank_oracle_parity_sf(ray_session, sf_dir):
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) > 100
+
+
+def test_mix_sources_semantics(ray_session):
+    """Weight-0 sources vanish; integer-epoch expansion: every doc of a
+    weight-w source appears floor(w/1000) or floor(w/1000)+1 times with
+    epochs 0..rep-1; the extra-epoch decision is md5-prefix32 % 1000."""
+    import hashlib
+
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.text import mix_sources
+
+    texts = [f"doc number {i} body" for i in range(40)]
+    srcs = (["src0"] * 10        # wt 0    -> dropped
+            + ["src1"] * 10      # wt 600  -> 0 or 1 copies
+            + ["src2"] * 10      # wt 1200 -> 1 or 2 copies
+            + ["src4"] * 10)     # wt 2400 -> 2 or 3 copies
+    tbl = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    out = mix_sources(rd.from_arrow(tbl)).to_pandas()
+    assert "src0" not in set(out.source)
+    reps = out.groupby("doc_id").size()
+    for did, rep in reps.items():
+        wt = 600 * (int(srcs[did][3:]) % 5)
+        h32 = int(hashlib.md5(texts[did].encode()).hexdigest()[:8], 16)
+        want = wt // 1000 + (1 if h32 % 1000 < wt % 1000 else 0)
+        assert rep == want
+        got_ep = sorted(out[out.doc_id == did].epoch.tolist())
+        assert got_ep == list(range(rep))
+    # src1 docs never repeat; src4 docs always appear at least twice
+    assert reps[[d for d in reps.index if srcs[d] == "src1"]].max() == 1
+    assert reps[[d for d in reps.index if srcs[d] == "src4"]].min() >= 2
+
+
+def test_mix_sources_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["mix_sources"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["mix_sources"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > len(a.doc_id.unique())   # some docs multi-epoch
