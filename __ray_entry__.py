@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_canonical_planted": _q_kg_entities_canonical_planted,
         "kg_conv_entity_mentions": _q_kg_conv_entity_mentions,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -303,6 +304,22 @@ def _pagerank_oracle() -> str:
     return _pagerank_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
+def _q_kg_triangles(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import triangle_stats
+
+    return triangle_stats(build_quads_with_mentions(sf_dir))
+
+
+def _triangles_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _triangle_oracle_sql
+
+    return _triangle_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.pipelines.oracle import (
         CONV_ENTITY_MENTIONS_ORACLE_SQL,
@@ -384,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         # integer damped PageRank over the quad graph (3 fixed rounds;
         # every op order-independent so the hash compare is exact)
         "kg_pagerank": _pagerank_oracle(),
+        # degree-oriented wedge-join triangle count vs 3-way self-join
+        "kg_triangles": _triangles_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

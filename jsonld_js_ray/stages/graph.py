@@ -265,3 +265,267 @@ s{t} AS (SELECT n.node,
       FROM n LEFT JOIN i{t} USING (node))""")
     return (",".join(ctes)
             + f"\nSELECT node, score AS pagerank FROM s{PR_ITERS}")
+
+
+# --- triangle counting (degree-oriented wedge join) ---
+# Classic scalable triangle count (Cohen's MapReduce formulation /
+# node-iterator++): orient every undirected edge from its lower-rank
+# endpoint to its higher-rank endpoint, rank = (degree, node) — the
+# out-degree of any node is then O(sqrt(2m)), so per-center wedge
+# generation is bounded even on power-law graphs.  Each triangle is
+# counted EXACTLY once: at its lowest-rank vertex.  Three bucketed
+# shuffles (degrees, orientation join, wedge-close join); nothing
+# driver-side but three scalars.
+
+TRI_BUCKETS = 64
+
+
+def _undirected_edges(quads):
+    """quad table → globally distinct undirected IRI–IRI edges
+    (u < v by string order, self-loops dropped)."""
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = batch.filter(pc.equal(batch["obj_kind"], "iri"))
+        # fixed-width unicode arrays: C-vectorized comparisons (object
+        # arrays would fall back to per-row Python __lt__)
+        s = np.asarray(t["subj"].to_pylist(), dtype=str)
+        o = np.asarray(t["obj_value"].to_pylist(), dtype=str)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        lo = s < o
+        u = np.where(lo, s, o)
+        v = np.where(lo, o, s)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        h = (pd.util.hash_array(df["u"].to_numpy(object))
+             * np.uint64(1000003)
+             ^ pd.util.hash_array(df["v"].to_numpy(object)))
+        return pa.table({
+            "u": pa.array(df["u"], pa.string()),
+            "v": pa.array(df["v"], pa.string()),
+            "bucket": pa.array((h % TRI_BUCKETS).astype(np.int32)),
+        })
+
+    def dedup_in_bucket(g) -> pa.Table:
+        df = g[["u", "v"]].drop_duplicates()
+        return pa.table({
+            "u": pa.array(df["u"], pa.string()),
+            "v": pa.array(df["v"], pa.string()),
+        })
+
+    return quads.map_batches(edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedup_in_bucket,
+                                      batch_format="pandas")
+
+
+def _tri_degrees(und):
+    """undirected edges → (node, deg). Per-batch partial counts bound
+    the shuffle at distinct-nodes-per-block rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        node = np.concatenate([
+            batch["u"].to_numpy(zero_copy_only=False),
+            batch["v"].to_numpy(zero_copy_only=False)])
+        uniq, counts = np.unique(node, return_counts=True)
+        return pa.table({
+            "node": pa.array(uniq, pa.string()),
+            "cnt": pa.array(counts.astype(np.int64)),
+            "bucket": _bucket_of(uniq),
+        })
+
+    def total_in_bucket(g) -> pa.Table:
+        nodes = g["node"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        uniq, codes = np.unique(nodes, return_inverse=True)
+        return pa.table({
+            "node": pa.array(uniq, pa.string()),
+            "deg": pa.array(_int_group_sums(codes, cnt, len(uniq))),
+        })
+
+    return und.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(total_in_bucket,
+                                      batch_format="pandas")
+
+
+def _oriented_edges(und, degrees):
+    """(u, v) + (node, deg) → (a, b, db): each edge directed from its
+    lower (deg, node) rank endpoint; db = deg(b) rides along so wedge
+    generation can rank neighbors without another join.  Two bucketed
+    sentinel joins (deg rows carry other=NULL, cf. _one_iteration)."""
+    def e_u(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["u"], "other": batch["v"],
+            "d": pa.array(np.full(len(u), -1, np.int64)),
+            "bucket": _bucket_of(u),
+        })
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["node"],
+            "other": pa.array([None] * len(node), pa.string()),
+            "d": batch["deg"],
+            "bucket": _bucket_of(node),
+        })
+
+    def join_u(g) -> pa.Table:
+        is_e = g["other"].notna()
+        e = g[is_e][["key", "other"]]
+        d = g[~is_e][["key", "d"]]
+        m = e.merge(d, on="key")
+        return pa.table({
+            "u": pa.array(m["key"], pa.string()),
+            "v": pa.array(m["other"], pa.string()),
+            "du": pa.array(m["d"].to_numpy(np.int64)),
+        })
+
+    with_du = und.map_batches(e_u, batch_format="pyarrow") \
+        .union(degrees.map_batches(deg_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join_u, batch_format="pandas")
+
+    def e_v(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["v"], "other": batch["u"],
+            "du": batch["du"],
+            "d": pa.array(np.full(len(v), -1, np.int64)),
+            "bucket": _bucket_of(v),
+        })
+
+    def deg_rows2(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["node"],
+            "other": pa.array([None] * len(node), pa.string()),
+            "du": pa.array(np.zeros(len(node), np.int64)),
+            "d": batch["deg"],
+            "bucket": _bucket_of(node),
+        })
+
+    def join_v_orient(g) -> pa.Table:
+        is_e = g["other"].notna()
+        e = g[is_e][["key", "other", "du"]]
+        d = g[~is_e][["key", "d"]]
+        m = e.merge(d, on="key")
+        if not len(m):
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "db": pa.array([], pa.int64())})
+        v = np.asarray(m["key"].to_numpy(object), dtype=str)
+        u = np.asarray(m["other"].to_numpy(object), dtype=str)
+        du = m["du"].to_numpy(np.int64)
+        dv = m["d"].to_numpy(np.int64)
+        u_low = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "a": pa.array(np.where(u_low, u, v), pa.string()),
+            "b": pa.array(np.where(u_low, v, u), pa.string()),
+            "db": pa.array(np.where(u_low, dv, du).astype(np.int64)),
+        })
+
+    return with_du.map_batches(e_v, batch_format="pyarrow") \
+        .union(degrees.map_batches(deg_rows2, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join_v_orient,
+                                      batch_format="pandas")
+
+
+def _wedges(directed):
+    """directed (a, b, db) → candidate wedges (x, y) with rank(x) <
+    rank(y): all ordered out-neighbor pairs per center, vectorized via
+    groupkit.run_pair_indices (out-degree is O(sqrt(2m)) under the
+    degree orientation, bounding per-center work)."""
+    from .groupkit import run_pair_indices
+
+    def key_by_a(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", _bucket_of(a))
+
+    def wedges_in_bucket(g) -> pa.Table:
+        a = g["a"].to_numpy()
+        b = np.asarray(g["b"].to_numpy(object), dtype=str)
+        db = g["db"].to_numpy(np.int64)
+        order = np.lexsort((b, db, a))
+        a_s, b_s = a[order], b[order]
+        i_idx, j_idx = run_pair_indices(a_s)
+        return pa.table({
+            "x": pa.array(b_s[i_idx], pa.string()),
+            "y": pa.array(b_s[j_idx], pa.string()),
+        })
+
+    return directed.map_batches(key_by_a, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(wedges_in_bucket,
+                                      batch_format="pandas")
+
+
+def triangle_stats(quads):
+    """quad table → 1-row pyarrow.Table (n_nodes, n_edges,
+    n_triangles) over the undirected distinct IRI–IRI graph.
+
+    Wedges close against the oriented edge set in a final bucketed
+    hash join keyed by the fused (x, y) pair hash; only per-bucket
+    match counts (scalars) leave the workers."""
+    und = _pin(_undirected_edges(quads))
+    degrees = _pin(_tri_degrees(und))
+    directed = _pin(_oriented_edges(und, degrees))
+
+    def pair_bucket(x, y) -> pa.Array:
+        import pandas as pd
+
+        h = (pd.util.hash_array(np.asarray(x, dtype=object))
+             * np.uint64(1000003)
+             ^ pd.util.hash_array(np.asarray(y, dtype=object)))
+        return pa.array((h % TRI_BUCKETS).astype(np.int32))
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["x"], "y": batch["y"],
+            "is_edge": pa.array(np.zeros(len(x), np.int8)),
+            "bucket": pair_bucket(x, y),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["a"], "y": batch["b"],
+            "is_edge": pa.array(np.ones(len(a), np.int8)),
+            "bucket": pair_bucket(a, b),
+        })
+
+    def close_in_bucket(g) -> pa.Table:
+        e = g[g["is_edge"] == 1][["x", "y"]]
+        w = g[g["is_edge"] == 0][["x", "y"]]
+        n = len(w.merge(e, on=["x", "y"])) if len(e) and len(w) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    closed = _wedges(directed).map_batches(wedge_rows,
+                                           batch_format="pyarrow") \
+        .union(directed.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(close_in_bucket,
+                                      batch_format="pandas")
+
+    n_tri = closed.sum("n") or 0
+    return pa.table({
+        "n_nodes": pa.array([degrees.count()], pa.int64()),
+        "n_edges": pa.array([und.count()], pa.int64()),
+        "n_triangles": pa.array([int(n_tri)], pa.int64()),
+    })
+
+
+def _triangle_oracle_sql(quads_sql: str) -> str:
+    """3-way self-join oracle over the canonical u < v < w edges."""
+    return f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                      greatest(subj, obj_value) AS v
+      FROM q WHERE obj_kind = 'iri' AND subj <> obj_value)
+SELECT
+  (SELECT count(*) FROM (SELECT u AS n FROM e UNION SELECT v FROM e))
+      AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT count(*)
+   FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""

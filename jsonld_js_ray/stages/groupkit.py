@@ -47,6 +47,27 @@ def int_group_sums(codes: np.ndarray, values: np.ndarray,
     return out
 
 
+def run_pair_indices(sorted_ids: np.ndarray):
+    """All within-run index pairs (i, j) with i < j positionally, for
+    every run of a sorted key array — O(#pairs) vectorized, no per-run
+    Python. Returns (i_idx, j_idx) into the sorted array."""
+    starts = run_starts(sorted_ids)
+    lengths = run_lengths(sorted_ids, starts)
+    pos = run_positions(sorted_ids, starts)
+    # the element at run-position p closes p pairs (one per earlier
+    # element of its run)
+    cnt = pos
+    total = int(cnt.sum())
+    j_idx = np.repeat(np.arange(len(sorted_ids)), cnt)
+    if not total:
+        return np.zeros(0, np.int64), j_idx.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    grp_start = np.repeat(starts, lengths)
+    i_idx = (np.arange(total) - np.repeat(offs, cnt)
+             + np.repeat(grp_start, cnt))
+    return i_idx.astype(np.int64), j_idx.astype(np.int64)
+
+
 def quantile_disc_pos(p: float, n):
     """1-based sorted position of DuckDB's quantile_disc(x, p) in a
     group of n non-NULL values: ceil(p*n) clamped to >= 1. Verified

@@ -1619,3 +1619,77 @@ def test_mix_sources_oracle_parity_sf(ray_session, sf_dir):
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) > len(a.doc_id.unique())   # some docs multi-epoch
+
+
+def _mini_quads(edges, literals=()):
+    """Synthetic quad table with only the columns triangle/pagerank
+    extraction reads (subj, obj_kind, obj_value)."""
+    subj = [s for s, _ in edges] + [s for s, _ in literals]
+    objv = [o for _, o in edges] + [o for _, o in literals]
+    kind = ["iri"] * len(edges) + ["literal"] * len(literals)
+    return pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "obj_kind": pa.array(kind, pa.string()),
+        "obj_value": pa.array(objv, pa.string()),
+    })
+
+
+def test_triangle_stats_semantics(ray_session):
+    """K4 plus a pendant triangle: reversed duplicates collapse to one
+    undirected edge, self-loops and literals are ignored, and the count
+    matches a brute-force enumeration."""
+    import itertools
+
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import triangle_stats
+
+    edges = [
+        # K4 on A,B,C,D (one edge also present reversed -> must dedup)
+        ("A", "B"), ("B", "A"), ("A", "C"), ("A", "D"),
+        ("B", "C"), ("B", "D"), ("C", "D"),
+        # pendant triangle E-A-B
+        ("E", "A"), ("E", "B"),
+        # noise: self-loop, a path that closes nothing
+        ("F", "F"), ("F", "G"), ("G", "H"),
+    ]
+    tbl = _mini_quads(edges, literals=[("A", "a literal value")])
+    out = triangle_stats(rd.from_arrow(tbl)).to_pydict()
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    brute = sum(1 for a, b, c in itertools.combinations(sorted(nodes), 3)
+                if {(a, b), (a, c), (b, c)} <= und)
+    assert out["n_nodes"] == [len(nodes)]
+    assert out["n_edges"] == [len(und)]
+    assert out["n_triangles"] == [brute]
+    assert brute == 5          # 4 in K4 + EAB
+
+
+def test_triangle_stats_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_triangles"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_triangles"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert int(a.n_edges.iloc[0]) > 1000
+
+
+def test_triangle_stats_empty_graph(ray_session):
+    """No IRI edges at all -> all-zero stats, no crash."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import triangle_stats
+
+    tbl = _mini_quads([], literals=[("A", "x"), ("B", "y")])
+    out = triangle_stats(rd.from_arrow(tbl)).to_pydict()
+    assert out == {"n_nodes": [0], "n_edges": [0], "n_triangles": [0]}
