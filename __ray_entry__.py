@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": td.q_scrub_pii,
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
+        "decontaminate_ngram": td.q_decontaminate_ngram,
         "stratified_sample": td.q_stratified_sample,
         "mix_sources": td.q_mix_sources,
         "tfidf_topk": td.q_tfidf_topk,
@@ -309,6 +310,12 @@ def _q_kg_triangles(sf_dir: str):
     from jsonld_js_ray.stages.graph import triangle_stats
 
     return triangle_stats(build_quads_with_mentions(sf_dir))
+
+
+def _decon_ngram_oracle() -> str:
+    from jsonld_js_ray.stages.ngrams import decontaminate_ngram_sql
+
+    return decontaminate_ngram_sql()
 
 
 def _triangles_oracle() -> str:
@@ -465,6 +472,9 @@ def oracle_sql() -> dict[str, str]:
         # benchmark-overlap decontamination: deterministic probe set
         # (doc_id % mod) + substring containment, exact on both sides
         "decontaminate": DECONTAMINATE_SQL,
+        # gram-hash semi-join (nothing broadcast): distinct shared
+        # token 5-grams vs the id-rule benchmark set
+        "decontaminate_ngram": _decon_ngram_oracle(),
         # per-(lang, source) deterministic K-representative sample:
         # md5 hash order mirrored by row_number() in SQL
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

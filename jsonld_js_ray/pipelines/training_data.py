@@ -228,6 +228,12 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir))
 
 
+def q_decontaminate_ngram(sf_dir: str):
+    from ..stages.ngrams import decontaminate_ngram
+
+    return decontaminate_ngram(_docs(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
@@ -271,6 +277,7 @@ def bench_queries():
         "scrub_pii": run(q_scrub_pii),
         "curation_filter": run(q_curation_filter),
         "decontaminate": run(q_decontaminate),
+        "decontaminate_ngram": run(q_decontaminate_ngram),
         "stratified_sample": run(q_stratified_sample),
         "mix_sources": run(q_mix_sources),
         "tfidf_topk": run(q_tfidf_topk),

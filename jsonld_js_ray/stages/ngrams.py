@@ -114,3 +114,178 @@ SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
 FROM b GROUP BY w1, w2
 ORDER BY cnt DESC, w1, w2 LIMIT {TOP_BIGRAMS_K}
 """
+
+
+# --- n-gram-overlap decontamination (shuffle semi-join variant) ---
+# The GPT-3/PaLM-style check: a training doc is contaminated if it
+# shares at least one token N-gram with any benchmark document.
+# Complements stages/text.decontaminate (substring probes broadcast to
+# every worker): here NOTHING is collected on the driver — benchmark
+# grams and candidate grams meet in a gram-hash bucket shuffle and
+# close with an in-bucket semi-join, so the probe set may be
+# arbitrarily large. Benchmark membership reuses the deterministic
+# id-rule of the substring variant (doc_id % BENCH_MOD == 0, id-capped).
+
+DECON_N = 5                 # real pipelines use 13; the synthetic docs
+                            # are ~60 tokens, so 5 keeps overlap real
+DECON_GRAM_BUCKETS = 128
+DECON_DOC_BUCKETS = 64
+
+
+def _decon_bench_mask(ids: np.ndarray) -> np.ndarray:
+    from .text import BENCH_ID_CAP, BENCH_MOD
+
+    return (ids % BENCH_MOD == 0) & (ids < BENCH_ID_CAP)
+
+
+def _empty_gram_rows() -> pa.Table:
+    return pa.table({
+        "gram": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "bench": pa.array([], pa.bool_()),
+        "bucket": pa.array([], pa.int32()),
+    })
+
+
+def _doc_gram_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one row per DISTINCT (doc, N-gram): the whole
+    doc lives in one row, so per-batch dedup is global dedup."""
+    import pandas as pd
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
+    m = len(flat) - DECON_N + 1
+    if m <= 0:
+        return _empty_gram_rows()
+    # parents is non-decreasing, so equal endpoints ⇒ whole window
+    # belongs to one doc
+    same = parents[:m] == parents[DECON_N - 1:]
+    gp = parents[:m][same]
+    if not len(gp):
+        return _empty_gram_rows()
+    uflat = np.asarray(flat, dtype=str)
+    gram = uflat[:m][same]
+    for j in range(1, DECON_N):
+        gram = np.char.add(np.char.add(gram, " "), uflat[j:m + j][same])
+    df = pd.DataFrame({"gram": gram,
+                       "doc_id": ids[gp]}).drop_duplicates()
+    h = pd.util.hash_array(df["gram"].to_numpy(object))
+    return pa.table({
+        "gram": pa.array(df["gram"], pa.string()),
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "bench": pa.array(_decon_bench_mask(df["doc_id"].to_numpy())),
+        "bucket": pa.array((h % DECON_GRAM_BUCKETS).astype(np.int32)),
+    })
+
+
+def _gram_hits_in_bucket(g) -> pa.Table:
+    """Per-bucket semi-join: candidate (doc, gram) rows that match any
+    benchmark gram → per-doc partial shared-gram counts."""
+    probe = g[g["bench"]][["gram"]].drop_duplicates()
+    cand = g[~g["bench"]]
+    if not len(probe) or not len(cand):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    m = cand.merge(probe, on="gram")
+    uniq, counts = np.unique(m["doc_id"].to_numpy(np.int64),
+                             return_counts=True)
+    return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                     "n": pa.array(counts.astype(np.int64))})
+
+
+def decontaminate_ngram(docs):
+    """documents → (doc_id, is_benchmark, n_shared_grams, contaminated)
+    with n_shared_grams = count of distinct token N-grams the doc
+    shares with the benchmark gram set (0 for benchmark members)."""
+    from .sketches import _hash64
+
+    grams = docs.map_batches(_doc_gram_rows, batch_format="pyarrow",
+                             batch_size=4096)
+    hits = grams.groupby("bucket").map_groups(
+        _gram_hits_in_bucket, batch_format="pandas")
+
+    def _doc_keyed(batch: pa.Table, zero: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.zeros(len(ids), np.int64) if zero \
+            else batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "bucket": pa.array(
+                (_hash64(ids.view(np.uint64))
+                 % np.uint64(DECON_DOC_BUCKETS)).astype(np.int32)),
+        })
+
+    import functools
+
+    zero_rows = docs.select_columns(["doc_id"]).map_batches(
+        functools.partial(_doc_keyed, zero=True),
+        batch_format="pyarrow")
+    hit_rows = hits.map_batches(
+        functools.partial(_doc_keyed, zero=False),
+        batch_format="pyarrow")
+
+    def finish(g) -> pa.Table:
+        from .groupkit import int_group_sums
+
+        ids = g["doc_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        uniq, codes = np.unique(ids, return_inverse=True)
+        tot = int_group_sums(codes, n, len(uniq))
+        bench = _decon_bench_mask(uniq)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "is_benchmark": pa.array(bench),
+            "n_shared_grams": pa.array(tot),
+            "contaminated": pa.array(~bench & (tot > 0)),
+        })
+
+    return zero_rows.union(hit_rows).groupby("bucket").map_groups(
+        finish, batch_format="pandas")
+
+
+def _decon_bench_sql(col: str = "doc_id") -> str:
+    from .text import BENCH_ID_CAP, BENCH_MOD
+
+    return f"({col} % {BENCH_MOD} = 0 AND {col} < {BENCH_ID_CAP})"
+
+
+def _decon_gram_list_sql() -> str:
+    slices = ",\n              ".join(
+        f"list_slice(toks, {j + 1}, len(toks) - {DECON_N - 1 - j})"
+        for j in range(DECON_N))
+    concat = " || ' ' || ".join(f"x[{j + 1}]" for j in range(DECON_N))
+    return (f"CASE WHEN len(toks) >= {DECON_N} THEN list_transform(\n"
+            f"     list_zip({slices}),\n"
+            f"     x -> {concat})\n"
+            f"     ELSE CAST([] AS VARCHAR[]) END")
+
+
+def decontaminate_ngram_sql() -> str:
+    bench = _decon_bench_sql("doc_id")
+    bench_g = _decon_bench_sql("g.doc_id")
+    bench_d = _decon_bench_sql("d.doc_id")
+    return rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct({_decon_gram_list_sql()})) AS gram
+  FROM l
+), probe AS (
+  SELECT DISTINCT gram FROM g WHERE {_decon_bench_sql("doc_id")}
+), hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM g JOIN probe USING (gram)
+  WHERE NOT {bench_g}
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       {bench_d} AS is_benchmark,
+       coalesce(h.n, 0) AS n_shared_grams,
+       (NOT {bench_d} AND coalesce(h.n, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""

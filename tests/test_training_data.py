@@ -1693,3 +1693,55 @@ def test_triangle_stats_empty_graph(ray_session):
     tbl = _mini_quads([], literals=[("A", "x"), ("B", "y")])
     out = triangle_stats(rd.from_arrow(tbl)).to_pydict()
     assert out == {"n_nodes": [0], "n_edges": [0], "n_triangles": [0]}
+
+
+def test_decontaminate_ngram_semantics(ray_session):
+    """Planted overlap: doc 97 is a benchmark member; a candidate
+    embedding one of its 5-token windows is contaminated with the
+    exact distinct-shared-gram count; near-misses (4-token overlap)
+    are clean; benchmark members report 0."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.ngrams import DECON_N, decontaminate_ngram
+
+    assert DECON_N == 5
+    bench_text = "alpha beta gamma delta epsilon zeta eta"
+    rows = {
+        97: bench_text,                       # benchmark (97 % 97 == 0)
+        1: "xx alpha beta gamma delta epsilon yy",   # 1 shared 5-gram
+        2: "beta gamma delta epsilon zeta eta tail", # 2 shared 5-grams
+        3: "alpha beta gamma delta zz",       # only 4 consecutive: clean
+        4: "unrelated words entirely here now ok",   # clean
+        194: "alpha beta gamma delta epsilon",       # benchmark too
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(rows), pa.int64()),
+        "text": pa.array(list(rows.values()), pa.string()),
+    })
+    out = decontaminate_ngram(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[97, "is_benchmark"] and out.loc[194, "is_benchmark"]
+    assert out.loc[97, "n_shared_grams"] == 0
+    assert not out.loc[97, "contaminated"]
+    assert out.loc[1, "n_shared_grams"] == 1 and out.loc[1, "contaminated"]
+    assert out.loc[2, "n_shared_grams"] == 2 and out.loc[2, "contaminated"]
+    assert out.loc[3, "n_shared_grams"] == 0 and not out.loc[3, "contaminated"]
+    assert out.loc[4, "n_shared_grams"] == 0
+    assert len(out) == len(rows)
+
+
+def test_decontaminate_ngram_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["decontaminate_ngram"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(E.oracle_sql()["decontaminate_ngram"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
