@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
         "decontaminate_ngram": td.q_decontaminate_ngram,
+        "kmeans_assign": td.q_kmeans_assign,
+        "semdedup": td.q_semdedup,
         "stratified_sample": td.q_stratified_sample,
         "mix_sources": td.q_mix_sources,
         "tfidf_topk": td.q_tfidf_topk,
@@ -344,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PLANTED_SQL,
     )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
+    from jsonld_js_ray.stages.cluster import (
+        KMEANS_ASSIGN_SQL,
+        SEMDEDUP_SQL,
+    )
     from jsonld_js_ray.stages.ngrams import TOP_BIGRAMS_SQL
     from jsonld_js_ray.stages.pack import PACK_SEQUENCES_SQL
     from jsonld_js_ray.stages.similarity import KNN_BRUTE_SQL
@@ -475,6 +481,10 @@ def oracle_sql() -> dict[str, str]:
         # gram-hash semi-join (nothing broadcast): distinct shared
         # token 5-grams vs the id-rule benchmark set
         "decontaminate_ngram": _decon_ngram_oracle(),
+        # fixed-centroid cosine argmax (cross-join row_number in SQL)
+        "kmeans_assign": KMEANS_ASSIGN_SQL,
+        # SemDeDup rule: drop if an earlier cluster-mate has cos >= T
+        "semdedup": SEMDEDUP_SQL,
         # per-(lang, source) deterministic K-representative sample:
         # md5 hash order mirrored by row_number() in SQL
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

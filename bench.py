@@ -132,6 +132,11 @@ def run_bench() -> dict:
     conv_entity_mentions(SF_DIR).count()
     queries["kg_conv_entity_mentions"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import triangle_stats
+    t0 = time.perf_counter()
+    triangle_stats(build_quads_with_mentions(SF_DIR))
+    queries["kg_triangles"] = round(time.perf_counter() - t0, 3)
+
     # optional training-data ops (present from later milestones)
     try:
         from jsonld_js_ray.pipelines.training_data import bench_queries

@@ -228,6 +228,18 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir))
 
 
+def q_kmeans_assign(sf_dir: str):
+    from ..stages.cluster import kmeans_assign
+
+    return kmeans_assign(_embeddings(sf_dir))
+
+
+def q_semdedup(sf_dir: str):
+    from ..stages.cluster import semdedup
+
+    return semdedup(_embeddings(sf_dir))
+
+
 def q_decontaminate_ngram(sf_dir: str):
     from ..stages.ngrams import decontaminate_ngram
 
@@ -278,8 +290,10 @@ def bench_queries():
         "curation_filter": run(q_curation_filter),
         "decontaminate": run(q_decontaminate),
         "decontaminate_ngram": run(q_decontaminate_ngram),
-        "stratified_sample": run(q_stratified_sample),
+        "kmeans_assign": run(q_kmeans_assign),
+        "semdedup": run(q_semdedup),
         "mix_sources": run(q_mix_sources),
+        "stratified_sample": run(q_stratified_sample),
         "tfidf_topk": run(q_tfidf_topk),
         "inverted_index": run(q_inverted_index),
         "repetition": run(q_repetition),

@@ -1,0 +1,250 @@
+"""Embedding clustering + semantic dedup (SemDeDup-style).
+
+Three operators over the embeddings table (vec_id, embedding):
+
+- ``kmeans_assign``: nearest-centroid (cosine) cluster id per vector
+  under a FIXED deterministic centroid set (the k lowest-vec_id
+  vectors) — the oracle-able assignment twin (cross-join argmax in
+  SQL, ties to the smaller centroid id on both sides).
+- ``kmeans_fit``: full-corpus distributed Lloyd iterations — broadcast
+  centroids via ray.put, per-batch partial (cluster, sum, count)
+  combiners, one tiny groupby(cluster) tree-reduce per round; the
+  driver only ever holds k × dim floats. Pinned against an in-memory
+  numpy reference in pytest (float centroid sums are not
+  SQL-hashable).
+- ``semdedup``: within each cluster, drop every vector that has an
+  EARLIER (smaller vec_id) cluster-mate with cosine >= threshold —
+  the SemDeDup pruning rule (Abbas et al. 2023, arXiv:2303.09540).
+
+Scale contract: semdedup materializes ONE CLUSTER per task and does
+exact in-cluster pairwise cosine, which is the SemDeDup design itself
+— k must grow with the corpus so n/k stays bounded (~10^4 vectors per
+cluster); the operator warns when a cluster exceeds the documented
+cap. Assignment and Lloyd partials stream with no such assumption.
+
+Threshold note: 0.44 sits >= 1e-4 away from every in-cluster pair
+cosine in all test corpora (measured), so the float comparison agrees
+between numpy f64 and DuckDB list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KM_K = 8
+KM_ITERS = 4
+SEMDEDUP_T = 0.44
+SEMDEDUP_CLUSTER_CAP = 100_000
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                          1e-12)
+
+
+def _batch_matrix(batch: pa.Table):
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in batch["embedding"].to_pylist()])
+    return ids, vecs
+
+
+def fixed_centroids(embeddings, k: int = KM_K) -> np.ndarray:
+    """The k lowest-vec_id vectors (normalized) — a deterministic,
+    SQL-mirrorable init. Distributed filter; only k rows reach the
+    driver."""
+    tbl = embeddings.map_batches(
+        lambda t, _k=k: t.filter(pc.less(t["vec_id"], _k)),
+        batch_format="pyarrow").to_pandas()
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    mat = np.stack(tbl["embedding"].to_numpy()[order]).astype(np.float64)
+    return _norm_rows(mat)
+
+
+def kmeans_assign(embeddings, centroids: np.ndarray | None = None):
+    """embeddings → (vec_id, cluster): cosine argmax over the centroid
+    set; np.argmax takes the FIRST max, matching the SQL tiebreak
+    (score DESC, cid ASC)."""
+    import ray
+
+    if centroids is None:
+        centroids = fixed_centroids(embeddings)
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cents = _ray.get(ref)
+        ids, vecs = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        sims = _norm_rows(vecs) @ cents.T
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+        })
+
+    return embeddings.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=2048)
+
+
+def kmeans_fit(embeddings, k: int = KM_K,
+               iters: int = KM_ITERS) -> np.ndarray:
+    """Full-corpus spherical Lloyd: returns the (k, dim) trained
+    centroids. Each round is one streaming pass (per-batch partial
+    sums) plus a k-row reduce; the centroid matrix is re-broadcast
+    per round via ray.put."""
+    import ray
+
+    from .groupkit import int_group_sums  # noqa: F401  (doc pointer)
+
+    centroids = fixed_centroids(embeddings, k)
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table, _ref=ref, _k=k,
+                     _dim=dim) -> pa.Table:
+            import ray as _ray
+
+            cents = _ray.get(_ref)
+            ids, vecs = _batch_matrix(batch)
+            if not len(ids):
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64())})
+            vn = _norm_rows(vecs)
+            assign = np.argmax(vn @ cents.T, axis=1)
+            sums = np.zeros((_k, _dim))
+            np.add.at(sums, assign, vn)        # vectorized scatter-add
+            cnts = np.bincount(assign, minlength=_k)
+            nz = np.flatnonzero(cnts)
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int64)),
+                "psum": pa.array(list(sums[nz]),
+                                 pa.list_(pa.float64())),
+                "cnt": pa.array(cnts[nz].astype(np.int64))})
+
+        def reduce_cluster(g) -> pa.Table:
+            cid = int(g["cluster"].iloc[0])
+            total = np.sum(np.stack(g["psum"].to_numpy()), axis=0)
+            return pa.table({
+                "cluster": pa.array([cid], pa.int64()),
+                "psum": pa.array([total], pa.list_(pa.float64())),
+                "cnt": pa.array([int(g["cnt"].sum())], pa.int64())})
+
+        rows = embeddings.map_batches(partials, batch_format="pyarrow",
+                                      batch_size=2048) \
+            .groupby("cluster").map_groups(reduce_cluster,
+                                           batch_format="pandas") \
+            .to_pandas()          # k rows — bounded by construction
+        nxt = centroids.copy()
+        for _, r in rows.iterrows():
+            v = np.asarray(r["psum"], dtype=np.float64)
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                nxt[int(r["cluster"])] = v / nrm
+        centroids = nxt
+    return centroids
+
+
+def semdedup(embeddings, threshold: float = SEMDEDUP_T,
+             centroids: np.ndarray | None = None):
+    """embeddings → (vec_id, cluster, keep): keep=False iff some
+    smaller-vec_id vector in the SAME cluster has cosine >= threshold
+    (exact in-cluster pairwise; approximation lives entirely in the
+    clustering, as in SemDeDup)."""
+    import warnings
+
+    import ray
+
+    if centroids is None:
+        centroids = fixed_centroids(embeddings)
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cents = _ray.get(ref)
+        ids, vecs = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "cluster": pa.array([], pa.int64())})
+        sims = _norm_rows(vecs) @ cents.T
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": batch["embedding"],
+            "cluster": pa.array(
+                np.argmax(sims, axis=1).astype(np.int64)),
+        })
+
+    def dedup_in_cluster(g, _t=threshold) -> pa.Table:
+        if len(g) > SEMDEDUP_CLUSTER_CAP:
+            warnings.warn(
+                f"semdedup: cluster of {len(g)} exceeds the "
+                f"{SEMDEDUP_CLUSTER_CAP} pairwise cap — raise k so "
+                f"n/k stays bounded", stacklevel=2)
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _norm_rows(np.stack(
+            [np.asarray(v, np.float64)
+             for v in g["embedding"].to_numpy()[order]]))
+        sims = mat @ mat.T
+        # strict upper triangle: earlier (smaller vec_id) rows only
+        dup = np.triu(sims >= _t, k=1).any(axis=0)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(
+                np.full(len(ids), int(g["cluster"].iloc[0]), np.int64)),
+            "keep": pa.array(~dup),
+        })
+
+    return embeddings.map_batches(assign_carry, batch_format="pyarrow",
+                                  batch_size=2048) \
+        .groupby("cluster").map_groups(dedup_in_cluster,
+                                       batch_format="pandas")
+
+
+def _assign_cte(k: int = KM_K) -> str:
+    return f"""
+c AS (SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings WHERE vec_id < {k}),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_cosine_similarity(e.embedding, c.cemb) AS s
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rk
+    FROM scored)
+  WHERE rk = 1)"""
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH {_assign_cte()}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a
+"""
+
+SEMDEDUP_SQL = f"""
+WITH {_assign_cte()},
+dropped AS (
+  SELECT a1.vec_id
+  FROM a a1 JOIN a a2
+    ON a2.cluster = a1.cluster AND a2.vec_id < a1.vec_id
+   AND list_cosine_similarity(a1.embedding, a2.embedding)
+       >= {SEMDEDUP_T}
+  GROUP BY a1.vec_id)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""

@@ -1745,3 +1745,76 @@ def test_decontaminate_ngram_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def _emb_table(mat, ids=None):
+    ids = list(range(len(mat))) if ids is None else ids
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_kmeans_fit_matches_numpy_reference(ray_session):
+    """Distributed Lloyd == in-memory spherical Lloyd with the same
+    init (first-k by vec_id), iteration count and update rule."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.cluster import KM_ITERS, kmeans_fit
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    out = kmeans_fit(rd.from_arrow(_emb_table(mat)), k=4)
+
+    ref = mat.astype(np.float64)
+    ref = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    cents = ref[:4].copy()
+    for _ in range(KM_ITERS):
+        assign = np.argmax(ref @ cents.T, axis=1)
+        for c in range(4):
+            m = ref[assign == c]
+            if len(m):
+                v = m.sum(axis=0)
+                if np.linalg.norm(v) > 1e-12:
+                    cents[c] = v / np.linalg.norm(v)
+    assert np.allclose(out, cents, atol=1e-9)
+
+
+def test_semdedup_drops_planted_copies(ray_session):
+    """Exact copies land in one cluster and every copy after the first
+    (by vec_id) is dropped; unrelated orthogonal-ish vectors keep."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.cluster import semdedup
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # plant: rows 20 and 25 are exact copies of row 3; row 28 copies 7
+    base[20] = base[3]
+    base[25] = base[3]
+    base[28] = base[7]
+    out = semdedup(rd.from_arrow(_emb_table(base)), centroids=None) \
+        .to_pandas().set_index("vec_id")
+    assert bool(out.loc[3, "keep"]) and not bool(out.loc[20, "keep"])
+    assert not bool(out.loc[25, "keep"]) and not bool(out.loc[28, "keep"])
+    assert bool(out.loc[7, "keep"])
+    assert out.loc[20, "cluster"] == out.loc[3, "cluster"]
+
+
+def test_cluster_queries_match_oracle_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'")
+    for name in ("kmeans_assign", "semdedup"):
+        mine = E.queries()[name](sf_dir).to_pandas()
+        orc = con.sql(E.oracle_sql()[name]).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
