@@ -308,10 +308,13 @@ def _pagerank_oracle() -> str:
 
 
 def _q_kg_triangles(sf_dir: str):
+    import ray.data as rd
+
     from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
     from jsonld_js_ray.stages.graph import triangle_stats
 
-    return triangle_stats(build_quads_with_mentions(sf_dir))
+    # every queries() entry returns a Dataset (registry contract)
+    return rd.from_arrow(triangle_stats(build_quads_with_mentions(sf_dir)))
 
 
 def _decon_ngram_oracle() -> str:

@@ -24,7 +24,11 @@ cap. Assignment and Lloyd partials stream with no such assumption.
 
 Threshold note: 0.44 sits >= 1e-4 away from every in-cluster pair
 cosine in all test corpora (measured), so the float comparison agrees
-between numpy f64 and DuckDB list_cosine_similarity.
+between numpy f64 and DuckDB list_cosine_similarity. The assignment
+argmax has the same property: the minimum best-vs-second-best centroid
+score gap is 4.7e-5 (sf0.1) / 1.2e-4 (sf0.01) / 1.2e-4 (sf0.001) —
+orders of magnitude above f32 accumulation noise (~1e-6), so numpy and
+DuckDB rank identically; the parity test asserts the margin.
 """
 
 from __future__ import annotations
@@ -54,40 +58,75 @@ def _batch_matrix(batch: pa.Table):
 def fixed_centroids(embeddings, k: int = KM_K) -> np.ndarray:
     """The k lowest-vec_id vectors (normalized) — a deterministic,
     SQL-mirrorable init. Distributed filter; only k rows reach the
-    driver."""
+    driver. Returns a (0, 0) array for an empty corpus; raises if the
+    corpus is non-empty but no vector has vec_id < k (assignment would
+    be undefined)."""
     tbl = embeddings.map_batches(
         lambda t, _k=k: t.filter(pc.less(t["vec_id"], _k)),
         batch_format="pyarrow").to_pandas()
+    if tbl.empty or "vec_id" not in tbl.columns:
+        if embeddings.count() > 0:
+            raise ValueError(
+                f"fixed_centroids: corpus has no vectors with vec_id "
+                f"< {k}; pass explicit centroids")
+        return np.zeros((0, 0))
     order = np.argsort(tbl["vec_id"].to_numpy())
     mat = np.stack(tbl["embedding"].to_numpy()[order]).astype(np.float64)
     return _norm_rows(mat)
 
 
-def kmeans_assign(embeddings, centroids: np.ndarray | None = None):
-    """embeddings → (vec_id, cluster): cosine argmax over the centroid
-    set; np.argmax takes the FIRST max, matching the SQL tiebreak
-    (score DESC, cid ASC)."""
-    import ray
-
-    if centroids is None:
-        centroids = fixed_centroids(embeddings)
-    ref = ray.put(np.asarray(centroids, dtype=np.float64))
-
+def _assign_kernel(ref, carry_embedding: bool):
+    """Shared centroid-assignment map_batches fn — THE tiebreak
+    contract lives here once: np.argmax takes the FIRST max, matching
+    the SQL mirror's ORDER BY score DESC, cid ASC."""
     def assign(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         cents = _ray.get(ref)
         ids, vecs = _batch_matrix(batch)
+        cols: dict = {"vec_id": pa.array(ids, pa.int64())}
+        if carry_embedding:
+            cols["embedding"] = batch["embedding"]
         if not len(ids):
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cluster": pa.array([], pa.int64())})
+            cols["cluster"] = pa.array([], pa.int64())
+            if carry_embedding:
+                cols["embedding"] = pa.array([], pa.list_(pa.float32()))
+            return pa.table(cols)
         sims = _norm_rows(vecs) @ cents.T
-        return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "cluster": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
-        })
+        cols["cluster"] = pa.array(
+            np.argmax(sims, axis=1).astype(np.int64))
+        return pa.table(cols)
 
-    return embeddings.map_batches(assign, batch_format="pyarrow",
+    return assign
+
+
+def _empty_or_centroids(embeddings, centroids, empty_schema: pa.Table):
+    """Resolve centroids; on an EMPTY corpus return (None, empty
+    typed dataset) so callers can short-circuit without crashing."""
+    import ray.data as rd
+
+    if centroids is None:
+        centroids = fixed_centroids(embeddings)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if centroids.size == 0:
+        return None, rd.from_arrow(empty_schema)
+    return centroids, None
+
+
+def kmeans_assign(embeddings, centroids: np.ndarray | None = None):
+    """embeddings → (vec_id, cluster): cosine argmax over the centroid
+    set (tiebreak documented on _assign_kernel)."""
+    import ray
+
+    centroids, empty = _empty_or_centroids(
+        embeddings, centroids,
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "cluster": pa.array([], pa.int64())}))
+    if empty is not None:
+        return empty
+    ref = ray.put(centroids)
+    return embeddings.map_batches(_assign_kernel(ref, False),
+                                  batch_format="pyarrow",
                                   batch_size=2048)
 
 
@@ -99,9 +138,9 @@ def kmeans_fit(embeddings, k: int = KM_K,
     per round via ray.put."""
     import ray
 
-    from .groupkit import int_group_sums  # noqa: F401  (doc pointer)
-
     centroids = fixed_centroids(embeddings, k)
+    if centroids.size == 0:          # empty corpus
+        return centroids
     dim = centroids.shape[1]
 
     for _ in range(iters):
@@ -163,27 +202,14 @@ def semdedup(embeddings, threshold: float = SEMDEDUP_T,
 
     import ray
 
-    if centroids is None:
-        centroids = fixed_centroids(embeddings)
-    ref = ray.put(np.asarray(centroids, dtype=np.float64))
-
-    def assign_carry(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        cents = _ray.get(ref)
-        ids, vecs = _batch_matrix(batch)
-        if not len(ids):
-            return pa.table({
-                "vec_id": pa.array([], pa.int64()),
-                "embedding": pa.array([], pa.list_(pa.float32())),
-                "cluster": pa.array([], pa.int64())})
-        sims = _norm_rows(vecs) @ cents.T
-        return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "embedding": batch["embedding"],
-            "cluster": pa.array(
-                np.argmax(sims, axis=1).astype(np.int64)),
-        })
+    centroids, empty = _empty_or_centroids(
+        embeddings, centroids,
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "cluster": pa.array([], pa.int64()),
+                  "keep": pa.array([], pa.bool_())}))
+    if empty is not None:
+        return empty
+    ref = ray.put(centroids)
 
     def dedup_in_cluster(g, _t=threshold) -> pa.Table:
         if len(g) > SEMDEDUP_CLUSTER_CAP:
@@ -207,7 +233,8 @@ def semdedup(embeddings, threshold: float = SEMDEDUP_T,
             "keep": pa.array(~dup),
         })
 
-    return embeddings.map_batches(assign_carry, batch_format="pyarrow",
+    return embeddings.map_batches(_assign_kernel(ref, True),
+                                  batch_format="pyarrow",
                                   batch_size=2048) \
         .groupby("cluster").map_groups(dedup_in_cluster,
                                        batch_format="pandas")

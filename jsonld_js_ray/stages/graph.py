@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 from .entity_merge import _hashed_strings, _pin
 from .groupkit import int_group_sums as _int_group_sums
+from .groupkit import pair_bucket_ids as _pair_bucket_ids
 
 PR_SCALE = 10 ** 9
 PR_BASE = 15 * PR_SCALE // 100
@@ -68,13 +69,12 @@ def _distinct_edges(quads):
             "src": t["subj"].to_numpy(zero_copy_only=False),
             "dst": t["obj_value"].to_numpy(zero_copy_only=False),
         }).drop_duplicates()           # per-batch partial dedup
-        h = (pd.util.hash_array(df["src"].to_numpy(object))
-             * np.uint64(1000003)
-             ^ pd.util.hash_array(df["dst"].to_numpy(object)))
         return pa.table({
             "src": pa.array(df["src"], pa.string()),
             "dst": pa.array(df["dst"], pa.string()),
-            "bucket": pa.array((h % PR_BUCKETS).astype(np.int32)),
+            "bucket": pa.array(_pair_bucket_ids(
+                df["src"].to_numpy(object), df["dst"].to_numpy(object),
+                PR_BUCKETS)),
         })
 
     def dedup_in_bucket(g) -> pa.Table:
@@ -297,13 +297,12 @@ def _undirected_edges(quads):
         u = np.where(lo, s, o)
         v = np.where(lo, o, s)
         df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-        h = (pd.util.hash_array(df["u"].to_numpy(object))
-             * np.uint64(1000003)
-             ^ pd.util.hash_array(df["v"].to_numpy(object)))
         return pa.table({
             "u": pa.array(df["u"], pa.string()),
             "v": pa.array(df["v"], pa.string()),
-            "bucket": pa.array((h % TRI_BUCKETS).astype(np.int32)),
+            "bucket": pa.array(_pair_bucket_ids(
+                df["u"].to_numpy(object), df["v"].to_numpy(object),
+                TRI_BUCKETS)),
         })
 
     def dedup_in_bucket(g) -> pa.Table:
@@ -469,12 +468,7 @@ def triangle_stats(quads):
     directed = _pin(_oriented_edges(und, degrees))
 
     def pair_bucket(x, y) -> pa.Array:
-        import pandas as pd
-
-        h = (pd.util.hash_array(np.asarray(x, dtype=object))
-             * np.uint64(1000003)
-             ^ pd.util.hash_array(np.asarray(y, dtype=object)))
-        return pa.array((h % TRI_BUCKETS).astype(np.int32))
+        return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
 
     def wedge_rows(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)

@@ -68,6 +68,21 @@ def run_pair_indices(sorted_ids: np.ndarray):
     return i_idx.astype(np.int64), j_idx.astype(np.int64)
 
 
+def pair_bucket_ids(a: np.ndarray, b: np.ndarray,
+                    n_buckets: int) -> np.ndarray:
+    """Shared bucket id for a PAIR of string keys. Every stage that
+    co-buckets two datasets on a key pair (edge joins, wedge closing,
+    bigram partials) MUST use this one helper — the multiplier/combiner
+    has to stay identical on both sides or co-location silently
+    breaks."""
+    import pandas as pd
+
+    h = (pd.util.hash_array(np.asarray(a, dtype=object))
+         * np.uint64(1000003)
+         ^ pd.util.hash_array(np.asarray(b, dtype=object)))
+    return (h % n_buckets).astype(np.int32)
+
+
 def quantile_disc_pos(p: float, n):
     """1-based sorted position of DuckDB's quantile_disc(x, p) in a
     group of n non-NULL values: ceil(p*n) clamped to >= 1. Verified

@@ -40,8 +40,6 @@ def _empty_counts() -> pa.Table:
 
 
 def _bigram_counts_batch(batch: pa.Table) -> pa.Table:
-    import pandas as pd
-
     flat, parents = _flat_tokens(_token_lists(batch["text"]))
     if len(flat) < 2:
         return _empty_counts()
@@ -55,13 +53,13 @@ def _bigram_counts_batch(batch: pa.Table) -> pa.Table:
     pair = codes[:len(w1)].astype(np.int64) * v + codes[len(w1):]
     up, cnt = np.unique(pair, return_counts=True)
     uw1, uw2 = uniq[up // v], uniq[up % v]
-    h = (pd.util.hash_array(uw1.astype(object)) * np.uint64(1000003)
-         ^ pd.util.hash_array(uw2.astype(object)))
+    from .groupkit import pair_bucket_ids
+
     return pa.table({
         "w1": pa.array(uw1, pa.string()),
         "w2": pa.array(uw2, pa.string()),
         "cnt": pa.array(cnt.astype(np.int64)),
-        "bucket": pa.array((h % BIGRAM_BUCKETS).astype(np.int32)),
+        "bucket": pa.array(pair_bucket_ids(uw1, uw2, BIGRAM_BUCKETS)),
     })
 
 

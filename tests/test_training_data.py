@@ -1818,3 +1818,39 @@ def test_cluster_queries_match_oracle_sf(ray_session, sf_dir):
         a = mine[cols].sort_values(cols).reset_index(drop=True)
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_cluster_empty_corpus(ray_session):
+    """Empty embeddings -> empty typed outputs / (0,0) centroids, no
+    crash; non-empty corpus with no vec_id < k raises clearly."""
+    import pytest
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.cluster import (
+        kmeans_assign, kmeans_fit, semdedup,
+    )
+
+    empty = _emb_table(np.zeros((0, 4)))
+    assert kmeans_assign(rd.from_arrow(empty)).count() == 0
+    assert semdedup(rd.from_arrow(empty)).count() == 0
+    assert kmeans_fit(rd.from_arrow(empty)).size == 0
+
+    high_ids = _emb_table(np.eye(3, dtype=np.float32),
+                          ids=[100, 101, 102])
+    with pytest.raises(ValueError, match="vec_id"):
+        kmeans_assign(rd.from_arrow(high_ids)).count()
+
+
+def test_kmeans_assign_argmax_margin_sf(ray_session, sf_dir):
+    """The best-vs-second-best centroid score gap stays far above f32
+    noise, so the numpy and DuckDB argmax rank identically (the
+    assumption behind the exact oracle)."""
+    import pyarrow.parquet as pq
+
+    mat = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"]
+        .to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.sort(mat @ mat[:8].T, axis=1)
+    margin = float((sims[:, -1] - sims[:, -2]).min())
+    assert margin > 1e-5, margin
