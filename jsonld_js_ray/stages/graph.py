@@ -345,99 +345,90 @@ def _tri_degrees(und):
                                       batch_format="pandas")
 
 
-def _oriented_edges(und, degrees):
-    """(u, v) + (node, deg) → (a, b, db): each edge directed from its
-    lower (deg, node) rank endpoint; db = deg(b) rides along so wedge
-    generation can rank neighbors without another join.  Two bucketed
-    sentinel joins (deg rows carry other=NULL, cf. _one_iteration)."""
-    def e_u(batch: pa.Table) -> pa.Table:
+def _oriented_edges(und):
+    """(u, v) → (a, b, db, bucket): each edge directed from its lower
+    (deg, node) rank endpoint; db = deg(b) rides along so wedge
+    generation can rank neighbors without another join.
+
+    NO separate degree join: shuffle 1 routes BOTH endpoint-keyed
+    copies of every edge to node buckets, where deg(n) is simply the
+    number of rows keyed by n (every incident edge contributes exactly
+    one); shuffle 2 reunites the two half-annotated copies of each
+    edge by canonical pair and orients it. The emitted ``bucket``
+    column is already the wedge key (hash of a)."""
+    def both_ends(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "key": batch["u"], "other": batch["v"],
-            "d": pa.array(np.full(len(u), -1, np.int64)),
-            "bucket": _bucket_of(u),
-        })
-
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "key": batch["node"],
-            "other": pa.array([None] * len(node), pa.string()),
-            "d": batch["deg"],
-            "bucket": _bucket_of(node),
-        })
-
-    def join_u(g) -> pa.Table:
-        is_e = g["other"].notna()
-        e = g[is_e][["key", "other"]]
-        d = g[~is_e][["key", "d"]]
-        m = e.merge(d, on="key")
-        return pa.table({
-            "u": pa.array(m["key"], pa.string()),
-            "v": pa.array(m["other"], pa.string()),
-            "du": pa.array(m["d"].to_numpy(np.int64)),
-        })
-
-    with_du = und.map_batches(e_u, batch_format="pyarrow") \
-        .union(degrees.map_batches(deg_rows, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(join_u, batch_format="pandas")
-
-    def e_v(batch: pa.Table) -> pa.Table:
         v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        end = np.concatenate([np.zeros(len(u), np.int8),
+                              np.ones(len(v), np.int8)])
         return pa.table({
-            "key": batch["v"], "other": batch["u"],
-            "du": batch["du"],
-            "d": pa.array(np.full(len(v), -1, np.int64)),
-            "bucket": _bucket_of(v),
+            "key": pa.array(key, pa.string()),
+            "other": pa.array(other, pa.string()),
+            "end": pa.array(end),
+            "bucket": _bucket_of(key),
         })
 
-    def deg_rows2(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
+    def attach_deg(g) -> pa.Table:
+        keys = g["key"].to_numpy()
+        other = g["other"].to_numpy()
+        end = g["end"].to_numpy()
+        uniq, codes, counts = np.unique(keys, return_inverse=True,
+                                        return_counts=True)
+        d = counts[codes].astype(np.int64)
+        # recover the canonical (u, v): end 0 rows are keyed by u
+        is_u = end == 0
+        u = np.where(is_u, keys, other)
+        v = np.where(is_u, other, keys)
         return pa.table({
-            "key": batch["node"],
-            "other": pa.array([None] * len(node), pa.string()),
-            "du": pa.array(np.zeros(len(node), np.int64)),
-            "d": batch["deg"],
-            "bucket": _bucket_of(node),
+            "u": pa.array(u, pa.string()),
+            "v": pa.array(v, pa.string()),
+            "d": pa.array(d),
+            "end": pa.array(end),
+            "bucket": pa.array(_pair_bucket_ids(u, v, TRI_BUCKETS)),
         })
 
-    def join_v_orient(g) -> pa.Table:
-        is_e = g["other"].notna()
-        e = g[is_e][["key", "other", "du"]]
-        d = g[~is_e][["key", "d"]]
-        m = e.merge(d, on="key")
-        if not len(m):
+    halves = und.map_batches(both_ends, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(attach_deg, batch_format="pandas")
+
+    def orient_in_bucket(g) -> pa.Table:
+        if not len(g):
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string()),
-                             "db": pa.array([], pa.int64())})
-        v = np.asarray(m["key"].to_numpy(object), dtype=str)
-        u = np.asarray(m["other"].to_numpy(object), dtype=str)
-        du = m["du"].to_numpy(np.int64)
-        dv = m["d"].to_numpy(np.int64)
+                             "db": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        u = np.asarray(g["u"].to_numpy(object), dtype=str)
+        v = np.asarray(g["v"].to_numpy(object), dtype=str)
+        d = g["d"].to_numpy(np.int64)
+        end = g["end"].to_numpy(np.int8)
+        # exactly two rows per distinct edge (one per end): sort by
+        # (u, v, end) and read them off pairwise
+        order = np.lexsort((end, v, u))
+        u, v, d = u[order], v[order], d[order]
+        du, dv = d[0::2], d[1::2]
+        u, v = u[0::2], v[0::2]
         u_low = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_low, u, v)
+        b = np.where(u_low, v, u)
         return pa.table({
-            "a": pa.array(np.where(u_low, u, v), pa.string()),
-            "b": pa.array(np.where(u_low, v, u), pa.string()),
+            "a": pa.array(a, pa.string()),
+            "b": pa.array(b, pa.string()),
             "db": pa.array(np.where(u_low, dv, du).astype(np.int64)),
+            "bucket": _bucket_of(a),
         })
 
-    return with_du.map_batches(e_v, batch_format="pyarrow") \
-        .union(degrees.map_batches(deg_rows2, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(join_v_orient,
-                                      batch_format="pandas")
+    return halves.groupby("bucket").map_groups(orient_in_bucket,
+                                               batch_format="pandas")
 
 
 def _wedges(directed):
-    """directed (a, b, db) → candidate wedges (x, y) with rank(x) <
-    rank(y): all ordered out-neighbor pairs per center, vectorized via
-    groupkit.run_pair_indices (out-degree is O(sqrt(2m)) under the
-    degree orientation, bounding per-center work)."""
+    """directed (a, b, db, bucket=hash(a)) → candidate wedges (x, y)
+    with rank(x) < rank(y): all ordered out-neighbor pairs per center,
+    vectorized via groupkit.run_pair_indices (out-degree is
+    O(sqrt(2m)) under the degree orientation, bounding per-center
+    work). The bucket column already carries the center key."""
     from .groupkit import run_pair_indices
-
-    def key_by_a(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", _bucket_of(a))
 
     def wedges_in_bucket(g) -> pa.Table:
         a = g["a"].to_numpy()
@@ -451,9 +442,8 @@ def _wedges(directed):
             "y": pa.array(b_s[j_idx], pa.string()),
         })
 
-    return directed.map_batches(key_by_a, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(wedges_in_bucket,
-                                      batch_format="pandas")
+    return directed.groupby("bucket").map_groups(wedges_in_bucket,
+                                                 batch_format="pandas")
 
 
 def triangle_stats(quads):
@@ -464,8 +454,7 @@ def triangle_stats(quads):
     hash join keyed by the fused (x, y) pair hash; only per-bucket
     match counts (scalars) leave the workers."""
     und = _pin(_undirected_edges(quads))
-    degrees = _pin(_tri_degrees(und))
-    directed = _pin(_oriented_edges(und, degrees))
+    directed = _pin(_oriented_edges(und))
 
     def pair_bucket(x, y) -> pa.Array:
         return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
@@ -502,7 +491,7 @@ def triangle_stats(quads):
 
     n_tri = closed.sum("n") or 0
     return pa.table({
-        "n_nodes": pa.array([degrees.count()], pa.int64()),
+        "n_nodes": pa.array([_tri_degrees(und).count()], pa.int64()),
         "n_edges": pa.array([und.count()], pa.int64()),
         "n_triangles": pa.array([int(n_tri)], pa.int64()),
     })
