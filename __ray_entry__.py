@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_entity_mentions": _q_kg_conv_entity_mentions,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_components": _q_kg_components,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -317,6 +318,22 @@ def _q_kg_triangles(sf_dir: str):
     return rd.from_arrow(triangle_stats(build_quads_with_mentions(sf_dir)))
 
 
+def _q_kg_components(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import components_quads
+
+    return components_quads(build_quads_with_mentions(sf_dir))
+
+
+def _components_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _components_oracle_sql
+
+    return _components_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def _decon_ngram_oracle() -> str:
     from jsonld_js_ray.stages.ngrams import decontaminate_ngram_sql
 
@@ -419,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle(),
         # degree-oriented wedge-join triangle count vs 3-way self-join
         "kg_triangles": _triangles_oracle(),
+        # R-round min-label propagation vs chained-CTE mirror
+        "kg_components": _components_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

@@ -512,3 +512,158 @@ SELECT
    FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
 """
+
+
+# --- connected components (R-round min-label propagation) ---
+# The bounded-round sibling of PageRank: label(v) starts as v's own
+# IRI and each round becomes min(label(v), min over neighbors' labels)
+# — after R rounds every node carries the smallest IRI within R hops,
+# which equals its component id once R reaches the component diameter.
+# The R-round result is DETERMINISTIC whether or not propagation has
+# converged, so the oracle is an exact chained-CTE mirror (no
+# convergence probe, no driver state — cf. stages/entity_merge.py for
+# the probe-based variant over the mention-similarity graph).
+
+LP_ITERS = 4
+
+
+def _sym_tagged(und):
+    """Undirected edges → both directed copies, keyed for the
+    contribution exchange (round-invariant; pinned once)."""
+    def rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "lab": pa.array([None] * len(key), pa.string()),
+            "bucket": _bucket_of(key),
+        })
+
+    return und.map_batches(rows, batch_format="pyarrow")
+
+
+def _lp_initial(und):
+    """(node, lab=node) for every edge endpoint."""
+    def ends(batch: pa.Table) -> pa.Table:
+        node = np.unique(np.concatenate([
+            batch["u"].to_numpy(zero_copy_only=False),
+            batch["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({
+            "node": pa.array(node, pa.string()),
+            "lab": pa.array(node, pa.string()),
+            "bucket": _bucket_of(node),
+        })
+
+    def dedup(g) -> pa.Table:
+        nodes = np.unique(g["node"].to_numpy())
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "lab": pa.array(nodes, pa.string())})
+
+    return und.map_batches(ends, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedup, batch_format="pandas")
+
+
+def _min_per_run(nodes: np.ndarray, labs: np.ndarray):
+    """(unique node, min lab) via one lexsort + run starts."""
+    from .groupkit import run_starts
+
+    order = np.lexsort((labs, nodes))
+    ns, ls = nodes[order], labs[order]
+    starts = run_starts(ns)
+    return ns[starts], ls[starts]
+
+
+def _lp_round(sym, state):
+    """One propagation round: two bucketed exchanges (neighbor-min
+    partials keyed by receiver, then per-node min with the own
+    label)."""
+    def s_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["node"],
+            "dst": pa.array([None] * len(node), pa.string()),
+            "lab": batch["lab"],
+            "bucket": _bucket_of(node),
+        })
+
+    def contrib(g) -> pa.Table:
+        is_e = g["dst"].notna()
+        e = g[is_e][["key", "dst"]]
+        s = g[~is_e][["key", "lab"]]
+        m = e.merge(s, on="key")
+        if not len(m):
+            return pa.table({"node": pa.array([], pa.string()),
+                             "lab": pa.array([], pa.string())})
+        nodes, labs = _min_per_run(m["dst"].to_numpy(),
+                                   m["lab"].to_numpy())
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "lab": pa.array(labs, pa.string())})
+
+    partials = sym.union(state.map_batches(s_rows,
+                                           batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(contrib, batch_format="pandas")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch["node"],
+            "lab": batch["lab"],
+            "bucket": _bucket_of(node),
+        })
+
+    def take_min(g) -> pa.Table:
+        nodes, labs = _min_per_run(g["node"].to_numpy(),
+                                   g["lab"].to_numpy())
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "lab": pa.array(labs, pa.string())})
+
+    # own labels ride along, so isolated-from-partials nodes survive
+    # and new lab = min(own, neighbor mins)
+    return partials.map_batches(keyed, batch_format="pyarrow") \
+        .union(state.map_batches(keyed, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(take_min, batch_format="pandas") \
+        .repartition(PR_STATE_BLOCKS)
+
+
+def components_quads(quads):
+    """quad table → (node, component): component = min IRI within
+    LP_ITERS hops over the undirected distinct IRI–IRI graph (equals
+    the connected-component id wherever the component diameter is
+    ≤ LP_ITERS). Same pin/constant-block discipline as pagerank."""
+    und = _pin(_undirected_edges(quads))
+    sym = _pin(_sym_tagged(und))
+    state = _pin(_lp_initial(und))
+    for _ in range(LP_ITERS):
+        state = _pin(_lp_round(sym, state))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"],
+                         "component": batch["lab"]})
+
+    return state.map_batches(final, batch_format="pyarrow")
+
+
+def _components_oracle_sql(quads_sql: str) -> str:
+    """Chained-CTE mirror of LP_ITERS min-label rounds."""
+    ctes = [f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+n AS (SELECT DISTINCT a AS node FROM ed),
+s0 AS (SELECT node, node AS lab FROM n)"""]
+    for t in range(1, LP_ITERS + 1):
+        ctes.append(f"""
+i{t} AS (SELECT ed.b AS node, min(s{t - 1}.lab) AS ml
+      FROM ed JOIN s{t - 1} ON s{t - 1}.node = ed.a
+      GROUP BY ed.b),
+s{t} AS (SELECT s{t - 1}.node,
+             least(s{t - 1}.lab, coalesce(i{t}.ml, s{t - 1}.lab))
+                 AS lab
+      FROM s{t - 1} LEFT JOIN i{t} USING (node))""")
+    return (",".join(ctes)
+            + f"\nSELECT node, lab AS component FROM s{LP_ITERS}")

@@ -1854,3 +1854,50 @@ def test_kmeans_assign_argmax_margin_sf(ray_session, sf_dir):
     sims = np.sort(mat @ mat[:8].T, axis=1)
     margin = float((sims[:, -1] - sims[:, -2]).min())
     assert margin > 1e-5, margin
+
+
+def test_components_semantics(ray_session):
+    """Three components get three labels (each the min node string);
+    a path longer than LP_ITERS hops pins the R-hop semantics: nodes
+    farther than LP_ITERS from the min keep a larger label."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import LP_ITERS, components_quads
+
+    assert LP_ITERS == 4
+    edges = [
+        ("B", "A"), ("B", "C"), ("C", "D"),          # comp 1: min A
+        ("X", "Y"), ("Y", "Z"),                      # comp 2: min X
+        # comp 3: a 6-hop path from the min label "a0":
+        # a0 - p1 - p2 - p3 - p4 - p5 - p6
+        ("a0", "p1"), ("p1", "p2"), ("p2", "p3"),
+        ("p3", "p4"), ("p4", "p5"), ("p5", "p6"),
+    ]
+    tbl = _mini_quads(edges)
+    out = components_quads(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("node")["component"]
+    assert set(out[["A", "B", "C", "D"]]) == {"A"}
+    assert set(out[["X", "Y", "Z"]]) == {"X"}
+    # within 4 hops of a0 -> labeled a0
+    assert set(out[["a0", "p1", "p2", "p3", "p4"]]) == {"a0"}
+    # p5 is 5 hops out: after 4 rounds its label is the min within
+    # 4 hops of p5 = min(p1..p6, a0 is 5 away) = "p1"; p6 likewise
+    assert out["p5"] == "p1" and out["p6"] == "p2"
+
+
+def test_components_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_components"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_components"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 1000
