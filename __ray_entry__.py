@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram": td.q_decontaminate_ngram,
         "kmeans_assign": td.q_kmeans_assign,
         "semdedup": td.q_semdedup,
+        "pq_encode": td.q_pq_encode,
         "stratified_sample": td.q_stratified_sample,
         "mix_sources": td.q_mix_sources,
         "tfidf_topk": td.q_tfidf_topk,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.cluster import (
         KMEANS_ASSIGN_SQL,
+        PQ_ENCODE_SQL,
         SEMDEDUP_SQL,
     )
     from jsonld_js_ray.stages.ngrams import TOP_BIGRAMS_SQL
@@ -507,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": KMEANS_ASSIGN_SQL,
         # SemDeDup rule: drop if an earlier cluster-mate has cos >= T
         "semdedup": SEMDEDUP_SQL,
+        # per-subspace nearest codebook id, distances compared in f64
+        "pq_encode": PQ_ENCODE_SQL,
         # per-(lang, source) deterministic K-representative sample:
         # md5 hash order mirrored by row_number() in SQL
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -240,6 +240,12 @@ def q_semdedup(sf_dir: str):
     return semdedup(_embeddings(sf_dir))
 
 
+def q_pq_encode(sf_dir: str):
+    from ..stages.cluster import pq_encode
+
+    return pq_encode(_embeddings(sf_dir))
+
+
 def q_decontaminate_ngram(sf_dir: str):
     from ..stages.ngrams import decontaminate_ngram
 
@@ -292,6 +298,7 @@ def bench_queries():
         "decontaminate_ngram": run(q_decontaminate_ngram),
         "kmeans_assign": run(q_kmeans_assign),
         "semdedup": run(q_semdedup),
+        "pq_encode": run(q_pq_encode),
         "mix_sources": run(q_mix_sources),
         "stratified_sample": run(q_stratified_sample),
         "tfidf_topk": run(q_tfidf_topk),

@@ -1901,3 +1901,47 @@ def test_components_oracle_parity_sf(ray_session, sf_dir):
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) > 1000
+
+
+def test_pq_encode_semantics(ray_session):
+    """A vector equal to codebook entry j's slice in every subspace
+    encodes as (j, j, .., j); codes always index the true nearest
+    sub-slice under L2 (checked brute-force)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.cluster import PQ_K, PQ_S, pq_encode
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((40, 16)).astype(np.float32)
+    mat[17] = mat[3]              # exact copy of codebook entry 3
+    out = pq_encode(rd.from_arrow(_emb_table(mat))).to_pandas() \
+        .set_index("vec_id").sort_index()
+    dsub = 16 // PQ_S
+    assert list(out.loc[17]) == list(out.loc[3])
+    for i in range(PQ_K):         # codebook rows self-encode
+        assert list(out.loc[i]) == [i] * PQ_S
+    # brute-force check every row
+    m64 = mat.astype(np.float64)
+    for vid in range(len(mat)):
+        for s in range(PQ_S):
+            x = m64[vid, s * dsub:(s + 1) * dsub]
+            C = m64[:PQ_K, s * dsub:(s + 1) * dsub]
+            want = int(np.argmin(((C - x) ** 2).sum(axis=1)))
+            assert out.loc[vid, f"c{s}"] == want
+
+
+def test_pq_encode_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["pq_encode"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'")
+    orc = con.sql(E.oracle_sql()["pq_encode"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
