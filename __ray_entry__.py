@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
+        "kg_degree_hist": _q_kg_degree_hist,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs": _q_topk_docs,
         "user_quantiles": _q_user_quantiles,
         "top_events_per_user": _q_top_events_per_user,
+        "funnel_stages": _q_funnel_stages,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
         "window_distinct_users": _q_window_distinct_users,
@@ -262,6 +264,13 @@ def _events(sf_dir: str, columns):
         f"{sf_dir}/events.parquet", columns=columns
     ).map_batches(strip_meta, batch_format="pyarrow",
                   zero_copy_batch=True)
+
+
+def _q_funnel_stages(sf_dir: str):
+    from jsonld_js_ray.stages.funnel import funnel_stages
+
+    return funnel_stages(_events(sf_dir, ["ts", "user_id",
+                                          "event_type"]))
 
 
 def _q_window_tumbling(sf_dir: str):
@@ -333,6 +342,28 @@ def _components_oracle() -> str:
     from jsonld_js_ray.stages.graph import _components_oracle_sql
 
     return _components_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_kg_degree_hist(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import degree_histogram
+
+    return degree_histogram(build_quads_with_mentions(sf_dir))
+
+
+def _funnel_oracle() -> str:
+    from jsonld_js_ray.stages.funnel import FUNNEL_SQL
+
+    return FUNNEL_SQL
+
+
+def _degree_hist_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _degree_hist_oracle_sql
+
+    return _degree_hist_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _decon_ngram_oracle() -> str:
@@ -440,6 +471,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _triangles_oracle(),
         # R-round min-label propagation vs chained-CTE mirror
         "kg_components": _components_oracle(),
+        # undirected degree distribution (deg values bounded)
+        "kg_degree_hist": _degree_hist_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (
@@ -553,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": TOPK_DOCS_SQL,
         "user_quantiles": USER_QUANTILES_SQL,
         "top_events_per_user": TOP_EVENTS_SQL,
+        # strict-after chained stage mins (sequential pattern match)
+        "funnel_stages": _funnel_oracle(),
         # No oracle (not SQL-expressible → driver rows-only check):
         #   window_distinct_users_hll (approximate sketch — its error
         #     bound is pinned vs the exact oracled twin in pytest),

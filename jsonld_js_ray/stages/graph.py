@@ -667,3 +667,43 @@ s{t} AS (SELECT s{t - 1}.node,
       FROM s{t - 1} LEFT JOIN i{t} USING (node))""")
     return (",".join(ctes)
             + f"\nSELECT node, lab AS component FROM s{LP_ITERS}")
+
+
+# --- degree histogram (graph-shape diagnostic) ---
+
+def degree_histogram(quads):
+    """quad table → (deg, n_nodes): the undirected degree distribution
+    of the IRI–IRI graph. Distinct degree VALUES are bounded by the
+    max degree (not the corpus), so the final groupby is tiny; the
+    node-degree table itself pre-reduces per batch."""
+    deg = _tri_degrees(_undirected_edges(quads))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(d, return_counts=True)
+        return pa.table({
+            "deg": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    def total(g) -> pa.Table:
+        return pa.table({
+            "deg": pa.array([int(g["deg"].iloc[0])], pa.int64()),
+            "n_nodes": pa.array([int(g["n"].sum())], pa.int64()),
+        })
+
+    return deg.map_batches(partial, batch_format="pyarrow") \
+        .groupby("deg").map_groups(total, batch_format="pandas")
+
+
+def _degree_hist_oracle_sql(quads_sql: str) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                      greatest(subj, obj_value) AS v
+      FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY deg
+"""

@@ -1945,3 +1945,64 @@ def test_pq_encode_oracle_parity_sf(ray_session, sf_dir):
     a = mine[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_funnel_stages_semantics(ray_session):
+    """Order matters: events of a later stage BEFORE the previous
+    stage's first completion don't count; equal timestamps are not
+    'after' (strict); missing stages stop the chain."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.funnel import funnel_stages
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered chain -> 4
+        (1, "signup", 0), (1, "view", 1), (1, "click", 2),
+        (1, "purchase", 3),
+        # user 2: purchase BEFORE click -> stops at 2? no: signup(0),
+        # view(1), purchase(2), click(3) -> click after view ok (3),
+        # but no purchase after click -> 3
+        (2, "signup", 0), (2, "view", 1), (2, "purchase", 2),
+        (2, "click", 3),
+        # user 3: view only, no signup -> 0
+        (3, "view", 0), (3, "click", 1),
+        # user 4: signup & view SAME timestamp -> view not strictly
+        # after -> 1
+        (4, "signup", 5), (4, "view", 5),
+        # user 5: signup then nothing else -> 1
+        (5, "signup", 9),
+        # user 6: second view after signup counts even though first
+        # view was before signup
+        (6, "view", 0), (6, "signup", 1), (6, "view", 2),
+        (6, "click", 3),
+    ]
+    tbl = pa.table({
+        "ts": pa.array([t(m) for _, _, m in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, e, _ in rows], pa.string()),
+    })
+    out = funnel_stages(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("user_id")["funnel_stage"].sort_index()
+    assert out.to_dict() == {1: 4, 2: 3, 3: 0, 4: 1, 5: 1, 6: 3}
+
+
+def test_funnel_and_degree_hist_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    for name in ("funnel_stages", "kg_degree_hist"):
+        mine = E.queries()[name](sf_dir).to_pandas()
+        orc = con.sql(E.oracle_sql()[name]).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
