@@ -132,10 +132,32 @@ def run_bench() -> dict:
     conv_entity_mentions(SF_DIR).count()
     queries["kg_conv_entity_mentions"] = round(time.perf_counter() - t0, 3)
 
-    from jsonld_js_ray.stages.graph import triangle_stats
+    from jsonld_js_ray.stages.graph import (
+        components_quads,
+        degree_histogram,
+        triangle_stats,
+    )
     t0 = time.perf_counter()
     triangle_stats(build_quads_with_mentions(SF_DIR))
     queries["kg_triangles"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    components_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_components"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    degree_histogram(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.funnel import funnel_stages
+    import ray.data as _rd
+    from jsonld_js_ray.rayutil import strip_meta as _sm
+    t0 = time.perf_counter()
+    funnel_stages(_rd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["ts", "user_id", "event_type"]).map_batches(
+            _sm, batch_format="pyarrow", zero_copy_batch=True)).count()
+    queries["funnel_stages"] = round(time.perf_counter() - t0, 3)
 
     # optional training-data ops (present from later milestones)
     try:
