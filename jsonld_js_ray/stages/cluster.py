@@ -50,29 +50,41 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 def _batch_matrix(batch: pa.Table):
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(ids):               # np.stack([]) raises
+        return ids, np.zeros((0, 0))
     vecs = np.stack([np.asarray(v, dtype=np.float64)
                      for v in batch["embedding"].to_pylist()])
     return ids, vecs
 
 
-def fixed_centroids(embeddings, k: int = KM_K) -> np.ndarray:
-    """The k lowest-vec_id vectors (normalized) — a deterministic,
-    SQL-mirrorable init. Distributed filter; only k rows reach the
-    driver. Returns a (0, 0) array for an empty corpus; raises if the
-    corpus is non-empty but no vector has vec_id < k (assignment would
-    be undefined)."""
+def _lowest_k_matrix(embeddings, k: int, who: str) -> np.ndarray:
+    """Raw (rows, dim) matrix of the k lowest-vec_id vectors — the
+    shared deterministic-init extraction. Returns (0, 0) for an empty
+    corpus; raises when the corpus is non-empty but no vector has
+    vec_id < k. May return FEWER than k rows (callers that need
+    exactly k, like PQ's reshape, must check)."""
     tbl = embeddings.map_batches(
         lambda t, _k=k: t.filter(pc.less(t["vec_id"], _k)),
         batch_format="pyarrow").to_pandas()
     if tbl.empty or "vec_id" not in tbl.columns:
         if embeddings.count() > 0:
             raise ValueError(
-                f"fixed_centroids: corpus has no vectors with vec_id "
-                f"< {k}; pass explicit centroids")
+                f"{who}: corpus has no vectors with vec_id < {k}; "
+                f"pass explicit centroids/codebooks")
         return np.zeros((0, 0))
     order = np.argsort(tbl["vec_id"].to_numpy())
-    mat = np.stack(tbl["embedding"].to_numpy()[order]).astype(np.float64)
-    return _norm_rows(mat)
+    return np.stack(tbl["embedding"].to_numpy()[order]) \
+        .astype(np.float64)
+
+
+def fixed_centroids(embeddings, k: int = KM_K) -> np.ndarray:
+    """The k lowest-vec_id vectors (normalized) — a deterministic,
+    SQL-mirrorable init (fewer than k rows is fine: the SQL mirror's
+    ``vec_id < k`` filter shrinks identically). Returns a (0, 0) array
+    for an empty corpus; raises if the corpus is non-empty but no
+    vector has vec_id < k (assignment would be undefined)."""
+    mat = _lowest_k_matrix(embeddings, k, "fixed_centroids")
+    return mat if mat.size == 0 else _norm_rows(mat)
 
 
 def _assign_kernel(ref, carry_embedding: bool):
@@ -297,18 +309,15 @@ PQ_K = 8
 def pq_codebooks(embeddings, s: int = PQ_S,
                  k: int = PQ_K) -> np.ndarray:
     """(s, k, dim/s) codebook tensor from the k lowest-vec_id vectors
-    (raw, unnormalized — PQ is an L2 quantizer)."""
-    tbl = embeddings.map_batches(
-        lambda t, _k=k: t.filter(pc.less(t["vec_id"], _k)),
-        batch_format="pyarrow").to_pandas()
-    if tbl.empty or "vec_id" not in tbl.columns:
-        if embeddings.count() > 0:
-            raise ValueError(
-                f"pq_codebooks: corpus has no vectors with vec_id "
-                f"< {k}; pass explicit codebooks")
+    (raw, unnormalized — PQ is an L2 quantizer). Unlike the kmeans
+    init, the reshape needs EXACTLY k rows."""
+    mat = _lowest_k_matrix(embeddings, k, "pq_codebooks")
+    if mat.size == 0:
         return np.zeros((s, 0, 0))
-    order = np.argsort(tbl["vec_id"].to_numpy())
-    mat = np.stack(tbl["embedding"].to_numpy()[order]).astype(np.float64)
+    if len(mat) != k:
+        raise ValueError(
+            f"pq_codebooks: need exactly {k} vectors with vec_id < "
+            f"{k}, found {len(mat)}; pass explicit codebooks")
     dim = mat.shape[1]
     if dim % s:
         raise ValueError(f"pq: dim {dim} not divisible by {s} subspaces")

@@ -273,9 +273,10 @@ s{t} AS (SELECT n.node,
 # endpoint to its higher-rank endpoint, rank = (degree, node) — the
 # out-degree of any node is then O(sqrt(2m)), so per-center wedge
 # generation is bounded even on power-law graphs.  Each triangle is
-# counted EXACTLY once: at its lowest-rank vertex.  Three bucketed
-# shuffles (degrees, orientation join, wedge-close join); nothing
-# driver-side but three scalars.
+# counted EXACTLY once: at its lowest-rank vertex.  Five bucketed
+# shuffles (edge-pair dedup; node-keyed degree attach; pair-keyed
+# orient; wedge generation; wedge-close join) plus the n_nodes count
+# pass; nothing driver-side but three scalars.
 
 TRI_BUCKETS = 64
 

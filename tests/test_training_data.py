@@ -2006,3 +2006,19 @@ def test_funnel_and_degree_hist_oracle_parity_sf(ray_session, sf_dir):
         a = mine[cols].sort_values(cols).reset_index(drop=True)
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_pq_codebooks_partial_corpus_clear_error(ray_session):
+    """1..k-1 vectors under the id cap -> a clear error, not an
+    obscure reshape crash; empty batches pass through _batch_matrix."""
+    import pytest
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.cluster import _batch_matrix, pq_codebooks
+
+    small = _emb_table(np.eye(5, 16, dtype=np.float32))
+    with pytest.raises(ValueError, match="exactly"):
+        pq_codebooks(rd.from_arrow(small))
+
+    ids, vecs = _batch_matrix(_emb_table(np.zeros((0, 16))))
+    assert len(ids) == 0 and vecs.size == 0
