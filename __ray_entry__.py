@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": td.q_knn_brute,
         "knn_lsh": td.q_knn_lsh_checked,
         "knn_ivf": td.q_knn_ivf_exhaustive,
+        "knn_pq": td.q_knn_pq_exhaustive,
         "text_stats": td.q_text_stats,
         "token_counts": td.q_token_counts,
         "split_assign": td.q_split_assign,
@@ -520,6 +521,10 @@ def oracle_sql() -> dict[str, str]:
         # equals brute by construction; the approximate scale path is
         # recall-pinned in pytest
         "knn_ivf": KNN_BRUTE_SQL,
+        # knn_pq with shortlist >= corpus reranks every candidate
+        # exactly → equals brute by construction; the production
+        # ADC-shortlist recall is pinned in pytest
+        "knn_pq": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         # quality is exact integer ppm arithmetic over the text_stats
         # counters (floor division mirrored on both sides)

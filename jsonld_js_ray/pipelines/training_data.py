@@ -240,6 +240,16 @@ def q_semdedup(sf_dir: str):
     return semdedup(_embeddings(sf_dir))
 
 
+def q_knn_pq_exhaustive(sf_dir: str):
+    """shortlist >= corpus ⇒ the exact rerank sees every candidate ⇒
+    equals knn_brute BY CONSTRUCTION — carries the brute SQL oracle
+    (same pattern as q_knn_ivf_exhaustive); the production shortlist's
+    recall is pinned in pytest."""
+    from ..stages.similarity import knn_pq
+
+    return knn_pq(_embeddings(sf_dir), shortlist=10 ** 9)
+
+
 def q_pq_encode(sf_dir: str):
     from ..stages.cluster import pq_encode
 
@@ -289,6 +299,7 @@ def bench_queries():
         "dedup_embedding_planted": run(q_dedup_embedding_planted),
         "knn_brute": run(q_knn_brute),
         "knn_lsh": run(q_knn_lsh),
+        "knn_pq": run(q_knn_pq_exhaustive),
         "text_stats": run(q_text_stats),
         "lang_id": run(q_lang_id),
         "fingerprint": run(q_fingerprint),

@@ -2022,3 +2022,25 @@ def test_pq_codebooks_partial_corpus_clear_error(ray_session):
 
     ids, vecs = _batch_matrix(_emb_table(np.zeros((0, 16))))
     assert len(ids) == 0 and vecs.size == 0
+
+
+def test_knn_pq_recall_and_exhaustive_equality(ray_session, sf_dir):
+    """Default ADC shortlist keeps recall@10 high vs brute; an
+    exhaustive shortlist is candidate-identical to knn_brute (the
+    construction behind the oracle registration)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import knn_brute, knn_pq
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    brute = knn_brute(emb).to_pandas()
+    approx = knn_pq(emb).to_pandas()
+    hits = approx.merge(brute, on=["query_id", "vec_id"])
+    assert len(hits) / len(brute) >= 0.8
+
+    exhaustive = knn_pq(emb, shortlist=10 ** 9).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = exhaustive[cols].sort_values(cols).reset_index(drop=True)
+    b = brute[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
