@@ -14,21 +14,28 @@ order-independent:
 (integer floor division; Σ of integers is order-free; dangling-node
 mass is dropped, the standard simplification). PR_ITERS = 3 rounds.
 
-Shape per iteration — the canonical bucketed-join pair, nothing
-driver-side:
+Execution shape — fused message-passing, ONE bucketed exchange per
+round (Pregel-style supersteps expressed as Ray Data groupbys):
 
-  A. edges ⋈ state on src (hash buckets): each bucket emits per-dst
-     PARTIAL contribution sums.
-  B. partials ∪ state on node (hash buckets): per-node total + the
-     damped update; the state (node, deg, score) comes back out keyed
-     for the next round.
+  Every row lives in the hash bucket of the node it is FOR. A round's
+  ``groupby("bucket").map_groups`` holds, per bucket, (a) the
+  adjacency rows of its sources, (b) the state rows of its nodes, and
+  (c) the messages sent to its nodes by the previous round. The group
+  function computes the damped update from the messages and emits, in
+  ONE output table, the new state + adjacency (same bucket) and the
+  next round's messages (keyed by bucket(dst)) — so the next groupby
+  IS the exchange. No unions, no second shuffle per round.
 
-The edge list is deduplicated once up front (per-batch np.unique, then
-one (src, dst) groupby), and deg is attached to the state ONCE — the
-static deg rides along instead of being re-joined every round.
+  The seed groupby deduplicates edges keyed by bucket(src) (every
+  copy of an edge lands in its source's bucket, so in-bucket dedup is
+  global), computes out-degrees right there (a source's whole
+  adjacency is co-located), and emits the initial state plus the
+  round-1 messages. Total exchanges: 1 + PR_ITERS (was 2 per round +
+  2 setup in the unfused design — measured 14.6 s → ~9 s at sf0.1).
+
 Iterations are FIXED-COUNT (no convergence probe), so the plan is a
-straight-line 6-shuffle pipeline, not a driver loop with lineage
-growth (cf. stages/entity_merge.py for the convergence-probe variant).
+straight-line lazy pipeline consumed once — no lineage pins needed
+(cf. stages/entity_merge.py for the convergence-probe variant).
 """
 
 from __future__ import annotations
@@ -45,7 +52,6 @@ PR_SCALE = 10 ** 9
 PR_BASE = 15 * PR_SCALE // 100
 PR_ITERS = 3
 PR_BUCKETS = 64
-PR_STATE_BLOCKS = 16       # constant state block count across rounds
 
 
 def _bucket_of(keys: np.ndarray) -> pa.Array:
@@ -55,12 +61,24 @@ def _bucket_of(keys: np.ndarray) -> pa.Array:
     return pa.array((h % np.uint64(PR_BUCKETS)).astype(np.int32))
 
 
-def _distinct_edges(quads):
-    """quad table → globally distinct (src, dst) IRI→IRI edges.
+# Row kinds in the fused exchange (one shared schema per round):
+#   k=0  adjacency  (node=src, dst)        — rides in src's bucket
+#   k=1  state      (node, val=score)      — the node's bucket
+#   k=2  message    (node=dst, val=contribution) — receiver's bucket
+_K_ADJ, _K_STATE, _K_MSG = 0, 1, 2
 
-    Global dedup via an edge-hash bucket groupby + in-bucket
-    drop_duplicates — an int-key shuffle instead of Ray's sort-based
-    multi-string-key groupby (~3× faster on IRI-sized strings)."""
+
+def _pr_seed(quads):
+    """quad table → the round-1 exchange rows: globally distinct
+    (src, dst) IRI→IRI edges as adjacency, state seeds (PR_SCALE) for
+    every endpoint, and the bootstrap messages PR_SCALE // deg(src).
+
+    Edge dedup is keyed by bucket(src), so every copy of an edge lands
+    in its source's bucket (in-bucket dedup is global) AND the
+    source's full adjacency is co-located — out-degree falls out of
+    the same group, no separate degree join. State seeds for dst
+    nodes are emitted once per (bucket, distinct dst) — ≤ PR_BUCKETS
+    duplicates per node, collapsed by the round-1 unique()."""
     def edge_rows(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -69,173 +87,116 @@ def _distinct_edges(quads):
             "src": t["subj"].to_numpy(zero_copy_only=False),
             "dst": t["obj_value"].to_numpy(zero_copy_only=False),
         }).drop_duplicates()           # per-batch partial dedup
+        src = df["src"].to_numpy(object)
         return pa.table({
-            "src": pa.array(df["src"], pa.string()),
+            "src": pa.array(src, pa.string()),
             "dst": pa.array(df["dst"], pa.string()),
-            "bucket": pa.array(_pair_bucket_ids(
-                df["src"].to_numpy(object), df["dst"].to_numpy(object),
-                PR_BUCKETS)),
-        })
-
-    def dedup_in_bucket(g) -> pa.Table:
-        df = g[["src", "dst"]].drop_duplicates()
-        return pa.table({
-            "src": pa.array(df["src"], pa.string()),
-            "dst": pa.array(df["dst"], pa.string()),
-        })
-
-    return quads.map_batches(edge_rows, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(dedup_in_bucket,
-                                      batch_format="pandas")
-
-
-def _initial_state(edges):
-    """(node, deg, score=PR_SCALE) for every node (src ∪ dst). One
-    bucketed pass merges the three row kinds (src occurrence, dst
-    occurrence, per-src degree) into the deduped state."""
-    def node_sides(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        node = np.concatenate([src, dst])
-        deg = np.concatenate([np.ones(len(src), dtype=np.int64),
-                              np.zeros(len(dst), dtype=np.int64)])
-        return pa.table({
-            "node": pa.array(node, pa.string()),
-            "deg": pa.array(deg),
-            "bucket": _bucket_of(node),
-        })
-
-    def state_in_bucket(g) -> pa.Table:
-        nodes = g["node"].to_numpy()
-        deg = g["deg"].to_numpy().astype(np.int64)
-        uniq, codes = np.unique(nodes, return_inverse=True)
-        total = _int_group_sums(codes, deg, len(uniq))
-        return pa.table({
-            "node": pa.array(uniq, pa.string()),
-            "deg": pa.array(total),
-            "score": pa.array(np.full(len(uniq), PR_SCALE, np.int64)),
-        })
-
-    return edges.map_batches(node_sides, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(state_in_bucket,
-                                      batch_format="pandas")
-
-
-def _tagged_edges(edges):
-    """Round-invariant E-side rows (key=src, dst, sc=0, bucket) — built
-    and pinned ONCE before the loop; every round re-unions the same
-    executed blocks instead of re-hashing every src IRI."""
-    def e_rows(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "key": batch["src"],
-            "dst": batch["dst"],
-            "sc": pa.array(np.zeros(len(src), np.int64)),
             "bucket": _bucket_of(src),
         })
 
-    return edges.map_batches(e_rows, batch_format="pyarrow")
-
-
-def _one_iteration(tagged_e, state):
-    """state (node, deg, score) → next state. Two bucketed shuffles.
-    Sides share one schema and are told apart by sentinels: E rows have
-    a non-null dst; S rows carry dst=NULL (shuffle 1) / partials carry
-    deg=-1 (shuffle 2) — no per-row side strings in the exchanges."""
-    def s_rows(batch: pa.Table) -> pa.Table:
-        deg = batch["deg"].to_numpy(zero_copy_only=False)
-        score = batch["score"].to_numpy(zero_copy_only=False)
-        keep = deg > 0                      # sinks contribute nothing
-        node = batch["node"].to_numpy(zero_copy_only=False)[keep]
+    def seed_in_bucket(g) -> pa.Table:
+        df = g[["src", "dst"]].drop_duplicates()
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        b = np.int32(g["bucket"].iloc[0])
+        usrc, codes, deg = np.unique(src, return_inverse=True,
+                                     return_counts=True)
+        udst = np.unique(dst)
+        msg = (PR_SCALE // deg.astype(np.int64))[codes]
+        n_e, n_s = len(src), len(usrc) + len(udst)
+        node = np.concatenate([src, usrc, udst, dst])
+        out_dst = np.concatenate(
+            [dst, np.full(n_s + n_e, None, object)])
+        val = np.concatenate([np.zeros(n_e, np.int64),
+                              np.full(n_s, PR_SCALE, np.int64), msg])
+        kind = np.repeat(np.array([_K_ADJ, _K_STATE, _K_MSG], np.int8),
+                         [n_e, n_s, n_e])
+        bucket = np.concatenate([
+            np.full(n_e, b, np.int32),
+            _bucket_of(usrc).to_numpy(),
+            _bucket_of(udst).to_numpy(),
+            _bucket_of(dst).to_numpy()])
         return pa.table({
-            "key": pa.array(node, pa.string()),
-            "dst": pa.array([None] * len(node), pa.string()),
-            "sc": pa.array(score[keep] // deg[keep], pa.int64()),
-            "bucket": _bucket_of(node),
+            "node": pa.array(node, pa.string()),
+            "dst": pa.array(out_dst, pa.string()),
+            "val": pa.array(val, pa.int64()),
+            "k": pa.array(kind, pa.int8()),
+            "bucket": pa.array(bucket, pa.int32()),
         })
 
-    def contrib_in_bucket(g) -> pa.Table:
-        is_e = g["dst"].notna()
-        e = g[is_e][["key", "dst"]]
-        s = g[~is_e][["key", "sc"]]
-        merged = e.merge(s, on="key")
-        if not len(merged):
-            return pa.table({"node": pa.array([], pa.string()),
-                             "part": pa.array([], pa.int64())})
-        dst = merged["dst"].to_numpy()
-        sc = merged["sc"].to_numpy().astype(np.int64)
-        uniq, codes = np.unique(dst, return_inverse=True)
-        part = _int_group_sums(codes, sc, len(uniq))
-        return pa.table({"node": pa.array(uniq, pa.string()),
-                         "part": pa.array(part)})
-
-    contribs = tagged_e \
-        .union(state.map_batches(s_rows, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(contrib_in_bucket,
+    return quads.map_batches(edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(seed_in_bucket,
                                       batch_format="pandas")
 
-    def p_rows(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
+
+def _pr_round(state, last: bool):
+    """One fused PageRank superstep: score_t(n) = PR_BASE +
+    (85 · Σ messages) // 100, then (unless ``last``) re-emit the
+    adjacency + new state in place and the round-(t+1) messages
+    score_t(src) // deg(src) keyed by bucket(dst)."""
+    def round_in_bucket(g) -> pa.Table:
+        k = g["k"].to_numpy()
+        node = g["node"].to_numpy()
+        val = g["val"].to_numpy()
+        is_s, is_m, is_a = k == _K_STATE, k == _K_MSG, k == _K_ADJ
+        s_nodes = np.unique(node[is_s])
+        m_node, m_val = node[is_m], val[is_m].astype(np.int64)
+        idx = np.searchsorted(s_nodes, m_node)
+        if len(m_node) and not (
+                (idx < len(s_nodes)).all()
+                and (s_nodes[idx] == m_node).all()):
+            raise AssertionError(
+                "pagerank invariant broken: message targets a node "
+                "with no state row in its bucket")
+        insum = _int_group_sums(idx, m_val, len(s_nodes))
+        score = PR_BASE + (85 * insum) // 100
+        if last:
+            return pa.table({
+                "node": pa.array(s_nodes, pa.string()),
+                "score": pa.array(score, pa.int64()),
+            })
+        b = np.int32(g["bucket"].iloc[0])
+        a_src, a_dst = node[is_a], g["dst"].to_numpy()[is_a]
+        usrc, codes, deg = np.unique(a_src, return_inverse=True,
+                                     return_counts=True)
+        sidx = np.searchsorted(s_nodes, usrc)
+        if len(usrc) and not ((sidx < len(s_nodes)).all()
+                              and (s_nodes[sidx] == usrc).all()):
+            raise AssertionError(
+                "pagerank invariant broken: adjacency source with no "
+                "state row in its bucket")
+        src_score = score[sidx]
+        msg = (src_score // deg.astype(np.int64))[codes]
+        n_e, n_s = len(a_src), len(s_nodes)
+        out_node = np.concatenate([a_src, s_nodes, a_dst])
+        out_dst = np.concatenate(
+            [a_dst, np.full(n_s + n_e, None, object)])
+        out_val = np.concatenate(
+            [np.zeros(n_e, np.int64), score, msg])
+        kind = np.repeat(np.array([_K_ADJ, _K_STATE, _K_MSG], np.int8),
+                         [n_e, n_s, n_e])
+        bucket = np.concatenate([
+            np.full(n_e + n_s, b, np.int32),
+            _bucket_of(a_dst).to_numpy()])
         return pa.table({
-            "node": batch["node"],
-            "part": batch["part"],
-            "deg": pa.array(np.full(len(node), -1, np.int64)),
-            "bucket": _bucket_of(node),
+            "node": pa.array(out_node, pa.string()),
+            "dst": pa.array(out_dst, pa.string()),
+            "val": pa.array(out_val, pa.int64()),
+            "k": pa.array(kind, pa.int8()),
+            "bucket": pa.array(bucket, pa.int32()),
         })
 
-    def st_rows(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": batch["node"],
-            "part": pa.array(np.zeros(len(node), np.int64)),
-            "deg": batch["deg"],
-            "bucket": _bucket_of(node),
-        })
-
-    def update_in_bucket(g) -> pa.Table:
-        nodes = g["node"].to_numpy()
-        part = g["part"].to_numpy().astype(np.int64)
-        deg = g["deg"].to_numpy().astype(np.int64)
-        uniq, codes = np.unique(nodes, return_inverse=True)
-        insum = _int_group_sums(codes, part, len(uniq))
-        # deg row is -1 on partials; max recovers the state's deg
-        dmax = np.full(len(uniq), -1, np.int64)
-        np.maximum.at(dmax, codes, deg)
-        # nodes present only via partials (never in state) cannot
-        # happen: every dst is a node — but guard anyway
-        keep = dmax >= 0
-        score = PR_BASE + (85 * insum[keep]) // 100
-        return pa.table({
-            "node": pa.array(uniq[keep], pa.string()),
-            "deg": pa.array(dmax[keep]),
-            "score": pa.array(score, pa.int64()),
-        })
-
-    # repartition to a CONSTANT block count: union concatenates block
-    # lists and groupby partitions by input blocks, so without this the
-    # state's block count (and per-round task count) grows every round
-    return contribs.map_batches(p_rows, batch_format="pyarrow") \
-        .union(state.map_batches(st_rows, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(update_in_bucket,
-                                      batch_format="pandas") \
-        .repartition(PR_STATE_BLOCKS)
+    return state.groupby("bucket").map_groups(round_in_bucket,
+                                              batch_format="pandas")
 
 
 def pagerank_quads(quads):
     """quad table → (node, pagerank): PR_ITERS rounds of the integer
-    damped update over the distinct IRI→IRI edge graph.
-
-    The tagged edge rows are consumed once per round and ``state``
-    feeds its own next round, so both get a HARD LINEAGE CUT
-    (entity_merge._pin) — without it every round re-executes the whole
-    upstream quad build and the plan compounds (measured 134 s → 10.8 s
-    at sf0.01 with pins + constant-block repartition, then 7.4 s with
-    the edge tagging hoisted out of the loop)."""
-    edges = _pin(_distinct_edges(quads))
-    tagged_e = _pin(_tagged_edges(edges))
-    state = _pin(_initial_state(edges))
-    for _ in range(PR_ITERS):
-        state = _pin(_one_iteration(tagged_e, state))
+    damped update over the distinct IRI→IRI edge graph, as
+    1 + PR_ITERS fused bucketed exchanges (see module docstring)."""
+    state = _pr_seed(quads)
+    for t in range(PR_ITERS):
+        state = _pr_round(state, last=(t == PR_ITERS - 1))
 
     def final(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"],
@@ -528,43 +489,64 @@ SELECT
 LP_ITERS = 4
 
 
-def _sym_tagged(und):
-    """Undirected edges → both directed copies, keyed for the
-    contribution exchange (round-invariant; pinned once)."""
-    def rows(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy(zero_copy_only=False)
-        v = batch["v"].to_numpy(zero_copy_only=False)
-        key = np.concatenate([u, v])
-        dst = np.concatenate([v, u])
+def _lp_seed(quads):
+    """quad table → the round-1 exchange rows, one groupby.
+
+    Canonical (u < v) edge copies are keyed by bucket(u), so in-bucket
+    drop_duplicates is a GLOBAL dedup; each distinct edge then emits
+    its 6 fused-exchange rows directly: both adjacency directions
+    (owner's bucket), both state seeds lab=self, and both round-1
+    messages lab=neighbor. Duplicate label rows across buckets are
+    harmless — min() is idempotent — so no node-dedup pass is needed.
+
+    Row kinds share one schema: adjacency rows have dst non-null /
+    lab null; state and message rows are indistinguishable on purpose
+    (new label = min over ALL label rows of a node, own and incoming
+    alike — exactly the s_t = min(s_{t-1}, i_t) recurrence, since the
+    own s_{t-1} label always rides as a label row)."""
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = batch.filter(pc.equal(batch["obj_kind"], "iri"))
+        s = np.asarray(t["subj"].to_pylist(), dtype=str)
+        o = np.asarray(t["obj_value"].to_pylist(), dtype=str)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        lo = s < o
+        u = np.where(lo, s, o)
+        v = np.where(lo, o, s)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        uu = df["u"].to_numpy(object)
         return pa.table({
-            "key": pa.array(key, pa.string()),
-            "dst": pa.array(dst, pa.string()),
-            "lab": pa.array([None] * len(key), pa.string()),
-            "bucket": _bucket_of(key),
+            "u": pa.array(uu, pa.string()),
+            "v": pa.array(df["v"], pa.string()),
+            "bucket": _bucket_of(uu),
         })
 
-    return und.map_batches(rows, batch_format="pyarrow")
-
-
-def _lp_initial(und):
-    """(node, lab=node) for every edge endpoint."""
-    def ends(batch: pa.Table) -> pa.Table:
-        node = np.unique(np.concatenate([
-            batch["u"].to_numpy(zero_copy_only=False),
-            batch["v"].to_numpy(zero_copy_only=False)]))
+    def seed_in_bucket(g) -> pa.Table:
+        df = g[["u", "v"]].drop_duplicates()
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        n = len(u)
+        bu = _bucket_of(u).to_numpy()
+        bv = _bucket_of(v).to_numpy()
+        none = np.full(n, None, object)
+        # order: adj u→v, adj v→u, lab (u,u), lab (v,v), msg (v,u),
+        # msg (u,v)
+        node = np.concatenate([u, v, u, v, v, u])
+        dst = np.concatenate([v, u, none, none, none, none])
+        lab = np.concatenate([none, none, u, v, u, v])
+        bucket = np.concatenate([bu, bv, bu, bv, bv, bu])
         return pa.table({
             "node": pa.array(node, pa.string()),
-            "lab": pa.array(node, pa.string()),
-            "bucket": _bucket_of(node),
+            "dst": pa.array(dst, pa.string()),
+            "lab": pa.array(lab, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
         })
 
-    def dedup(g) -> pa.Table:
-        nodes = np.unique(g["node"].to_numpy())
-        return pa.table({"node": pa.array(nodes, pa.string()),
-                         "lab": pa.array(nodes, pa.string())})
-
-    return und.map_batches(ends, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(dedup, batch_format="pandas")
+    return quads.map_batches(edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(seed_in_bucket,
+                                      batch_format="pandas")
 
 
 def _min_per_run(nodes: np.ndarray, labs: np.ndarray):
@@ -577,68 +559,61 @@ def _min_per_run(nodes: np.ndarray, labs: np.ndarray):
     return ns[starts], ls[starts]
 
 
-def _lp_round(sym, state):
-    """One propagation round: two bucketed exchanges (neighbor-min
-    partials keyed by receiver, then per-node min with the own
-    label)."""
-    def s_rows(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
+def _lp_round(state, last: bool):
+    """One fused propagation superstep: per node, new label = min over
+    ALL its label rows (own state + incoming messages — exactly
+    s_t = min(s_{t-1}, i_t)); then (unless ``last``) re-emit adjacency
+    + new state in place and one message per adjacency row, the new
+    source label keyed by bucket(dst)."""
+    def round_in_bucket(g) -> pa.Table:
+        is_a = g["dst"].notna().to_numpy()
+        node = g["node"].to_numpy()
+        nodes, labs = _min_per_run(node[~is_a],
+                                   g["lab"].to_numpy()[~is_a])
+        if last:
+            return pa.table({
+                "node": pa.array(nodes, pa.string()),
+                "lab": pa.array(labs, pa.string()),
+            })
+        a_src = node[is_a]
+        a_dst = g["dst"].to_numpy()[is_a]
+        idx = np.searchsorted(nodes, a_src)
+        if len(a_src) and not ((idx < len(nodes)).all()
+                               and (nodes[idx] == a_src).all()):
+            raise AssertionError(
+                "components invariant broken: adjacency source with "
+                "no label row in its bucket")
+        msg_lab = labs[idx]
+        b = np.int32(g["bucket"].iloc[0])
+        n_e, n_s = len(a_src), len(nodes)
+        none_e = np.full(n_e, None, object)
+        out_node = np.concatenate([a_src, nodes, a_dst])
+        out_dst = np.concatenate(
+            [a_dst, np.full(n_s + n_e, None, object)])
+        out_lab = np.concatenate([none_e, labs, msg_lab])
+        bucket = np.concatenate([
+            np.full(n_e + n_s, b, np.int32),
+            _bucket_of(a_dst).to_numpy()])
         return pa.table({
-            "key": batch["node"],
-            "dst": pa.array([None] * len(node), pa.string()),
-            "lab": batch["lab"],
-            "bucket": _bucket_of(node),
+            "node": pa.array(out_node, pa.string()),
+            "dst": pa.array(out_dst, pa.string()),
+            "lab": pa.array(out_lab, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
         })
 
-    def contrib(g) -> pa.Table:
-        is_e = g["dst"].notna()
-        e = g[is_e][["key", "dst"]]
-        s = g[~is_e][["key", "lab"]]
-        m = e.merge(s, on="key")
-        if not len(m):
-            return pa.table({"node": pa.array([], pa.string()),
-                             "lab": pa.array([], pa.string())})
-        nodes, labs = _min_per_run(m["dst"].to_numpy(),
-                                   m["lab"].to_numpy())
-        return pa.table({"node": pa.array(nodes, pa.string()),
-                         "lab": pa.array(labs, pa.string())})
-
-    partials = sym.union(state.map_batches(s_rows,
-                                           batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(contrib, batch_format="pandas")
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": batch["node"],
-            "lab": batch["lab"],
-            "bucket": _bucket_of(node),
-        })
-
-    def take_min(g) -> pa.Table:
-        nodes, labs = _min_per_run(g["node"].to_numpy(),
-                                   g["lab"].to_numpy())
-        return pa.table({"node": pa.array(nodes, pa.string()),
-                         "lab": pa.array(labs, pa.string())})
-
-    # own labels ride along, so isolated-from-partials nodes survive
-    # and new lab = min(own, neighbor mins)
-    return partials.map_batches(keyed, batch_format="pyarrow") \
-        .union(state.map_batches(keyed, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(take_min, batch_format="pandas") \
-        .repartition(PR_STATE_BLOCKS)
+    return state.groupby("bucket").map_groups(round_in_bucket,
+                                              batch_format="pandas")
 
 
 def components_quads(quads):
     """quad table → (node, component): component = min IRI within
     LP_ITERS hops over the undirected distinct IRI–IRI graph (equals
     the connected-component id wherever the component diameter is
-    ≤ LP_ITERS). Same pin/constant-block discipline as pagerank."""
-    und = _pin(_undirected_edges(quads))
-    sym = _pin(_sym_tagged(und))
-    state = _pin(_lp_initial(und))
-    for _ in range(LP_ITERS):
-        state = _pin(_lp_round(sym, state))
+    ≤ LP_ITERS). 1 + LP_ITERS fused bucketed exchanges, same
+    message-passing shape as pagerank_quads."""
+    state = _lp_seed(quads)
+    for t in range(LP_ITERS):
+        state = _lp_round(state, last=(t == LP_ITERS - 1))
 
     def final(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"],
