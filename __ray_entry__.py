@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": td.q_sample_docs,
         "lang_id": td.q_lang_id,
         "quality": td.q_quality,
+        "normalize_text": td.q_normalize_text,
         "scrub_pii": td.q_scrub_pii,
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
@@ -191,11 +192,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
         "join_anti": _q_join_anti,
+        "join_left": _q_join_left,
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
         "user_quantiles": _q_user_quantiles,
         "top_events_per_user": _q_top_events_per_user,
+        "user_running_totals": _q_user_running_totals,
+        "value_histogram": _q_value_histogram,
         "funnel_stages": _q_funnel_stages,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
@@ -236,6 +240,24 @@ def _q_join_range(sf_dir: str):
     from jsonld_js_ray.stages.joins import range_join_clicks_within_hour
 
     return range_join_clicks_within_hour(sf_dir)
+
+
+def _q_join_left(sf_dir: str):
+    from jsonld_js_ray.stages.joins import left_join_customer_order_stats
+
+    return left_join_customer_order_stats(sf_dir)
+
+
+def _q_user_running_totals(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_running_totals
+
+    return user_running_totals(sf_dir)
+
+
+def _q_value_histogram(sf_dir: str):
+    from jsonld_js_ray.stages.histo import value_histogram
+
+    return value_histogram(_events(sf_dir, ["value"]))
 
 
 def _q_user_quantiles(sf_dir: str):
@@ -413,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         DECONTAMINATE_SQL,
         LANG_ID_SQL,
         LENGTH_OUTLIER_FILTER_SQL,
+        NORMALIZE_TEXT_SQL,
         REPETITION_SQL,
         STRATIFIED_SAMPLE_SQL,
         MIX_SOURCES_SQL,
@@ -424,11 +447,13 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_COUNTS_SQL,
         curation_filter_sql,
     )
+    from jsonld_js_ray.stages.histo import VALUE_HISTOGRAM_SQL
     from jsonld_js_ray.stages.joins import (
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
+        LEFT_JOIN_SQL,
         RANGE_JOIN_SQL,
         TOPK_DOCS_SQL,
     )
@@ -439,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         TFIDF_TOPK_SQL,
     )
     from jsonld_js_ray.stages.rank import (
+        RUNNING_TOTALS_SQL,
         TOP_EVENTS_SQL,
         USER_QUANTILES_SQL,
     )
@@ -586,11 +612,19 @@ def oracle_sql() -> dict[str, str]:
         "join_bucketed": BUCKETED_JOIN_SQL,
         # partitioned hash ANTI join (NOT EXISTS / set difference)
         "join_anti": ANTI_JOIN_SQL,
+        # partitioned hash LEFT OUTER join (NULL-preserving branch)
+        "join_left": LEFT_JOIN_SQL,
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
         "user_quantiles": USER_QUANTILES_SQL,
         "top_events_per_user": TOP_EVENTS_SQL,
+        # per-user cumulative window (ROWS UNBOUNDED PRECEDING)
+        "user_running_totals": RUNNING_TOTALS_SQL,
+        # fixed-width float histogram (bit-identical IEEE bin ids)
+        "value_histogram": VALUE_HISTOGRAM_SQL,
+        # canonical lowercase/alnum-collapsed text (RE2 both sides)
+        "normalize_text": NORMALIZE_TEXT_SQL,
         # strict-after chained stage mins (sequential pattern match)
         "funnel_stages": _funnel_oracle(),
         # No oracle (not SQL-expressible → driver rows-only check):

@@ -130,6 +130,13 @@ def q_scrub_pii(sf_dir: str):
         scrub_pii_batch, batch_format="pyarrow", batch_size=8192)
 
 
+def q_normalize_text(sf_dir: str):
+    from ..stages.text import normalize_text_batch
+
+    return _docs(sf_dir).map_batches(
+        normalize_text_batch, batch_format="pyarrow", batch_size=8192)
+
+
 def q_curation_filter(sf_dir: str):
     from ..stages.text import curation_filter_batch
 

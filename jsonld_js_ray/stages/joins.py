@@ -247,6 +247,100 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def left_join_customer_order_stats(sf_dir: str):
+    """customer ⟕ σ(orders) (LEFT OUTER join on custkey): every
+    customer row survives, with the count and max cents of their
+    high-value orders — 0/0 when none match (the NULL-preserving
+    branch an inner join drops; integer 0 instead of NULL so the
+    result stays hash-comparable).
+
+    Same explicit partitioned-hash shape as the anti join; the probe
+    side ships per-batch PARTIAL (custkey, count, max) aggregates, so
+    the shuffled volume is distinct-keys-per-batch, and the in-bucket
+    kernel re-reduces partials then left-merges — both sides
+    vectorized."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "segment": batch["c_mktsegment"],
+            "cnt": pa.array([0] * batch.num_rows, pa.int64()),
+            "maxc": pa.array([0] * batch.num_rows, pa.int64()),
+            "side": pa.array(["C"] * batch.num_rows, pa.string()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > ANTI_PRICE_FLOOR,
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        uniq, codes = np.unique(keys, return_inverse=True)
+        maxc = np.zeros(len(uniq), np.int64)
+        np.maximum.at(maxc, codes, cents)
+        return pa.table({
+            "key": pa.array(uniq.astype(np.int64)),
+            "segment": pa.array([None] * len(uniq), pa.string()),
+            "cnt": pa.array(
+                np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
+            "maxc": pa.array(maxc),
+            "side": pa.array(["O"] * len(uniq), pa.string()),
+        })
+
+    both = customers.map_batches(c_prep, batch_format="pyarrow") \
+        .union(orders.map_batches(o_prep, batch_format="pyarrow")) \
+        .map_batches(_bucketize("key"), batch_format="pyarrow")
+
+    def left_bucket(g: pd.DataFrame) -> pa.Table:
+        is_c = (g["side"] == "C").to_numpy()
+        c = g[is_c]
+        o = g[~is_c]
+        # re-reduce the probe partials, then LEFT merge
+        agg = o.groupby("key").agg(cnt=("cnt", "sum"),
+                                   maxc=("maxc", "max"))
+        m = c[["key", "segment"]].merge(agg, on="key", how="left")
+        return pa.table({
+            "c_custkey": pa.array(m["key"].to_numpy(np.int64)),
+            "segment": pa.array(m["segment"], pa.string()),
+            "n_big": pa.array(
+                m["cnt"].fillna(0).to_numpy(np.int64)),
+            "max_cents": pa.array(
+                m["maxc"].fillna(0).to_numpy(np.int64)),
+        })
+
+    return both.groupby("bucket").map_groups(
+        left_bucket, batch_format="pandas")
+
+
+LEFT_JOIN_SQL = f"""
+SELECT c.c_custkey,
+       c.c_mktsegment AS segment,
+       CAST(coalesce(o.n_big, 0) AS BIGINT) AS n_big,
+       CAST(coalesce(o.max_cents, 0) AS BIGINT) AS max_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey,
+         count(*) AS n_big,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS max_cents
+  FROM orders WHERE o_totalprice > {ANTI_PRICE_FLOOR}
+  GROUP BY o_custkey) o
+ON o.o_custkey = c.c_custkey
+"""
+
+
 def topk_docs_by_tokens(sf_dir: str, k: int = 20):
     """Top-k documents by token count (ties broken by doc_id).
 

@@ -113,6 +113,55 @@ def top_events_per_user(sf_dir: str, n: int = TOP_N):
                                            batch_format="pandas")
 
 
+def user_running_totals(sf_dir: str):
+    """events → (event_id, user_id, seq, cum_cents): the per-user
+    RUNNING aggregate (cumulative sum window function — ROWS UNBOUNDED
+    PRECEDING), ordered by (ts, event_id) so ties are deterministic.
+
+    Same shape as the other order statistics: one uniform user-hash
+    shard shuffle, then a single lexsort + segmented cumsum per shard
+    (cumsum minus the per-run base — no per-user Python). Monetary
+    values are exact integer cents (floor(v·100 + 0.5), NULL → 0),
+    the repo-wide convention that dodges float summation order."""
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        vals = np.nan_to_num(g["value"].to_numpy().astype(np.float64))
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eids, ts, users))
+        users, eids, cents = users[order], eids[order], cents[order]
+        starts = run_starts(users)
+        lengths = run_lengths(users, starts)
+        cum = np.cumsum(cents)
+        base = np.repeat(cum[starts] - cents[starts], lengths)
+        return pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "seq": pa.array(
+                (run_positions(users, starts) + 1).astype(np.int64)),
+            "cum_cents": pa.array(cum - base, pa.int64()),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+RUNNING_TOTALS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT))
+                OVER w AS BIGINT) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 TOP_EVENTS_SQL = f"""
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(rank AS BIGINT) AS rank,

@@ -608,6 +608,40 @@ FROM s2
 """
 
 
+# --- text normalization (canonical form for matching/dedup) ---
+
+NORM_PATTERN = r"[^a-z0-9]+"
+
+
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, norm_text, n_chars_norm): the
+    canonical lowercase/alnum-collapsed form used by matching and
+    dedup pipelines — lower, replace every non-[a-z0-9] run with one
+    space, trim. All three steps are RE2/utf8 kernels mirrored exactly
+    by DuckDB (which is also RE2), so the string output itself is
+    hash-exact."""
+    texts = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+    collapsed = pc.replace_substring_regex(texts, pattern=NORM_PATTERN,
+                                           replacement=" ")
+    norm = pc.utf8_trim_whitespace(collapsed)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": norm,
+        "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+    })
+
+
+NORMALIZE_TEXT_SQL = rf"""
+SELECT doc_id,
+       trim(regexp_replace(lower(coalesce(text, '')), '{NORM_PATTERN}',
+                           ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(coalesce(text, '')),
+                                       '{NORM_PATTERN}', ' ', 'g')))
+           AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 # --- curation filter (Gopher-style keep/drop decision per doc) ---
 
 CURATION_MIN_TOKENS = 10
