@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_filter": td.q_curation_filter,
         "decontaminate": td.q_decontaminate,
         "decontaminate_ngram": td.q_decontaminate_ngram,
+        "dedup_substring": td.q_dedup_substring,
         "kmeans_assign": td.q_kmeans_assign,
         "semdedup": td.q_semdedup,
         "pq_encode": td.q_pq_encode,
@@ -395,6 +396,12 @@ def _decon_ngram_oracle() -> str:
     return decontaminate_ngram_sql()
 
 
+def _dedup_substring_oracle() -> str:
+    from jsonld_js_ray.stages.ngrams import dedup_substring_sql
+
+    return dedup_substring_sql()
+
+
 def _triangles_oracle() -> str:
     from jsonld_js_ray.pipelines.oracle import (
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
@@ -569,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
         # gram-hash semi-join (nothing broadcast): distinct shared
         # token 5-grams vs the id-rule benchmark set
         "decontaminate_ngram": _decon_ngram_oracle(),
+        # exact K-token-window dedup (Lee et al. 2022): pure set
+        # arithmetic over window strings — direct oracle on the raw
+        # corpus, unlike the probabilistic dedup families
+        "dedup_substring": _dedup_substring_oracle(),
         # fixed-centroid cosine argmax (cross-join row_number in SQL)
         "kmeans_assign": KMEANS_ASSIGN_SQL,
         # SemDeDup rule: drop if an earlier cluster-mate has cos >= T

@@ -269,6 +269,12 @@ def q_decontaminate_ngram(sf_dir: str):
     return decontaminate_ngram(_docs(sf_dir))
 
 
+def q_dedup_substring(sf_dir: str):
+    from ..stages.ngrams import dedup_substring
+
+    return dedup_substring(_docs(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
@@ -314,6 +320,7 @@ def bench_queries():
         "curation_filter": run(q_curation_filter),
         "decontaminate": run(q_decontaminate),
         "decontaminate_ngram": run(q_decontaminate_ngram),
+        "dedup_substring": run(q_dedup_substring),
         "kmeans_assign": run(q_kmeans_assign),
         "semdedup": run(q_semdedup),
         "pq_encode": run(q_pq_encode),

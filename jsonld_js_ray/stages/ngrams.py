@@ -145,33 +145,44 @@ def _empty_gram_rows() -> pa.Table:
     })
 
 
-def _doc_gram_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) → one row per DISTINCT (doc, N-gram): the whole
-    doc lives in one row, so per-batch dedup is global dedup."""
+def _distinct_doc_grams(batch: pa.Table, n: int):
+    """(doc_id, text) → DISTINCT (gram, doc_id) pairs for token
+    n-grams, fully vectorized (n-1 concat passes over the flattened
+    token array). The whole doc lives in one row, so per-batch dedup
+    is global dedup. Returns (grams, ids, hashes) numpy arrays."""
     import pandas as pd
 
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     flat, parents = _flat_tokens(_token_lists(batch["text"]))
-    m = len(flat) - DECON_N + 1
+    m = len(flat) - n + 1
     if m <= 0:
-        return _empty_gram_rows()
+        return None
     # parents is non-decreasing, so equal endpoints ⇒ whole window
     # belongs to one doc
-    same = parents[:m] == parents[DECON_N - 1:]
+    same = parents[:m] == parents[n - 1:]
     gp = parents[:m][same]
     if not len(gp):
-        return _empty_gram_rows()
+        return None
     uflat = np.asarray(flat, dtype=str)
     gram = uflat[:m][same]
-    for j in range(1, DECON_N):
+    for j in range(1, n):
         gram = np.char.add(np.char.add(gram, " "), uflat[j:m + j][same])
     df = pd.DataFrame({"gram": gram,
                        "doc_id": ids[gp]}).drop_duplicates()
-    h = pd.util.hash_array(df["gram"].to_numpy(object))
+    grams = df["gram"].to_numpy(object)
+    return grams, df["doc_id"].to_numpy(), pd.util.hash_array(grams)
+
+
+def _doc_gram_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one row per DISTINCT (doc, N-gram)."""
+    out = _distinct_doc_grams(batch, DECON_N)
+    if out is None:
+        return _empty_gram_rows()
+    grams, ids, h = out
     return pa.table({
-        "gram": pa.array(df["gram"], pa.string()),
-        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-        "bench": pa.array(_decon_bench_mask(df["doc_id"].to_numpy())),
+        "gram": pa.array(grams, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "bench": pa.array(_decon_bench_mask(ids)),
         "bucket": pa.array((h % DECON_GRAM_BUCKETS).astype(np.int32)),
     })
 
@@ -249,15 +260,20 @@ def _decon_bench_sql(col: str = "doc_id") -> str:
     return f"({col} % {BENCH_MOD} = 0 AND {col} < {BENCH_ID_CAP})"
 
 
-def _decon_gram_list_sql() -> str:
+def _gram_list_sql(n: int) -> str:
+    """DuckDB expression: token n-gram strings of a ``toks`` array."""
     slices = ",\n              ".join(
-        f"list_slice(toks, {j + 1}, len(toks) - {DECON_N - 1 - j})"
-        for j in range(DECON_N))
-    concat = " || ' ' || ".join(f"x[{j + 1}]" for j in range(DECON_N))
-    return (f"CASE WHEN len(toks) >= {DECON_N} THEN list_transform(\n"
+        f"list_slice(toks, {j + 1}, len(toks) - {n - 1 - j})"
+        for j in range(n))
+    concat = " || ' ' || ".join(f"x[{j + 1}]" for j in range(n))
+    return (f"CASE WHEN len(toks) >= {n} THEN list_transform(\n"
             f"     list_zip({slices}),\n"
             f"     x -> {concat})\n"
             f"     ELSE CAST([] AS VARCHAR[]) END")
+
+
+def _decon_gram_list_sql() -> str:
+    return _gram_list_sql(DECON_N)
 
 
 def decontaminate_ngram_sql() -> str:
@@ -286,4 +302,143 @@ SELECT d.doc_id,
        coalesce(h.n, 0) AS n_shared_grams,
        (NOT {bench_d} AND coalesce(h.n, 0) > 0) AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+# --- exact-substring dedup (shared K-token window, Lee et al. 2022) ---
+# "Deduplicating Training Data Makes Language Models Better": a doc is
+# a substring-duplicate if it shares one EXACT window of SUB_K
+# consecutive tokens with an earlier (lower-id) doc. Unlike the
+# MinHash/SimHash families this is not probabilistic — the contract is
+# pure set arithmetic over window strings, so it carries a direct SQL
+# oracle on the raw corpus (no planted twin needed).
+#
+# Shape (two hash shuffles, nothing driver-side):
+#   1. docs → DISTINCT (window, doc) rows, bucketed by hash(window);
+#      in-bucket: per window, first_doc = min(doc); each (window, doc)
+#      row collapses to a per-doc PARTIAL min of first_doc.
+#   2. partials ∪ per-doc identity rows (fmin = own id), bucketed by
+#      hash(doc); in-bucket min ⇒ first_doc per doc; is_dup =
+#      first_doc < doc_id.
+# Window strings never leave stage 1 — stage 2 moves only (doc, int)
+# rows, bounded by docs × buckets-touched.
+
+SUB_K = 16                  # window width in tokens (real pipelines
+                            # use ~50 BPE tokens; the synthetic docs
+                            # are ~60 words, so 16 keeps overlap real)
+SUB_GRAM_BUCKETS = 128
+SUB_DOC_BUCKETS = 64
+
+
+def _sub_window_rows(batch: pa.Table) -> pa.Table:
+    out = _distinct_doc_grams(batch, SUB_K)
+    if out is None:
+        return pa.table({
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        })
+    grams, ids, h = out
+    return pa.table({
+        "gram": pa.array(grams, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "bucket": pa.array((h % SUB_GRAM_BUCKETS).astype(np.int32)),
+    })
+
+
+def _sub_fmin_in_bucket(g) -> pa.Table:
+    """Per window: first_doc = min(doc); per doc: partial min of the
+    first_docs of its windows (only when strictly smaller than the doc
+    itself — equal contributes nothing)."""
+    from .groupkit import run_starts
+
+    grams = g["gram"].to_numpy()
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, grams))
+    grams, ids = grams[order], ids[order]
+    starts = run_starts(grams)
+    lengths = np.diff(np.append(starts, len(grams)))
+    # windows are sorted by (gram, doc): the run head IS the min doc
+    fd = np.repeat(ids[starts], lengths)
+    smaller = fd < ids
+    if not smaller.any():
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fmin": pa.array([], pa.int64())})
+    doc, fdoc = ids[smaller], fd[smaller]
+    uniq, codes = np.unique(doc, return_inverse=True)
+    fmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(fmin, codes, fdoc)
+    return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                     "fmin": pa.array(fmin, pa.int64())})
+
+
+def dedup_substring(docs):
+    """documents → (doc_id, first_doc, is_dup): first_doc = the
+    smallest doc id sharing an exact SUB_K-token window (own id when
+    none); is_dup = first_doc < doc_id."""
+    from .sketches import _hash64
+
+    partials = docs.map_batches(
+        _sub_window_rows, batch_format="pyarrow", batch_size=4096) \
+        .groupby("bucket").map_groups(_sub_fmin_in_bucket,
+                                      batch_format="pandas")
+
+    def _doc_keyed(batch: pa.Table, own: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fmin = ids if own \
+            else batch["fmin"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fmin": pa.array(fmin, pa.int64()),
+            "bucket": pa.array(
+                (_hash64(ids.view(np.uint64))
+                 % np.uint64(SUB_DOC_BUCKETS)).astype(np.int32)),
+        })
+
+    import functools
+
+    own_rows = docs.select_columns(["doc_id"]).map_batches(
+        functools.partial(_doc_keyed, own=True), batch_format="pyarrow")
+    par_rows = partials.map_batches(
+        functools.partial(_doc_keyed, own=False),
+        batch_format="pyarrow")
+
+    def finish(g) -> pa.Table:
+        ids = g["doc_id"].to_numpy(np.int64)
+        fm = g["fmin"].to_numpy(np.int64)
+        uniq, codes = np.unique(ids, return_inverse=True)
+        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, fm)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "first_doc": pa.array(first, pa.int64()),
+            "is_dup": pa.array(first < uniq),
+        })
+
+    return own_rows.union(par_rows).groupby("bucket").map_groups(
+        finish, batch_format="pandas")
+
+
+def dedup_substring_sql() -> str:
+    return rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_distinct({_gram_list_sql(SUB_K)})) AS win
+  FROM l
+), m AS (
+  SELECT win, min(doc_id) AS fd FROM w GROUP BY win
+), s AS (
+  SELECT w.doc_id, min(m.fd) AS fmin
+  FROM w JOIN m USING (win) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(least(coalesce(s.fmin, d.doc_id), d.doc_id) AS BIGINT)
+           AS first_doc,
+       (coalesce(s.fmin, d.doc_id) < d.doc_id) AS is_dup
+FROM documents d LEFT JOIN s USING (doc_id)
 """

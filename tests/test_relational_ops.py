@@ -105,3 +105,39 @@ def test_normalize_text_oracle_parity_sf(ray_session, sf_dir):
 
     a = _parity(E, "normalize_text", sf_dir, ("documents",))
     assert len(a) == 500 and (a["n_chars_norm"] > 0).any()
+
+
+def test_dedup_substring_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.ngrams import SUB_K, dedup_substring
+
+    window = " ".join(f"w{i}" for i in range(SUB_K))
+    docs = [
+        f"prefix one {window} suffix one",          # 0: first owner
+        "completely different text " * SUB_K,       # 1: clean
+        f"other lead-in {window} other tail",       # 2: dup of 0
+        window,                                     # 3: dup of 0 (exact)
+        f"{window[:-1]}X trailing",                 # 4: near-miss, clean
+        "short doc",                                # 5: < K tokens
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    out = dedup_substring(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out["is_dup"].tolist() == [False, False, True, True,
+                                      False, False]
+    assert out["first_doc"].tolist() == [0, 1, 0, 0, 4, 5]
+
+
+def test_dedup_substring_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "dedup_substring", sf_dir, ("documents",))
+    assert len(a) == 500
+    # the raw corpus's near-dups share exact windows -> real signal
+    assert a["is_dup"].any()
+    assert (a.loc[~a["is_dup"], "first_doc"]
+            == a.loc[~a["is_dup"], "doc_id"]).all()
