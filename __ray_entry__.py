@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
+        "kg_kcore": _q_kg_kcore,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
@@ -359,6 +360,22 @@ def _q_kg_components(sf_dir: str):
     return components_quads(build_quads_with_mentions(sf_dir))
 
 
+def _q_kg_kcore(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import kcore_quads
+
+    return kcore_quads(build_quads_with_mentions(sf_dir))
+
+
+def _kcore_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _kcore_oracle_sql
+
+    return _kcore_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def _components_oracle() -> str:
     from jsonld_js_ray.pipelines.oracle import (
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
@@ -505,6 +522,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _triangles_oracle(),
         # R-round min-label propagation vs chained-CTE mirror
         "kg_components": _components_oracle(),
+        # R-round synchronous k-core peeling vs chained-CTE mirror
+        "kg_kcore": _kcore_oracle(),
         # undirected degree distribution (deg values bounded)
         "kg_degree_hist": _degree_hist_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table

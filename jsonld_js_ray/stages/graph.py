@@ -504,25 +504,6 @@ def _lp_seed(quads):
     (new label = min over ALL label rows of a node, own and incoming
     alike — exactly the s_t = min(s_{t-1}, i_t) recurrence, since the
     own s_{t-1} label always rides as a label row)."""
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        t = batch.filter(pc.equal(batch["obj_kind"], "iri"))
-        s = np.asarray(t["subj"].to_pylist(), dtype=str)
-        o = np.asarray(t["obj_value"].to_pylist(), dtype=str)
-        keep = s != o
-        s, o = s[keep], o[keep]
-        lo = s < o
-        u = np.where(lo, s, o)
-        v = np.where(lo, o, s)
-        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-        uu = df["u"].to_numpy(object)
-        return pa.table({
-            "u": pa.array(uu, pa.string()),
-            "v": pa.array(df["v"], pa.string()),
-            "bucket": _bucket_of(uu),
-        })
-
     def seed_in_bucket(g) -> pa.Table:
         df = g[["u", "v"]].drop_duplicates()
         u = df["u"].to_numpy()
@@ -544,9 +525,32 @@ def _lp_seed(quads):
             "bucket": pa.array(bucket, pa.int32()),
         })
 
-    return quads.map_batches(edge_rows, batch_format="pyarrow") \
+    return quads.map_batches(_canon_edge_rows, batch_format="pyarrow") \
         .groupby("bucket").map_groups(seed_in_bucket,
                                       batch_format="pandas")
+
+
+def _canon_edge_rows(batch: pa.Table) -> pa.Table:
+    """quad batch → per-batch-distinct canonical (u < v) undirected
+    IRI–IRI edges, keyed by bucket(u) — every copy of an edge lands in
+    u's bucket, so the downstream in-bucket dedup is global."""
+    import pandas as pd
+
+    t = batch.filter(pc.equal(batch["obj_kind"], "iri"))
+    s = np.asarray(t["subj"].to_pylist(), dtype=str)
+    o = np.asarray(t["obj_value"].to_pylist(), dtype=str)
+    keep = s != o
+    s, o = s[keep], o[keep]
+    lo = s < o
+    u = np.where(lo, s, o)
+    v = np.where(lo, o, s)
+    df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+    uu = df["u"].to_numpy(object)
+    return pa.table({
+        "u": pa.array(uu, pa.string()),
+        "v": pa.array(df["v"], pa.string()),
+        "bucket": _bucket_of(uu),
+    })
 
 
 def _min_per_run(nodes: np.ndarray, labs: np.ndarray):
@@ -683,3 +687,157 @@ d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
       GROUP BY node)
 SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY deg
 """
+
+
+# --- k-core onion decomposition (bounded synchronous peeling) ---
+# Batagelj–Zaveršnik peeling, expressed as KCORE_ITERS synchronous
+# supersteps in the same fused message-passing shape as components/
+# pagerank: round t computes each node's degree within the
+# round-(t-1) survivor subgraph and peels nodes below KCORE_K; a
+# peeled node tells each neighbor (one message per lost edge) to drop
+# the reverse edge copy before the next round's count. The output is
+# the ONION LAYER per node — the round it was peeled in (0 = survived
+# all rounds, i.e. sits in the bounded-round k-core) — so the result
+# covers every node even when the cascade empties the graph.
+# Fixed-round semantics make it deterministic whether or not peeling
+# has converged; the oracle is an exact chained-CTE mirror.
+
+KCORE_K = 5
+KCORE_ITERS = 3
+
+_KC_ADJ, _KC_RM, _KC_RES = 0, 1, 2
+
+
+def _kcore_seed(quads):
+    """quad table → both directed copies of every globally distinct
+    undirected edge, keyed by the owning endpoint's bucket."""
+    def seed_in_bucket(g) -> pa.Table:
+        df = g[["u", "v"]].drop_duplicates()
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        n = len(u)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.string()),
+            "other": pa.array(np.concatenate([v, u]), pa.string()),
+            "k": pa.array(np.full(2 * n, _KC_ADJ, np.int8)),
+            "round": pa.array(np.zeros(2 * n, np.int64)),
+            "bucket": pa.array(np.concatenate([
+                _bucket_of(u).to_numpy(),
+                _bucket_of(v).to_numpy()]), pa.int32()),
+        })
+
+    return quads.map_batches(_canon_edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(seed_in_bucket,
+                                      batch_format="pandas")
+
+
+def _kcore_round(state, k: int, rnd: int, last: bool):
+    """One peeling superstep: apply incoming edge removals, count
+    degrees, peel sub-k nodes (emitting their onion-layer result row
+    and one removal message per lost edge), re-emit survivor
+    adjacency. Result rows ride through unchanged; the last round
+    converts survivors to layer-0 result rows."""
+    def round_in_bucket(g) -> pa.Table:
+        import pandas as pd
+
+        kind = g["k"].to_numpy()
+        node = g["node"].to_numpy()
+        other = g["other"].to_numpy()
+        is_a = kind == _KC_ADJ
+        is_rm = kind == _KC_RM
+        res_n = node[kind == _KC_RES]
+        res_r = g["round"].to_numpy()[kind == _KC_RES]
+        a_n, a_d = node[is_a], other[is_a]
+        pre_nodes = np.unique(a_n)
+        if is_rm.any() and len(a_n):
+            a = pd.DataFrame({"n": a_n, "d": a_d})
+            m = pd.DataFrame({"n": node[is_rm],
+                              "d": other[is_rm]}).drop_duplicates()
+            keep = (a.merge(m, on=["n", "d"], how="left",
+                            indicator=True)["_merge"]
+                    == "left_only").to_numpy()
+            a_n, a_d = a_n[keep], a_d[keep]
+        uniq, codes, deg = np.unique(a_n, return_inverse=True,
+                                     return_counts=True)
+        alive = deg >= k
+        # nodes stripped of their last edge by this round's removals
+        # peel too (degree 0 < k), with no messages to send
+        zeroed = np.setdiff1d(pre_nodes, uniq, assume_unique=True)
+        alive_rows = alive[codes] if len(a_n) else \
+            np.zeros(0, dtype=bool)
+        sa_n, sa_d = a_n[alive_rows], a_d[alive_rows]
+        dd_n, dd_d = a_n[~alive_rows], a_d[~alive_rows]
+        died = np.concatenate([uniq[~alive], zeroed])
+        b = np.int32(g["bucket"].iloc[0])
+        if last:
+            out_n = np.concatenate([res_n, died, uniq[alive]])
+            out_r = np.concatenate([
+                res_r, np.full(len(died), rnd, np.int64),
+                np.zeros(int(alive.sum()), np.int64)])
+            return pa.table({
+                "node": pa.array(out_n, pa.string()),
+                "peeled_round": pa.array(out_r, pa.int64()),
+            })
+        n_res, n_sa, n_dd, n_died = (len(res_n), len(sa_n),
+                                     len(dd_n), len(died))
+        out_node = np.concatenate([res_n, died, sa_n, dd_d])
+        out_other = np.concatenate([
+            np.full(n_res + n_died, None, object), sa_d, dd_n])
+        out_kind = np.repeat(
+            np.array([_KC_RES, _KC_RES, _KC_ADJ, _KC_RM], np.int8),
+            [n_res, n_died, n_sa, n_dd])
+        out_round = np.concatenate([
+            res_r, np.full(n_died, rnd, np.int64),
+            np.zeros(n_sa + n_dd, np.int64)])
+        bucket = np.concatenate([
+            np.full(n_res + n_died + n_sa, b, np.int32),
+            _bucket_of(dd_d).to_numpy()])
+        return pa.table({
+            "node": pa.array(out_node, pa.string()),
+            "other": pa.array(out_other, pa.string()),
+            "k": pa.array(out_kind, pa.int8()),
+            "round": pa.array(out_round, pa.int64()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    return state.groupby("bucket").map_groups(round_in_bucket,
+                                              batch_format="pandas")
+
+
+def kcore_quads(quads, k: int = KCORE_K, iters: int = KCORE_ITERS):
+    """quad table → (node, peeled_round): the onion layer of every
+    node of the undirected distinct IRI–IRI graph under ``iters``
+    synchronous peeling rounds at threshold ``k`` — the 1-based round
+    the node was peeled in, or 0 if it survived all rounds (the
+    bounded-round k-core membership)."""
+    state = _kcore_seed(quads)
+    for t in range(iters):
+        state = _kcore_round(state, k, rnd=t + 1,
+                             last=(t == iters - 1))
+    return state
+
+
+def _kcore_oracle_sql(quads_sql: str) -> str:
+    """Chained-CTE mirror of KCORE_ITERS peeling rounds."""
+    ctes = [f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed0 AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+a0 AS (SELECT DISTINCT a AS node FROM ed0)"""]
+    for t in range(1, KCORE_ITERS + 1):
+        ctes.append(f"""
+d{t} AS (SELECT a AS node, count(*) AS deg
+      FROM ed{t - 1} GROUP BY a),
+a{t} AS (SELECT node FROM d{t} WHERE deg >= {KCORE_K}),
+x{t} AS (SELECT node FROM a{t - 1} EXCEPT SELECT node FROM a{t}),
+ed{t} AS (SELECT ed.a, ed.b FROM ed{t - 1} ed
+       JOIN a{t} x ON ed.a = x.node
+       JOIN a{t} y ON ed.b = y.node)""")
+    deaths = " UNION ALL ".join(
+        f"SELECT node, CAST({t} AS BIGINT) AS peeled_round FROM x{t}"
+        for t in range(1, KCORE_ITERS + 1))
+    return (",".join(ctes) + f"""
+{deaths}
+UNION ALL SELECT node, CAST(0 AS BIGINT) FROM a{KCORE_ITERS}""")

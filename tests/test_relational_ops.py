@@ -141,3 +141,52 @@ def test_dedup_substring_oracle_parity_sf(ray_session, sf_dir):
     assert a["is_dup"].any()
     assert (a.loc[~a["is_dup"], "first_doc"]
             == a.loc[~a["is_dup"], "doc_id"]).all()
+
+
+def test_kcore_onion_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import KCORE_K, kcore_quads
+
+    assert KCORE_K == 5
+    # K6 clique: degree 5 everywhere -> survives every round (layer 0)
+    clique = [chr(ord("A") + i) for i in range(6)]
+    edges = [(a, b) for i, a in enumerate(clique)
+             for b in clique[i + 1:]]
+    edges.append(("A", "P"))            # pendant: peels round 1
+    edges += [("X", "Y"), ("Y", "Z")]   # path: peels round 1
+    # star: leaves peel round 1, the hub loses all edges -> round 2
+    edges += [(f"q{i}", "hub") for i in range(5)]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = kcore_quads(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("node")["peeled_round"]
+    assert set(out[clique]) == {0}
+    assert out["P"] == 1 and set(out[["X", "Y", "Z"]]) == {1}
+    assert set(out[[f"q{i}" for i in range(5)]]) == {1}
+    assert out["hub"] == 2
+    assert len(out) == len(clique) + 10
+
+
+def test_kcore_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_kcore"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_kcore"]).df()
+    import pandas as pd
+
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # the KG's star shape cascades: turns, then convs/entities, then
+    # the class hub — at least three distinct onion layers
+    assert a["peeled_round"].nunique() >= 3
