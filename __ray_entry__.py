@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": td.q_knn_lsh_checked,
         "knn_ivf": td.q_knn_ivf_exhaustive,
         "knn_pq": td.q_knn_pq_exhaustive,
+        "knn_ivfpq": td.q_knn_ivfpq_exhaustive,
         "text_stats": td.q_text_stats,
         "token_counts": td.q_token_counts,
         "split_assign": td.q_split_assign,
@@ -577,6 +578,10 @@ def oracle_sql() -> dict[str, str]:
         # exactly → equals brute by construction; the production
         # ADC-shortlist recall is pinned in pytest
         "knn_pq": KNN_BRUTE_SQL,
+        # knn_ivfpq (IVFADC) probing every cell with shortlist >=
+        # corpus → equals brute by construction; production recall
+        # pinned in pytest
+        "knn_ivfpq": KNN_BRUTE_SQL,
         "text_stats": TEXT_STATS_SQL,
         # quality is exact integer ppm arithmetic over the text_stats
         # counters (floor division mirrored on both sides)

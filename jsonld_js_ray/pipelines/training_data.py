@@ -257,6 +257,18 @@ def q_knn_pq_exhaustive(sf_dir: str):
     return knn_pq(_embeddings(sf_dir), shortlist=10 ** 9)
 
 
+def q_knn_ivfpq_exhaustive(sf_dir: str):
+    """IVFADC probing EVERY cell with shortlist >= corpus ⇒ the exact
+    rerank sees every candidate ⇒ equals knn_brute BY CONSTRUCTION —
+    carries the brute SQL oracle (same pattern as the ivf/pq
+    exhaustive twins); the production (n_probe, shortlist) recall is
+    pinned in pytest."""
+    from ..stages.similarity import IVF_CENTROIDS, knn_ivfpq
+
+    return knn_ivfpq(_embeddings(sf_dir), n_probe=IVF_CENTROIDS,
+                     shortlist=10 ** 9)
+
+
 def q_pq_encode(sf_dir: str):
     from ..stages.cluster import pq_encode
 

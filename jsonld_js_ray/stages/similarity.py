@@ -456,3 +456,122 @@ def knn_pq(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
         batch_size=4096)
     return partial.groupby("query_id").map_groups(
         functools.partial(_merge_topk, k=k), batch_format="pandas")
+
+
+# --- IVF + PQ combined index (IVFADC, Jégou et al. 2011 §IV) ---
+# The production composition of the two scale paths above: a coarse
+# spherical-kmeans quantizer prunes the corpus to the cells each query
+# probes, and within the surviving candidates a RESIDUAL product
+# quantizer (codes of x − centroid(x), the paper's IVFADC layout)
+# scores via per-(query, cell) lookup tables — S gathers + adds per
+# candidate — to build a shortlist for the exact cosine rerank. Both
+# quantizers train on the same bounded deterministic sample, so the
+# index stays driver-trainable at any corpus size while assignment,
+# ADC and rerank all stream.
+
+IVFPQ_SHORTLIST = 200
+
+
+class IVFPQTopK:
+    """map_batches fn: cell-pruned ADC shortlist per query, exact
+    cosine rerank, per-batch partial top-k out."""
+
+    def __init__(self, ref, k: int, shortlist: int) -> None:
+        self.ref = ref
+        self.k = k
+        self.shortlist = shortlist
+        self._cache = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._cache is None:
+            self._cache = ray.get(self.ref)
+        cents, books, q_ids, q_mat, q_cells, luts = self._cache
+
+        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        if not len(vec_ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch["embedding"].to_pylist()])
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(vecs @ cents.T, axis=1)       # (n,)
+        resid = vecs - cents[assign]
+        s, kk, dsub = books.shape
+        codes = np.empty((len(vecs), s), np.int64)
+        for si in range(s):
+            x = resid[:, si * dsub:(si + 1) * dsub]
+            dist = ((x[:, None, :] - books[si][None, :, :]) ** 2).sum(-1)
+            codes[:, si] = np.argmin(dist, axis=1)
+
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
+        c_eff = min(self.shortlist, len(vecs))
+        for qi, qid in enumerate(q_ids):
+            probed = np.isin(assign, q_cells[qi]) & (vec_ids != qid)
+            idx = np.nonzero(probed)[0]
+            if not len(idx):
+                continue
+            # adc[i] = Σ_s luts[qi, cell(i), s, codes[i, s]]
+            adc = np.zeros(len(idx))
+            cell = assign[idx]
+            for si in range(s):
+                adc += luts[qi, cell, si, codes[idx, si]]
+            short = idx[np.argsort(adc, kind="stable")[:c_eff]]
+            exact = q_mat[qi] @ vecs[short].T
+            # ties by vec_id so the exhaustive parameterization is
+            # candidate-identical to knn_brute
+            top = short[np.lexsort((vec_ids[short], -exact))[:self.k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(int(vec_ids[i]) for i in top)
+            out_s.extend(float(q_mat[qi] @ vecs[i]) for i in top)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_ivfpq(embeddings, k: int = DEFAULT_K,
+              n_queries: int = N_QUERIES,
+              n_centroids: int = IVF_CENTROIDS,
+              n_probe: int = IVF_PROBE,
+              shortlist: int = IVFPQ_SHORTLIST,
+              sample_size: int = IVF_SAMPLE):
+    """embeddings → (query_id, rank, vec_id): IVFADC — coarse-cell
+    pruning, residual-PQ ADC shortlist, exact cosine rerank, the usual
+    small per-query merge. With n_probe = n_centroids AND shortlist ≥
+    corpus the rerank sees every candidate, so the result equals
+    knn_brute by construction (the oracle parameterization)."""
+    import functools
+
+    import ray
+
+    _, smat = _query_matrix(embeddings, sample_size)
+    centroids = _spherical_kmeans(smat, n_centroids)
+    s_assign = np.argmax(smat @ centroids.T, axis=1)
+    books = _train_pq_books(smat - centroids[s_assign])
+
+    q_ids, q_mat = _query_matrix(embeddings, n_queries)
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[
+        :, :min(n_probe, len(centroids))]            # (Q, n_probe)
+    s, kk, dsub = books.shape
+    nc = len(centroids)
+    # luts[q, cell, s, c] = ||(q - centroid_cell) slice_s - book_sc||²
+    luts = np.empty((len(q_ids), nc, s, kk))
+    for si in range(s):
+        lo, hi = si * dsub, (si + 1) * dsub
+        qr = q_mat[:, None, lo:hi] - centroids[None, :, lo:hi]
+        luts[:, :, si, :] = (
+            (qr[:, :, None, :] - books[si][None, None, :, :]) ** 2
+        ).sum(-1)
+    ref = ray.put((centroids, books, q_ids, q_mat, q_cells, luts))
+    partial = embeddings.map_batches(
+        IVFPQTopK(ref, k, shortlist), batch_format="pyarrow",
+        batch_size=4096)
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pandas")

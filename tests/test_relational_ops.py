@@ -190,3 +190,29 @@ def test_kcore_oracle_parity_sf(ray_session, sf_dir):
     # the KG's star shape cascades: turns, then convs/entities, then
     # the class hub — at least three distinct onion layers
     assert a["peeled_round"].nunique() >= 3
+
+
+def test_knn_ivfpq_recall_and_exhaustive_equality(ray_session, sf_dir):
+    """Default IVFADC (cell pruning + residual-PQ shortlist) keeps
+    recall@10 high vs brute; probing every cell with an exhaustive
+    shortlist is candidate-identical to knn_brute (the construction
+    behind the oracle registration)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.similarity import (
+        IVF_CENTROIDS, knn_brute, knn_ivfpq,
+    )
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    brute = knn_brute(emb).to_pandas()
+    approx = knn_ivfpq(emb).to_pandas()
+    hits = approx.merge(brute, on=["query_id", "vec_id"])
+    assert len(hits) / len(brute) >= 0.8
+
+    exhaustive = knn_ivfpq(emb, n_probe=IVF_CENTROIDS,
+                           shortlist=10 ** 9).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = exhaustive[cols].sort_values(cols).reset_index(drop=True)
+    b = brute[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
