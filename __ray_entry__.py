@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": td.q_top_bigrams,
         "length_outlier_filter": td.q_length_outlier_filter,
         "lm_unigram_score": td.q_lm_unigram_score,
+        "lm_bigram_score": td.q_lm_bigram_score,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
     from jsonld_js_ray.stages.tfidf import (
         INVERTED_INDEX_SQL,
+        LM_BIGRAM_SCORE_SQL,
         LM_UNIGRAM_SCORE_SQL,
         TFIDF_TOPK_SQL,
     )
@@ -638,6 +640,10 @@ def oracle_sql() -> dict[str, str]:
         # unigram-LM quality proxy: tf-weighted mean corpus token
         # frequency per doc, integer-scaled (CCNet-style LM signal)
         "lm_unigram_score": LM_UNIGRAM_SCORE_SQL,
+        # bigram-LM quality proxy: mean scaled conditional pair
+        # probability, integer floor arithmetic mirrored in SQL; one
+        # prefix-hash shuffle computes n1, n2 and the join in place
+        "lm_bigram_score": LM_BIGRAM_SCORE_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,

@@ -281,6 +281,12 @@ def q_decontaminate_ngram(sf_dir: str):
     return decontaminate_ngram(_docs(sf_dir))
 
 
+def q_lm_bigram_score(sf_dir: str):
+    from ..stages.tfidf import lm_bigram_score
+
+    return lm_bigram_score(_docs(sf_dir))
+
+
 def q_dedup_substring(sf_dir: str):
     from ..stages.ngrams import dedup_substring
 

@@ -294,3 +294,144 @@ SELECT doc_id, CAST(sum(tf * ctf) AS BIGINT) AS wsum,
        CAST(sum(tf * ctf) * {LM_SCALE} // sum(tf) AS BIGINT) AS lm_score
 FROM toks JOIN ctf USING (token) GROUP BY doc_id
 """
+
+
+# --- bigram-LM quality score (conditional-probability variant) ---
+# The CCNet/KenLM-shaped signal one level up from lm_unigram_score: a
+# doc's score is the mean scaled conditional probability of its
+# adjacent token pairs, P(w2|w1) = n2(w1,w2) / n1(w1), where n2 is the
+# corpus-wide within-doc bigram count and n1 the corpus count of w1 as
+# a bigram PREFIX (so Σ_w2 P(w2|w1) = 1 exactly). Per-pair
+# contributions floor((10^6 · n2) // n1) are integers, so the sum is
+# order-free and the DuckDB mirror hash-exact — no log-domain floats.
+#
+# One prefix-hash shuffle computes BOTH count tables: every pair with
+# prefix w1 lands in bucket(w1), so n1 = Σ tf2 over the prefix run and
+# n2 = Σ tf2 over the (w1, w2) run fall out of the same group, and the
+# join back to per-doc pairs never leaves the bucket. The vocabulary
+# is never broadcast or driver-collected.
+
+LM2_BUCKETS = 256
+
+
+def bigram_freq_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one (doc_id, w1, w2, tf2) row per distinct
+    within-doc adjacent pair, bucketed by hash(w1)."""
+    import pandas as pd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "tf2": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int32())})
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
+    if len(flat) < 2:
+        return empty
+    same = parents[1:] == parents[:-1]
+    if not same.any():
+        return empty
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[parents[:-1][same]]
+    uniq, codes = np.unique(
+        np.concatenate([flat[:-1][same], flat[1:][same]]),
+        return_inverse=True)
+    n = same.sum()
+    v = np.int64(len(uniq))
+    key = np.stack([doc_ids, codes[:n].astype(np.int64) * v
+                    + codes[n:]], axis=1)
+    upairs, counts = np.unique(key, axis=0, return_counts=True)
+    w1 = uniq[upairs[:, 1] // v]
+    h = pd.util.hash_array(w1.astype(object))
+    return pa.table({
+        "doc_id": pa.array(upairs[:, 0], pa.int64()),
+        "w1": pa.array(w1, pa.string()),
+        "w2": pa.array(uniq[upairs[:, 1] % v], pa.string()),
+        "tf2": pa.array(counts.astype(np.int64)),
+        "bucket": pa.array((h % LM2_BUCKETS).astype(np.int32)),
+    })
+
+
+def _lm2_partials_in_bucket(g) -> pa.Table:
+    """n1 per prefix and n2 per pair (run sums over the co-located
+    prefix bucket), then this bucket's per-doc partial
+    (Σ tf2·contrib, Σ tf2)."""
+    from .groupkit import int_group_sums as _int_group_sums
+
+    w1 = g["w1"].to_numpy()
+    w2 = g["w2"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    tf2 = g["tf2"].to_numpy().astype(np.int64)
+    _, c1 = np.unique(w1, return_inverse=True)
+    n1 = _int_group_sums(c1, tf2, c1.max() + 1 if len(c1) else 0)
+    u2, c2 = np.unique(np.char.add(np.char.add(
+        w1.astype(str), "\x1f"), w2.astype(str)), return_inverse=True)
+    n2 = _int_group_sums(c2, tf2, len(u2))
+    if len(n2) and int(n2.max()) > (2 ** 63 - 1) // LM_SCALE:
+        raise OverflowError(
+            "lm_bigram_score: bigram count exceeds the integer "
+            "contract bound (~9.2e12); use a log-domain variant for "
+            "corpora this large")
+    contrib = (LM_SCALE * n2[c2]) // n1[c1]
+    udocs, dcodes = np.unique(doc_ids, return_inverse=True)
+    wsum = _int_group_sums(dcodes, tf2 * contrib, len(udocs))
+    npair = _int_group_sums(dcodes, tf2, len(udocs))
+    return pa.table({
+        "doc_id": pa.array(udocs, pa.int64()),
+        "wsum": pa.array(wsum),
+        "n_pairs": pa.array(npair),
+    })
+
+
+def lm_bigram_score(docs):
+    """documents → (doc_id, wsum, n_pairs, lm2_score): exact per-doc
+    mean scaled conditional bigram probability (×10^6, floor); docs
+    with fewer than 2 tokens have no pairs and emit no row."""
+    from ray.data.aggregate import Sum
+
+    pairs = docs.map_batches(bigram_freq_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    partials = pairs.groupby("bucket").map_groups(
+        _lm2_partials_in_bucket, batch_format="pandas")
+    sums = partials.groupby("doc_id").aggregate(
+        Sum("wsum", alias_name="wsum"),
+        Sum("n_pairs", alias_name="n_pairs"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch["wsum"].to_numpy(zero_copy_only=False)
+        n = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "wsum": batch["wsum"].cast(pa.int64()),
+            "n_pairs": batch["n_pairs"].cast(pa.int64()),
+            "lm2_score": pa.array(w // n, pa.int64()),
+        })
+
+    return sums.map_batches(score, batch_format="pyarrow")
+
+
+LM_BIGRAM_SCORE_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         unnest(list_slice(toks, 2, len(toks))) AS w2
+  FROM l WHERE len(toks) >= 2
+), pc AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf2
+  FROM p GROUP BY doc_id, w1, w2
+), c2 AS (
+  SELECT w1, w2, CAST(sum(tf2) AS BIGINT) AS n2 FROM pc GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(tf2) AS BIGINT) AS n1 FROM pc GROUP BY w1
+)
+SELECT pc.doc_id,
+       CAST(sum(tf2 * (({LM_SCALE} * n2) // n1)) AS BIGINT) AS wsum,
+       CAST(sum(tf2) AS BIGINT) AS n_pairs,
+       CAST(sum(tf2 * (({LM_SCALE} * n2) // n1)) // sum(tf2)
+            AS BIGINT) AS lm2_score
+FROM pc JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY pc.doc_id
+"""

@@ -216,3 +216,31 @@ def test_knn_ivfpq_recall_and_exhaustive_equality(ray_session, sf_dir):
     a = exhaustive[cols].sort_values(cols).reset_index(drop=True)
     b = brute[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_lm_bigram_score_semantics(ray_session):
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.tfidf import lm_bigram_score
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b", "a b c", "x"], pa.string()),
+    })
+    out = lm_bigram_score(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # n2: (a,b)=3 (b,a)=1 (b,c)=1; n1: a=3 b=2
+    # contribs: (a,b) 10^6*3//3=10^6, (b,a)=(b,c)=500000
+    assert out.loc[0, "wsum"] == 2_500_000 and out.loc[0, "n_pairs"] == 3
+    assert out.loc[0, "lm2_score"] == 833_333
+    assert out.loc[1, "wsum"] == 1_500_000 and out.loc[1, "n_pairs"] == 2
+    assert out.loc[1, "lm2_score"] == 750_000
+    assert 2 not in out.index          # single-token doc: no pairs
+
+
+def test_lm_bigram_score_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "lm_bigram_score", sf_dir, ("documents",))
+    assert len(a) == 500
+    assert (a["lm2_score"] <= 10 ** 6).all() and (a["lm2_score"] > 0).all()
