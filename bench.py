@@ -149,6 +149,11 @@ def run_bench() -> dict:
     degree_histogram(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import kcore_quads
+    t0 = time.perf_counter()
+    kcore_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_kcore"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

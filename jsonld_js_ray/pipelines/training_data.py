@@ -353,6 +353,10 @@ def bench_queries():
         "top_bigrams": run(q_top_bigrams),
         "length_outlier_filter": run(q_length_outlier_filter),
         "lm_unigram_score": run(q_lm_unigram_score),
+        "lm_bigram_score": run(q_lm_bigram_score),
+        "knn_ivf": run(q_knn_ivf),
+        "knn_ivfpq": run(q_knn_ivfpq_exhaustive),
+        "normalize_text": run(q_normalize_text),
     }
 
 
