@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
         "kg_kcore": _q_kg_kcore,
+        "kg_reach": _q_kg_reach,
+        "kg_common_neighbors": _q_kg_common_neighbors,
+        "kg_property_table": _q_kg_property_table,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
@@ -197,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bucketed": _q_join_bucketed,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
+        "join_full_outer": _q_join_full_outer,
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
@@ -369,6 +373,60 @@ def _q_kg_kcore(sf_dir: str):
     return kcore_quads(build_quads_with_mentions(sf_dir))
 
 
+def _q_kg_reach(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import reach_quads
+
+    return reach_quads(build_quads_with_mentions(sf_dir))
+
+
+def _q_kg_property_table(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.pivot import property_table
+
+    return property_table(build_quads_with_mentions(sf_dir))
+
+
+def _property_table_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.pivot import property_table_sql
+
+    return property_table_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_join_full_outer(sf_dir: str):
+    from jsonld_js_ray.stages.joins import full_outer_join_clicks_purchases
+
+    return full_outer_join_clicks_purchases(sf_dir)
+
+
+def _q_kg_common_neighbors(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import common_neighbors
+
+    return common_neighbors(build_quads_with_mentions(sf_dir))
+
+
+def _common_neighbors_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _common_neighbors_oracle_sql
+
+    return _common_neighbors_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _reach_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _reach_oracle_sql
+
+    return _reach_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def _kcore_oracle() -> str:
     from jsonld_js_ray.pipelines.oracle import (
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
@@ -479,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         ASOF_JOIN_SQL,
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
+        FULL_OUTER_JOIN_SQL,
         LEFT_JOIN_SQL,
         RANGE_JOIN_SQL,
         TOPK_DOCS_SQL,
@@ -527,6 +586,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_oracle(),
         # R-round synchronous k-core peeling vs chained-CTE mirror
         "kg_kcore": _kcore_oracle(),
+        "kg_reach": _reach_oracle(),
+        "kg_common_neighbors": _common_neighbors_oracle(),
+        # quad pivot -> wide node property table (KG entity export)
+        "kg_property_table": _property_table_oracle(),
         # undirected degree distribution (deg values bounded)
         "kg_degree_hist": _degree_hist_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
@@ -655,6 +718,8 @@ def oracle_sql() -> dict[str, str]:
         "join_anti": ANTI_JOIN_SQL,
         # partitioned hash LEFT OUTER join (NULL-preserving branch)
         "join_left": LEFT_JOIN_SQL,
+        # partitioned hash FULL OUTER join (both sides optional)
+        "join_full_outer": FULL_OUTER_JOIN_SQL,
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,

@@ -44,6 +44,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .assemble import CONV_VOCAB as _CONV_VOCAB
 from .entity_merge import _hashed_strings, _pin
 from .groupkit import int_group_sums as _int_group_sums
 from .groupkit import pair_bucket_ids as _pair_bucket_ids
@@ -841,3 +842,258 @@ ed{t} AS (SELECT ed.a, ed.b FROM ed{t - 1} ed
     return (",".join(ctes) + f"""
 {deaths}
 UNION ALL SELECT node, CAST(0 AS BIGINT) FROM a{KCORE_ITERS}""")
+
+
+# --- bounded k-hop BFS reachability from entity seeds ---
+# Synchronous min-dist propagation (Bellman-Ford supersteps) in the
+# same fused message-passing shape as components_quads: after t
+# rounds every node within t hops of a seed holds its exact min-hop
+# distance (distances only decrease; each round folds own state and
+# incoming messages with one min). Seeds are the mention-entity nodes
+# (objects of conv#mentions quads) — the operator answers "which part
+# of the KG is within H hops of an extracted entity", the pruning
+# step a KG-construction pipeline runs before neighborhood export.
+# Ref analogue: graph walks over the node map (jsonld.js flatten/
+# frame traverse the same adjacency recursively, lib/frame.js).
+
+REACH_HOPS = 3
+REACH_SEED_PRED = f"{_CONV_VOCAB}mentions"
+_REACH_INF = np.int64(2 ** 62)
+
+
+def _reach_seed(quads):
+    """quad table → the round-0 exchange rows: globally-distinct
+    undirected adjacency (both directions, each copy keyed by the
+    bucket of the node it is FOR) + dist-0 state rows for every seed
+    (per-batch distinct; duplicates are harmless under min)."""
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
+        ents = np.unique(np.asarray(m["obj_value"].to_pylist(),
+                                    dtype=object))
+        return pa.table({
+            "node": pa.array(ents, pa.string()),
+            "dst": pa.array([None] * len(ents), pa.string()),
+            "dist": pa.array(np.zeros(len(ents), np.int64)),
+            "bucket": _bucket_of(ents),
+        })
+
+    def adj_in_bucket(g) -> pa.Table:
+        df = g[["u", "v"]].drop_duplicates()
+        u = df["u"].to_numpy(object)
+        v = df["v"].to_numpy(object)
+        n = len(u)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.string()),
+            "dst": pa.array(np.concatenate([v, u]), pa.string()),
+            "dist": pa.array([None] * (2 * n), pa.int64()),
+            "bucket": pa.array(np.concatenate([
+                _bucket_of(u).to_numpy(), _bucket_of(v).to_numpy()])),
+        })
+
+    adj = quads.map_batches(_canon_edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(adj_in_bucket,
+                                      batch_format="pandas")
+    seeds = quads.map_batches(seed_rows, batch_format="pyarrow")
+    return adj.union(seeds)
+
+
+def _reach_round(state, last: bool):
+    """One superstep: per node, new dist = min over its dist rows
+    (own state + incoming messages); then (unless ``last``) re-emit
+    adjacency + state in place and one message dist+1 per adjacency
+    row whose source is already reached, keyed by bucket(dst)."""
+    def round_in_bucket(g) -> pa.Table:
+        is_a = g["dst"].notna().to_numpy()
+        node = g["node"].to_numpy()
+        lab_nodes = node[~is_a]
+        lab_dist = g["dist"].to_numpy()[~is_a].astype(np.int64)
+        from .groupkit import run_starts
+        order = np.lexsort((lab_dist, lab_nodes))
+        ns, ds = lab_nodes[order], lab_dist[order]
+        starts = run_starts(ns)
+        nodes, dists = ns[starts], ds[starts]
+        if last:
+            return pa.table({
+                "node": pa.array(nodes, pa.string()),
+                "dist": pa.array(dists, pa.int64()),
+            })
+        a_src = node[is_a]
+        a_dst = g["dst"].to_numpy()[is_a]
+        idx = np.searchsorted(nodes, a_src)
+        idx_ok = np.minimum(idx, max(len(nodes) - 1, 0))
+        reached = np.zeros(len(a_src), bool) if not len(nodes) else (
+            (idx < len(nodes)) & (nodes[idx_ok] == a_src))
+        m_dst = a_dst[reached]
+        m_dist = dists[idx_ok[reached]] + 1
+        b = np.int32(g["bucket"].iloc[0])
+        n_e, n_s, n_m = len(a_src), len(nodes), len(m_dst)
+        out_node = np.concatenate([a_src, nodes, m_dst])
+        out_dst = np.concatenate(
+            [a_dst, np.full(n_s + n_m, None, object)])
+        out_dist = np.concatenate([
+            np.full(n_e, _REACH_INF, np.int64), dists, m_dist])
+        # adjacency rows carry a sentinel dist (column must stay
+        # int64-typed); re-null them via the dst mask
+        dist_arr = pa.array(out_dist, pa.int64())
+        dist_arr = pc.if_else(
+            pa.array(np.concatenate([np.zeros(n_e, bool),
+                                     np.ones(n_s + n_m, bool)])),
+            dist_arr, pa.scalar(None, pa.int64()))
+        bucket = np.concatenate([
+            np.full(n_e + n_s, b, np.int32),
+            _bucket_of(m_dst).to_numpy()])
+        return pa.table({
+            "node": pa.array(out_node, pa.string()),
+            "dst": pa.array(out_dst, pa.string()),
+            "dist": dist_arr,
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    return state.groupby("bucket").map_groups(round_in_bucket,
+                                              batch_format="pandas")
+
+
+def reach_quads(quads, hops: int = REACH_HOPS):
+    """quad table → (node, dist): exact min-hop distance (≤ ``hops``)
+    from the nearest mention-entity seed over the undirected distinct
+    IRI–IRI graph. 2 + ``hops`` bucketed exchanges total; unreached
+    nodes are absent from the output."""
+    state = _reach_seed(quads)
+    for t in range(hops + 1):
+        state = _reach_round(state, last=(t == hops))
+    return state
+
+
+def _reach_oracle_sql(quads_sql: str, hops: int = REACH_HOPS) -> str:
+    """Chained-CTE mirror of ``hops`` min-dist rounds."""
+    ctes = [f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+s0 AS (SELECT DISTINCT obj_value AS node, CAST(0 AS BIGINT) AS dist
+       FROM q WHERE pred = '{REACH_SEED_PRED}')"""]
+    for t in range(1, hops + 1):
+        ctes.append(f"""
+i{t} AS (SELECT ed.b AS node, min(s{t - 1}.dist) + 1 AS d
+      FROM ed JOIN s{t - 1} ON s{t - 1}.node = ed.a
+      GROUP BY ed.b),
+s{t} AS (SELECT coalesce(s.node, i.node) AS node,
+             least(coalesce(s.dist, {2 ** 62}),
+                   coalesce(i.d, {2 ** 62})) AS dist
+      FROM s{t - 1} s FULL OUTER JOIN i{t} i ON s.node = i.node)"""
+                    )
+    return (",".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
+              f" FROM s{hops}")
+
+
+# --- common-neighbor link prediction (degree-capped wedge count) ---
+# For every node pair (u, v) sharing at least one neighbor whose
+# degree is within [2, CN_MAX_DEG], count those shared neighbors —
+# the classic common-neighbours link-prediction score, the edge-
+# induction step a KG-construction pipeline runs to propose missing
+# links (e.g. entities co-mentioned by the same turn). The degree cap
+# is part of the operator CONTRACT (mirrored in SQL): hub centers
+# (a popular entity neighbouring every turn) would contribute
+# O(deg²) pairs and, at 100 TB, a single skewed center would emit
+# more wedges than the rest of the graph combined — capped centers
+# bound per-center work at C(CN_MAX_DEG, 2) while keeping the output
+# exactly reproducible. Three bucketed exchanges: edge dedup, center-
+# keyed wedge generation (degree falls out of the same group), and
+# the pair-keyed count reduction.
+
+CN_MAX_DEG = 64
+
+
+def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
+    """quad table → (u, v, common): number of shared neighbors with
+    degree in [2, ``max_deg``], for u < v, over the undirected
+    distinct IRI–IRI graph."""
+    from .groupkit import (
+        pair_run_starts,
+        run_lengths,
+        run_pair_indices,
+        run_starts,
+    )
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "nb": pa.array(nb, pa.string()),
+            "bucket": _bucket_of(key),
+        })
+
+    def wedges_in_bucket(g) -> pa.Table:
+        keys = g["key"].to_numpy()
+        nbs = g["nb"].to_numpy()
+        order = np.lexsort((nbs, keys))
+        k, n = keys[order], nbs[order]
+        # center degree = run length (each incident distinct edge
+        # contributes exactly one key-keyed row)
+        starts = run_starts(k)
+        lens = run_lengths(k, starts)
+        keep_run = (lens >= 2) & (lens <= max_deg)
+        row_keep = np.repeat(keep_run, lens)
+        kk, nn = k[row_keep], n[row_keep]
+        i, j = run_pair_indices(kk)
+        # nb is sorted within each run and distinct ⇒ nn[i] < nn[j]
+        pu, pv = nn[i], nn[j]
+        # in-bucket partial count per pair before the pair shuffle
+        porder = np.lexsort((pv, pu))
+        pu, pv = pu[porder], pv[porder]
+        pstarts = pair_run_starts(pu, pv)
+        plens = np.diff(np.append(pstarts, len(pu))).astype(np.int64)
+        du, dv = pu[pstarts], pv[pstarts]
+        return pa.table({
+            "u": pa.array(du, pa.string()),
+            "v": pa.array(dv, pa.string()),
+            "cnt": pa.array(plens),
+            "pbucket": pa.array(_pair_bucket_ids(du, dv, PR_BUCKETS)),
+        })
+
+    def total_in_bucket(g) -> pa.Table:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v, cnt = u[order], v[order], cnt[order]
+        starts = pair_run_starts(u, v)
+        # reduceat accumulates in int64 — exact, matching the
+        # integer-sum contract (groupkit.int_group_sums)
+        sums = (np.add.reduceat(cnt, starts) if len(starts)
+                else np.zeros(0, np.int64))
+        return pa.table({
+            "u": pa.array(u[starts], pa.string()),
+            "v": pa.array(v[starts], pa.string()),
+            "common": pa.array(sums),
+        })
+
+    und = _undirected_edges(quads)
+    return und.map_batches(both_ends, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(wedges_in_bucket,
+                                      batch_format="pandas") \
+        .groupby("pbucket").map_groups(total_in_bucket,
+                                       batch_format="pandas")
+
+
+def _common_neighbors_oracle_sql(quads_sql: str,
+                                 max_deg: int = CN_MAX_DEG) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+d AS (SELECT a AS node, count(*) AS deg FROM ed GROUP BY a),
+c AS (SELECT ed.a AS ctr, ed.b AS nb FROM ed
+      JOIN d ON d.node = ed.a WHERE d.deg BETWEEN 2 AND {max_deg})
+SELECT x.nb AS u, y.nb AS v, CAST(count(*) AS BIGINT) AS common
+FROM c x JOIN c y ON x.ctr = y.ctr AND x.nb < y.nb
+GROUP BY x.nb, y.nb
+"""

@@ -19,6 +19,15 @@ def run_starts(sorted_ids: np.ndarray) -> np.ndarray:
         np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]]))
 
 
+def pair_run_starts(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Start index of each run of equal (a, b) PAIRS in arrays already
+    lexsorted by (a, b) — the two-key analogue of run_starts."""
+    if not len(a):
+        return np.zeros(0, dtype=np.int64)
+    return np.flatnonzero(np.concatenate(
+        [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
+
+
 def run_lengths(sorted_ids: np.ndarray,
                 starts: np.ndarray | None = None) -> np.ndarray:
     """Length of each run (aligned with run_starts)."""

@@ -517,3 +517,84 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
  AND b.ts > a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
 GROUP BY a.event_id
 """
+
+
+def full_outer_join_clicks_purchases(sf_dir: str):
+    """per-user click counts ⟗ per-user purchase counts (FULL OUTER
+    join on user_id): users appear if they have EITHER side, with 0
+    for the missing one — the outer-join class the left join's
+    NULL-preserving branch doesn't cover (both sides optional).
+
+    Same partitioned-hash shape as the left join, but ONE read of the
+    events file covers both sides (the types interleave row-group-wise,
+    so two filtered scans would each read everything — the
+    _split_events one-read idiom): each batch ships per-(user, side)
+    PARTIAL counts (shuffled volume = distinct users per batch), the
+    in-bucket kernel re-reduces both sides with exact int64
+    accumulation and takes the key UNION — no driver-side state, no
+    row ever leaves its hash bucket."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .groupkit import int_group_sums, run_lengths, run_starts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["click", "purchase"])))
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        is_c = pc.equal(t["event_type"], "click") \
+            .to_numpy(zero_copy_only=False)
+        out_key, out_cnt, out_side = [], [], []
+        for tag, m in (("C", is_c), ("P", ~is_c)):
+            uniq, counts = np.unique(keys[m], return_counts=True)
+            out_key.append(uniq.astype(np.int64))
+            out_cnt.append(counts.astype(np.int64))
+            out_side.extend([tag] * len(uniq))
+        return pa.table({
+            "key": pa.array(np.concatenate(out_key)),
+            "cnt": pa.array(np.concatenate(out_cnt)),
+            "side": pa.array(out_side, pa.string()),
+        })
+
+    both = ds.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(_bucketize("key"), batch_format="pyarrow")
+
+    def outer_bucket(g: pd.DataFrame) -> pa.Table:
+        key = g["key"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        is_c = (g["side"] == "C").to_numpy()
+        order = np.argsort(key, kind="stable")
+        k, c, ic = key[order], cnt[order], is_c[order]
+        starts = run_starts(k)
+        codes = np.repeat(np.arange(len(starts)),
+                          run_lengths(k, starts))
+        n = len(starts)
+        return pa.table({
+            "user_id": pa.array(k[starts]),
+            "n_clicks": pa.array(int_group_sums(codes[ic], c[ic], n)),
+            "n_purchases": pa.array(
+                int_group_sums(codes[~ic], c[~ic], n)),
+        })
+
+    return both.groupby("bucket").map_groups(
+        outer_bucket, batch_format="pandas")
+
+
+FULL_OUTER_JOIN_SQL = """
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases
+FROM (SELECT user_id, count(*) AS n FROM events
+      WHERE event_type = 'click' GROUP BY user_id) c
+FULL OUTER JOIN
+     (SELECT user_id, count(*) AS n FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id) p
+ON c.user_id = p.user_id
+"""

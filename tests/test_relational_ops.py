@@ -244,3 +244,201 @@ def test_lm_bigram_score_oracle_parity_sf(ray_session, sf_dir):
     a = _parity(E, "lm_bigram_score", sf_dir, ("documents",))
     assert len(a) == 500
     assert (a["lm2_score"] <= 10 ** 6).all() and (a["lm2_score"] > 0).all()
+
+
+def test_reach_bfs_semantics(ray_session):
+    """Path seed—a—b—c—d at hops=3: exact min-hop distances 0..3,
+    d unreached (absent); a second seed shortcuts c to dist 1."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import REACH_SEED_PRED, reach_quads
+
+    edges = [("seed", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+             ("d", "e")]
+    subj = [e[0] for e in edges]
+    obj = [e[1] for e in edges]
+    pred = ["p"] * len(edges)
+    # the mention quad marks "seed" as an entity seed (and is itself
+    # an edge turn0—seed)
+    subj.append("turn0")
+    obj.append("seed")
+    pred.append(REACH_SEED_PRED)
+    tbl = pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj_kind": pa.array(["iri"] * len(subj), pa.string()),
+        "obj_value": pa.array(obj, pa.string()),
+    })
+    out = reach_quads(rd.from_arrow(tbl), hops=3).to_pandas() \
+        .set_index("node")["dist"]
+    assert out.to_dict() == {"seed": 0, "turn0": 1, "a": 1, "b": 2,
+                             "c": 3}
+    # second seed at the far end pulls d/e into range
+    tbl2 = pa.table({
+        "subj": pa.array(subj + ["turn1"], pa.string()),
+        "pred": pa.array(pred + [REACH_SEED_PRED], pa.string()),
+        "obj_kind": pa.array(["iri"] * (len(subj) + 1), pa.string()),
+        "obj_value": pa.array(obj + ["e"], pa.string()),
+    })
+    out2 = reach_quads(rd.from_arrow(tbl2), hops=3).to_pandas() \
+        .set_index("node")["dist"]
+    assert out2["e"] == 0 and out2["d"] == 1 and out2["c"] == 2
+    assert out2["turn1"] == 1 and out2["b"] == 2
+
+
+def test_reach_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_reach"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_reach"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # entity seeds at 0, every turn at 1, convs at 2, class hub at 3
+    assert set(a["dist"].unique()) == {0, 1, 2, 3}
+
+
+def test_common_neighbors_semantics(ray_session):
+    """Star a,b,c around hub h (+ edge a—b): five wedge pairs, each
+    with one shared neighbor; a degree cap of 2 excludes h as a
+    center, leaving only the pairs through a and b."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import common_neighbors
+
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = common_neighbors(rd.from_arrow(tbl)).to_pandas()
+    got = {(r.u, r.v): r.common for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+                   ("a", "h"): 1, ("b", "h"): 1}
+    capped = common_neighbors(rd.from_arrow(tbl), max_deg=2) \
+        .to_pandas()
+    got2 = {(r.u, r.v): r.common for r in capped.itertuples()}
+    assert got2 == {("a", "h"): 1, ("b", "h"): 1}
+
+
+def test_common_neighbors_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kg_common_neighbors"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["kg_common_neighbors"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # turns sharing a conversation are the dominant wedge pairs
+    assert (a["common"] > 1).any()
+
+
+def test_full_outer_join_semantics(ray_session, tmp_path):
+    """Crafted events where the outer branches matter: click-only and
+    purchase-only users survive with a 0 on the missing side; users
+    with neither are absent; engine matches DuckDB FULL OUTER JOIN on
+    the same file."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonld_js_ray.stages.joins import (
+        full_outer_join_clicks_purchases,
+    )
+
+    rows = [  # (user, type)
+        (1, "click"), (1, "click"), (1, "purchase"),   # both sides
+        (2, "click"),                                  # click-only
+        (3, "purchase"), (3, "purchase"),              # purchase-only
+        (4, "view"),                                   # neither
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * len(rows),
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, e in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = full_outer_join_clicks_purchases(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.index.tolist() == [1, 2, 3]
+    assert out["n_clicks"].tolist() == [2, 1, 0]
+    assert out["n_purchases"].tolist() == [1, 0, 2]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["join_full_outer"]).df() \
+        .set_index("user_id").sort_index()
+    pd.testing.assert_frame_equal(out, orc.astype(out.dtypes.to_dict()))
+
+
+def test_property_table_semantics(ray_session):
+    """Pivot picks MIN value under duplicate assertions and leaves
+    NULL for absent predicates; subjects with no selected predicate
+    are absent entirely."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.pivot import property_table
+
+    V = "https://w3id.org/conv#"
+    rows = [  # (subj, pred, val)
+        ("t1", f"{V}role", "user"),
+        ("t1", f"{V}role", "assistant"),      # dup: min -> assistant
+        ("t1", f"{V}position", "3"),
+        ("t2", f"{V}tool", "search"),          # others NULL
+        ("c1", f"{V}turnCount", "9"),          # not selected -> absent
+    ]
+    tbl = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj_kind": pa.array(["literal"] * len(rows), pa.string()),
+        "obj_value": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = property_table(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("node").sort_index()
+    assert out.index.tolist() == ["t1", "t2"]
+    assert out.loc["t1", "role"] == "assistant"
+    assert out.loc["t1", "position"] == "3"
+    assert out.loc["t1", "tool"] is None and out.loc["t1", "part_of"] is None
+    assert out.loc["t2", "tool"] == "search"
+    assert out.loc["t2", "role"] is None
+
+
+def test_property_table_and_full_outer_parity_sf(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    for q in ("kg_property_table", "join_full_outer"):
+        mine = E.queries()[q](sf_dir).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+        orc = con.sql(E.oracle_sql()[q]).df()
+        cols = sorted(mine.columns)
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+        assert len(a) > 0
