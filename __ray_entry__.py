@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outlier_filter": td.q_length_outlier_filter,
         "lm_unigram_score": td.q_lm_unigram_score,
         "lm_bigram_score": td.q_lm_bigram_score,
+        "lm_backoff_score": td.q_lm_backoff_score,
         "fingerprint": td.q_fingerprint,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
@@ -208,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "user_running_totals": _q_user_running_totals,
         "value_histogram": _q_value_histogram,
+        "robust_outliers": _q_robust_outliers,
+        "rollup_events": _q_rollup_events,
+        "kg_resource_allocation": _q_kg_resource_allocation,
         "funnel_stages": _q_funnel_stages,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
@@ -266,6 +270,37 @@ def _q_value_histogram(sf_dir: str):
     from jsonld_js_ray.stages.histo import value_histogram
 
     return value_histogram(_events(sf_dir, ["value"]))
+
+
+def _q_robust_outliers(sf_dir: str):
+    from jsonld_js_ray.stages.rank import robust_outliers
+
+    return robust_outliers(sf_dir)
+
+
+def _q_rollup_events(sf_dir: str):
+    from jsonld_js_ray.stages.rollup import rollup_events
+
+    return rollup_events(sf_dir)
+
+
+def _q_kg_resource_allocation(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import resource_allocation
+
+    return resource_allocation(build_quads_with_mentions(sf_dir))
+
+
+def _resource_allocation_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import (
+        _resource_allocation_oracle_sql,
+    )
+
+    return _resource_allocation_oracle_sql(
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_user_quantiles(sf_dir: str):
@@ -545,15 +580,18 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.dedup import EMBEDDING_DEDUP_SQL
     from jsonld_js_ray.stages.tfidf import (
         INVERTED_INDEX_SQL,
+        LM_BACKOFF_SCORE_SQL,
         LM_BIGRAM_SCORE_SQL,
         LM_UNIGRAM_SCORE_SQL,
         TFIDF_TOPK_SQL,
     )
     from jsonld_js_ray.stages.rank import (
+        ROBUST_OUTLIERS_SQL,
         RUNNING_TOTALS_SQL,
         TOP_EVENTS_SQL,
         USER_QUANTILES_SQL,
     )
+    from jsonld_js_ray.stages.rollup import ROLLUP_EVENTS_SQL
     from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
@@ -707,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
         # probability, integer floor arithmetic mirrored in SQL; one
         # prefix-hash shuffle computes n1, n2 and the join in place
         "lm_bigram_score": LM_BIGRAM_SCORE_SQL,
+        # held-out stupid-backoff LM (trained on even doc_ids only)
+        "lm_backoff_score": LM_BACKOFF_SCORE_SQL,
         "window_tumbling": TUMBLING_WINDOW_SQL,
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,
@@ -729,6 +769,12 @@ def oracle_sql() -> dict[str, str]:
         "user_running_totals": RUNNING_TOTALS_SQL,
         # fixed-width float histogram (bit-identical IEEE bin ids)
         "value_histogram": VALUE_HISTOGRAM_SQL,
+        # per-user median/MAD anomaly flag (quantile_disc + IEEE ops)
+        "robust_outliers": ROBUST_OUTLIERS_SQL,
+        # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)
+        "rollup_events": ROLLUP_EVENTS_SQL,
+        # degree-weighted link prediction (exact fixed-point Σ 1/deg)
+        "kg_resource_allocation": _resource_allocation_oracle(),
         # canonical lowercase/alnum-collapsed text (RE2 both sides)
         "normalize_text": NORMALIZE_TEXT_SQL,
         # strict-after chained stage mins (sequential pattern match)

@@ -154,6 +154,40 @@ def run_bench() -> dict:
     kcore_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_kcore"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import common_neighbors, reach_quads
+    t0 = time.perf_counter()
+    reach_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_reach"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    common_neighbors(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_common_neighbors"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.pivot import property_table
+    t0 = time.perf_counter()
+    property_table(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_property_table"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.joins import full_outer_join_clicks_purchases
+    t0 = time.perf_counter()
+    full_outer_join_clicks_purchases(SF_DIR).count()
+    queries["join_full_outer"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.graph import resource_allocation
+    t0 = time.perf_counter()
+    resource_allocation(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_resource_allocation"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.rank import robust_outliers
+    t0 = time.perf_counter()
+    robust_outliers(SF_DIR).count()
+    queries["robust_outliers"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.rollup import rollup_events
+    t0 = time.perf_counter()
+    rollup_events(SF_DIR).count()
+    queries["rollup_events"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

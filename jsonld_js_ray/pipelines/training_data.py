@@ -287,6 +287,12 @@ def q_lm_bigram_score(sf_dir: str):
     return lm_bigram_score(_docs(sf_dir))
 
 
+def q_lm_backoff_score(sf_dir: str):
+    from ..stages.tfidf import lm_backoff_score
+
+    return lm_backoff_score(_docs(sf_dir))
+
+
 def q_dedup_substring(sf_dir: str):
     from ..stages.ngrams import dedup_substring
 
@@ -354,6 +360,7 @@ def bench_queries():
         "length_outlier_filter": run(q_length_outlier_filter),
         "lm_unigram_score": run(q_lm_unigram_score),
         "lm_bigram_score": run(q_lm_bigram_score),
+        "lm_backoff_score": run(q_lm_backoff_score),
         "knn_ivf": run(q_knn_ivf),
         "knn_ivfpq": run(q_knn_ivfpq_exhaustive),
         "normalize_text": run(q_normalize_text),

@@ -1006,11 +1006,21 @@ s{t} AS (SELECT coalesce(s.node, i.node) AS node,
 
 CN_MAX_DEG = 64
 
+# resource-allocation index fixed-point scale: each shared neighbor z
+# contributes floor(RA_SCALE / deg(z)) — per-term integer floor keeps
+# the sum order-free and the DuckDB mirror (integer //) hash-exact
+RA_SCALE = 10 ** 6
 
-def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
-    """quad table → (u, v, common): number of shared neighbors with
-    degree in [2, ``max_deg``], for u < v, over the undirected
-    distinct IRI–IRI graph."""
+
+def _wedge_scores(quads, max_deg: int, out_col: str,
+                  scale: int | None):
+    """Shared degree-capped wedge engine: for every pair (u, v)
+    sharing a neighbor z with deg(z) in [2, ``max_deg``], sum a
+    per-center weight over the shared neighbors — 1 (``scale`` None,
+    common-neighbor count) or floor(scale / deg(z)) (resource
+    allocation). Three bucketed exchanges: edge dedup
+    (_undirected_edges), center-keyed wedge generation (degree = run
+    length in the same group), pair-keyed sum reduction."""
     from .groupkit import (
         pair_run_starts,
         run_lengths,
@@ -1044,16 +1054,24 @@ def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
         i, j = run_pair_indices(kk)
         # nb is sorted within each run and distinct ⇒ nn[i] < nn[j]
         pu, pv = nn[i], nn[j]
-        # in-bucket partial count per pair before the pair shuffle
+        if scale is None:
+            pw = np.ones(len(pu), np.int64)
+        else:
+            # per-row center degree, surviving rows only; both pair
+            # endpoints share the run, so w[i] is the wedge's weight
+            row_deg = np.repeat(lens, lens)[row_keep]
+            pw = np.int64(scale) // row_deg[i]
+        # in-bucket partial sum per pair before the pair shuffle
         porder = np.lexsort((pv, pu))
-        pu, pv = pu[porder], pv[porder]
+        pu, pv, pw = pu[porder], pv[porder], pw[porder]
         pstarts = pair_run_starts(pu, pv)
-        plens = np.diff(np.append(pstarts, len(pu))).astype(np.int64)
+        psums = (np.add.reduceat(pw, pstarts) if len(pstarts)
+                 else np.zeros(0, np.int64))
         du, dv = pu[pstarts], pv[pstarts]
         return pa.table({
             "u": pa.array(du, pa.string()),
             "v": pa.array(dv, pa.string()),
-            "cnt": pa.array(plens),
+            "cnt": pa.array(psums),
             "pbucket": pa.array(_pair_bucket_ids(du, dv, PR_BUCKETS)),
         })
 
@@ -1071,7 +1089,7 @@ def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
         return pa.table({
             "u": pa.array(u[starts], pa.string()),
             "v": pa.array(v[starts], pa.string()),
-            "common": pa.array(sums),
+            out_col: pa.array(sums),
         })
 
     und = _undirected_edges(quads)
@@ -1080,6 +1098,23 @@ def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
                                       batch_format="pandas") \
         .groupby("pbucket").map_groups(total_in_bucket,
                                        batch_format="pandas")
+
+
+def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
+    """quad table → (u, v, common): number of shared neighbors with
+    degree in [2, ``max_deg``], for u < v, over the undirected
+    distinct IRI–IRI graph."""
+    return _wedge_scores(quads, max_deg, "common", scale=None)
+
+
+def resource_allocation(quads, max_deg: int = CN_MAX_DEG,
+                        scale: int = RA_SCALE):
+    """quad table → (u, v, ra_score): resource-allocation link-
+    prediction index Σ_z floor(scale / deg(z)) over shared neighbors
+    z with deg(z) in [2, ``max_deg``], for u < v — the degree-weighted
+    refinement of common_neighbors (shared hubs count less), in exact
+    fixed-point so the SQL mirror is hash-exact."""
+    return _wedge_scores(quads, max_deg, "ra_score", scale=scale)
 
 
 def _common_neighbors_oracle_sql(quads_sql: str,
@@ -1094,6 +1129,24 @@ d AS (SELECT a AS node, count(*) AS deg FROM ed GROUP BY a),
 c AS (SELECT ed.a AS ctr, ed.b AS nb FROM ed
       JOIN d ON d.node = ed.a WHERE d.deg BETWEEN 2 AND {max_deg})
 SELECT x.nb AS u, y.nb AS v, CAST(count(*) AS BIGINT) AS common
+FROM c x JOIN c y ON x.ctr = y.ctr AND x.nb < y.nb
+GROUP BY x.nb, y.nb
+"""
+
+
+def _resource_allocation_oracle_sql(quads_sql: str,
+                                    max_deg: int = CN_MAX_DEG,
+                                    scale: int = RA_SCALE) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+d AS (SELECT a AS node, count(*) AS deg FROM ed GROUP BY a),
+c AS (SELECT ed.a AS ctr, ed.b AS nb, {scale} // d.deg AS w FROM ed
+      JOIN d ON d.node = ed.a WHERE d.deg BETWEEN 2 AND {max_deg})
+SELECT x.nb AS u, y.nb AS v, CAST(sum(x.w) AS BIGINT) AS ra_score
 FROM c x JOIN c y ON x.ctr = y.ctr AND x.nb < y.nb
 GROUP BY x.nb, y.nb
 """

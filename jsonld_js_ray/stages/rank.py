@@ -150,6 +150,75 @@ def user_running_totals(sf_dir: str):
                                            batch_format="pandas")
 
 
+MAD_K = 3.0
+
+
+def robust_outliers(sf_dir: str, k: float = MAD_K):
+    """events → (event_id, user_id, value): per-user robust outliers —
+    events whose |value − median| exceeds k × MAD (median absolute
+    deviation), the anomaly filter a training-data pipeline runs on
+    behavioral streams (robust to the very outliers it hunts, unlike
+    mean/stddev z-scores).
+
+    Exactness: median and MAD use the quantile_disc convention (an
+    actual data value at position ceil(p·n)), and the flag condition
+    |v − med| > k·mad is three IEEE-754 double ops evaluated
+    identically by numpy and DuckDB — hash-exact, no epsilon. NULL
+    values are dropped (they can be neither quantile inputs nor
+    outliers). Same shape as the other order statistics: one user-hash
+    shard shuffle, two lexsorts per shard (values, then deviations),
+    no per-user Python."""
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "user_id", "value"]))
+
+    def per_shard(g, _k=k):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        valid = ~np.isnan(vals)
+        users, vals, eids = users[valid], vals[valid], eids[valid]
+        order = np.lexsort((vals, users))
+        users, vals, eids = users[order], vals[order], eids[order]
+        starts = run_starts(users)
+        ns = run_lengths(users, starts)
+        med_idx = (starts + quantile_disc_pos(0.5, ns) - 1) \
+            if len(starts) else starts
+        med = np.repeat(vals[med_idx], ns)
+        dev = np.abs(vals - med)
+        order2 = np.lexsort((dev, users))
+        dev2 = dev[order2]
+        # run boundaries are unchanged (same user key, stable sizes)
+        mad_idx = (starts + quantile_disc_pos(0.5, ns) - 1) \
+            if len(starts) else starts
+        mad = np.repeat(dev2[mad_idx], ns)
+        flag = dev > _k * mad
+        return pa.table({
+            "event_id": pa.array(eids[flag], pa.int64()),
+            "user_id": pa.array(users[flag], pa.int64()),
+            "value": pa.array(vals[flag], pa.float64()),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+ROBUST_OUTLIERS_SQL = f"""
+WITH v AS (SELECT event_id, user_id, value FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+      FROM v GROUP BY user_id),
+d AS (SELECT v.event_id, v.user_id, v.value, m.med
+      FROM v JOIN m USING (user_id)),
+md AS (SELECT user_id, quantile_disc(abs(value - med), 0.5) AS mad
+       FROM d GROUP BY user_id)
+SELECT CAST(d.event_id AS BIGINT) AS event_id,
+       CAST(d.user_id AS BIGINT) AS user_id,
+       d.value AS value
+FROM d JOIN md USING (user_id)
+WHERE abs(d.value - d.med) > {MAD_K} * md.mad
+"""
+
+
 RUNNING_TOTALS_SQL = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,

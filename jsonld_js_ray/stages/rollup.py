@@ -1,0 +1,148 @@
+"""ROLLUP aggregation over the ``events`` stream (grouping-set class).
+
+The OLAP operator family Ray Data has no primitive for: one pass that
+reports the same aggregates at every prefix of the grouping key list —
+(event_type, day), (event_type), and the grand total — what SQL spells
+``GROUP BY ROLLUP(event_type, day)``. A reporting/feature pipeline
+needs these subtotals together (daily per-type counts AND per-type
+totals AND the corpus total) and computing them as three independent
+scans would read the input three times.
+
+Shape: ONE read + one per-batch partial aggregation at the FINEST
+level (the shuffle moves one row per distinct (type, day) per batch —
+bounded by the key-combination count, not the corpus), one small
+groupby to finish the finest level, then the coarser levels are
+re-aggregated FROM the finest level's already-tiny output (the classic
+rollup cascade: each level feeds the next, never the raw input). The
+grand total is a scalar aggregate. Monetary sums use exact integer
+cents (float sums are order-nondeterministic and cannot be
+oracle-hashed); NULL values contribute 0 cents but still count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..rayutil import strip_meta as _strip_meta
+
+_SEP = "\x1f"
+
+
+def _cents(vals: np.ndarray) -> np.ndarray:
+    out = np.floor(vals * 100 + 0.5)
+    return np.where(np.isnan(out), 0, out).astype(np.int64)
+
+
+def rollup_events(sf_dir: str):
+    """events → (event_type, day, n_events, total_cents) at all three
+    rollup levels; the subtotal rows carry NULL in the rolled-up
+    columns (SQL ROLLUP convention)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def _enc(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """NULL-safe key encoding: 'v' + value, or bare 'n' for NULL —
+        collision-free by the prefix, so a genuine NULL group (SQL
+        groups NULLs together under ROLLUP) round-trips exactly and can
+        never collide with a value that stringifies to 'None'."""
+        vals = col.to_numpy(zero_copy_only=False)
+        isnull = pc.is_null(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col).to_numpy(zero_copy_only=False)
+        filled = np.where(isnull, "", vals).astype(str)
+        return np.where(isnull, "n", np.char.add("v", filled))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = _enc(pc.strftime(batch["ts"], format="%Y-%m-%d"))
+        et = _enc(batch["event_type"])
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        key = np.char.add(np.char.add(et, _SEP), day)
+        uniq, codes = np.unique(key, return_inverse=True)
+        from .groupkit import int_group_sums
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        c = int_group_sums(codes, cents, len(uniq))
+        return pa.table({
+            "k": pa.array(uniq, pa.string()),
+            "n": pa.array(n),
+            "cents": pa.array(c),
+        })
+
+    fine = events.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                Sum("cents", alias_name="cents"))
+
+    def _dec(enc: pa.Array) -> pa.Array:
+        """Inverse of _enc: strip the 'v' prefix, 'n' → NULL."""
+        vals = pc.utf8_slice_codeunits(enc, 1)
+        return pc.if_else(pc.equal(enc, "n"),
+                          pa.scalar(None, pa.string()), vals)
+
+    def fine_rows(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["k"], pattern=_SEP)
+        return pa.table({
+            "event_type": _dec(pc.list_element(parts, 0)),
+            "day": _dec(pc.list_element(parts, 1)),
+            "n_events": batch["n"].cast(pa.int64()),
+            "total_cents": batch["cents"].cast(pa.int64()),
+        })
+
+    level0 = fine.map_batches(fine_rows, batch_format="pyarrow")
+
+    # rollup cascade: level 1 re-aggregates level 0's output (tiny),
+    # never the raw events
+    def strip_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": batch["n_events"],
+            "cents": batch["total_cents"],
+        })
+
+    by_type = level0.map_batches(strip_day, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"))
+
+    def type_rows(batch: pa.Table) -> pa.Table:
+        k = len(batch)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array([None] * k, pa.string()),
+            "n_events": batch["n"].cast(pa.int64()),
+            "total_cents": batch["cents"].cast(pa.int64()),
+        })
+
+    level1 = by_type.map_batches(type_rows, batch_format="pyarrow")
+    level1 = level1.materialize()
+
+    # grand total: a scalar aggregate over the (already tiny) level-1
+    # rows — the only driver-side values are two int64 scalars
+    tot = level1.aggregate(Sum("n_events", alias_name="n"),
+                           Sum("total_cents", alias_name="cents"))
+    level2 = rd.from_arrow(pa.table({
+        "event_type": pa.array([None], pa.string()),
+        "day": pa.array([None], pa.string()),
+        "n_events": pa.array([int(tot["n"])], pa.int64()),
+        "total_cents": pa.array([int(tot["cents"])], pa.int64()),
+    }))
+
+    return level0.union(level1).union(level2)
+
+
+ROLLUP_EVENTS_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+            AS BIGINT) AS total_cents
+FROM events
+GROUP BY ROLLUP(event_type, day)
+"""

@@ -435,3 +435,230 @@ SELECT pc.doc_id,
 FROM pc JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY pc.doc_id
 """
+
+
+# --- stupid-backoff LM score (held-out train/score split) ---
+# The decontamination-grade variant of lm_bigram_score: the LM is
+# TRAINED on only the even-doc_id half of the corpus and scores EVERY
+# doc, so held-out (odd) docs genuinely hit unseen bigrams and fall
+# back to the unigram model — Brants et al.'s "stupid backoff"
+# (S(w2|w1) = n2/n1 if n2>0 else α·ctf(w2)/N, α = 0.4 = 2/5), the
+# score large-scale pipelines use for quality filtering because it
+# needs no discounting pass. All contributions are per-term integer
+# floors (exact fixed-point, order-free sums, hash-exact SQL mirror):
+#   seen pair:   (10^6 · n2A) // n1A
+#   backoff:     (2 · 10^6 · ctfA(w2)) // (5 · totA)    (0 if unseen)
+#
+# Two hash exchanges, nothing vocabulary-sized ever leaves a bucket:
+# the prefix-hash bucket resolves seen pairs AND identifies backoff
+# rows (train counts and scored pairs co-locate by hash(w1)); the
+# token-hash bucket resolves backoff unigram counts (backoff rows and
+# train unigrams co-locate by hash(w2)). The only driver-side value is
+# totA — one int64 scalar aggregate.
+
+LMBO_ALPHA_NUM = 2
+LMBO_ALPHA_DEN = 5
+
+
+def _lmbo_pair_bucket(g, scale: int = LM_SCALE) -> pa.Table:
+    """Prefix-hash bucket kernel: train counts n1A/n2A from even-doc
+    rows, then per-doc MAIN partials for pairs the train split has
+    seen, and tagged BACKOFF rows (doc_id, w2, tf2) for the rest —
+    one union-schema table, split downstream (the token-hash bucket is
+    attached there via the SHARED _token_bucket_batch so backoff rows
+    and train unigrams can never disagree on the hash)."""
+    from .groupkit import int_group_sums as _int_group_sums
+
+    w1 = g["w1"].to_numpy()
+    w2 = g["w2"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+    tf2 = g["tf2"].to_numpy().astype(np.int64)
+    is_a = (doc_ids % 2 == 0)
+    tf2_a = np.where(is_a, tf2, 0)
+    _, c1 = np.unique(w1, return_inverse=True)
+    n1a = _int_group_sums(c1, tf2_a, c1.max() + 1 if len(c1) else 0)
+    u2, c2 = np.unique(np.char.add(np.char.add(
+        w1.astype(str), "\x1f"), w2.astype(str)), return_inverse=True)
+    n2a = _int_group_sums(c2, tf2_a, len(u2))
+    if len(n2a) and int(n2a.max()) > (2 ** 63 - 1) // scale:
+        raise OverflowError(
+            "lm_backoff_score: bigram count exceeds the integer "
+            "contract bound (~9.2e12); use a log-domain variant for "
+            "corpora this large")
+    seen = n2a[c2] > 0
+    contrib = np.zeros(len(tf2), np.int64)
+    contrib[seen] = (scale * n2a[c2][seen]) // n1a[c1][seen]
+    mdocs, mcodes = np.unique(doc_ids[seen], return_inverse=True)
+    wsum = _int_group_sums(mcodes, (tf2 * contrib)[seen], len(mdocs))
+    npair = _int_group_sums(mcodes, tf2[seen], len(mdocs))
+    bo = ~seen
+    n_m, n_b = len(mdocs), int(bo.sum())
+    return pa.table({
+        "kind": pa.array(["m"] * n_m + ["b"] * n_b, pa.string()),
+        "doc_id": pa.array(np.concatenate([mdocs, doc_ids[bo]]),
+                           pa.int64()),
+        "wsum": pa.array(np.concatenate(
+            [wsum, np.zeros(n_b, np.int64)])),
+        "tf2": pa.array(np.concatenate(
+            [npair, tf2[bo]])),
+        "w2": pa.array(np.concatenate(
+            [np.full(n_m, "", object), w2[bo]]), pa.string()),
+    })
+
+
+def lm_backoff_score(docs, scale: int = LM_SCALE):
+    """documents → (doc_id, wsum, n_pairs, lmbo_score): exact per-doc
+    mean scaled stupid-backoff score (×10^6, floor) under a bigram LM
+    trained on the even-doc_id half; docs with <2 tokens emit no
+    row."""
+    from ray.data.aggregate import Sum
+
+    pairs = docs.map_batches(bigram_freq_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    # materialize: two consumers (main/backoff splits) would otherwise
+    # re-execute the bigram shuffle + kernel once each (Ray Data plans
+    # have no common-subexpression elimination)
+    mixed = pairs.groupby("bucket").map_groups(
+        _lmbo_pair_bucket, batch_format="pandas").materialize()
+
+    def main_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "m"))
+        return pa.table({"doc_id": t["doc_id"], "wsum": t["wsum"],
+                         "n_pairs": t["tf2"]})
+
+    def backoff_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "b"))
+        return pa.table({
+            "kind": t["kind"], "doc_id": t["doc_id"],
+            "token": t["w2"], "tf": t["tf2"],
+        })
+
+    mainp = mixed.map_batches(main_rows, batch_format="pyarrow")
+
+    # train-split unigram counts, co-located with backoff rows by
+    # token hash; totA is the single driver-side scalar
+    def even_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+
+    train_toks = docs.map_batches(even_docs, batch_format="pyarrow") \
+        .map_batches(term_freq_batch, batch_format="pyarrow",
+                     batch_size=4096).materialize()
+    tot_a = train_toks.sum("tf", ignore_nulls=True) or 0
+
+    def tag_train(batch: pa.Table) -> pa.Table:
+        k = len(batch)
+        return pa.table({
+            "kind": pa.array(["u"] * k, pa.string()),
+            "doc_id": batch["doc_id"],
+            "token": batch["token"],
+            "tf": batch["tf"],
+        })
+
+    train_tagged = train_toks.map_batches(tag_train,
+                                          batch_format="pyarrow") \
+        .map_batches(_token_bucket_batch, batch_format="pyarrow")
+
+    # the SAME bucket helper on both union sides — co-location by
+    # construction (see groupkit.pair_bucket_ids' convention note)
+    both = mixed.map_batches(backoff_rows, batch_format="pyarrow") \
+        .map_batches(_token_bucket_batch, batch_format="pyarrow") \
+        .union(train_tagged)
+
+    def backoff_bucket(g, _tot=int(tot_a), _scale=scale):
+        from .groupkit import int_group_sums as _int_group_sums
+
+        is_u = (g["kind"] == "u").to_numpy()
+        toks = g["token"].to_numpy()
+        tf = g["tf"].to_numpy().astype(np.int64)
+        utoks, codes = np.unique(toks, return_inverse=True)
+        ctf = _int_group_sums(codes, np.where(is_u, tf, 0),
+                              len(utoks))
+        # same loud-failure contract as the seen-pair branch: a
+        # stopword's train ctf past ~4.6e12 would wrap int64 silently
+        # while the HUGEINT oracle stays exact
+        if len(ctf) and int(ctf.max()) > \
+                (2 ** 63 - 1) // (LMBO_ALPHA_NUM * _scale):
+            raise OverflowError(
+                "lm_backoff_score: unigram count exceeds the integer "
+                "contract bound (~4.6e12); use a log-domain variant "
+                "for corpora this large")
+        b = ~is_u
+        contrib = (LMBO_ALPHA_NUM * _scale * ctf[codes[b]]) \
+            // (LMBO_ALPHA_DEN * _tot) if _tot else \
+            np.zeros(int(b.sum()), np.int64)
+        docs_b = g["doc_id"].to_numpy().astype(np.int64)[b]
+        udocs, dcodes = np.unique(docs_b, return_inverse=True)
+        wsum = _int_group_sums(dcodes, tf[b] * contrib, len(udocs))
+        npair = _int_group_sums(dcodes, tf[b], len(udocs))
+        return pa.table({
+            "doc_id": pa.array(udocs, pa.int64()),
+            "wsum": pa.array(wsum),
+            "n_pairs": pa.array(npair),
+        })
+
+    backp = both.groupby("bucket").map_groups(
+        backoff_bucket, batch_format="pandas")
+
+    sums = mainp.union(backp).groupby("doc_id").aggregate(
+        Sum("wsum", alias_name="wsum"),
+        Sum("n_pairs", alias_name="n_pairs"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch["wsum"].to_numpy(zero_copy_only=False)
+        n = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "wsum": batch["wsum"].cast(pa.int64()),
+            "n_pairs": batch["n_pairs"].cast(pa.int64()),
+            "lmbo_score": pa.array(w // n, pa.int64()),
+        })
+
+    return sums.map_batches(score, batch_format="pyarrow")
+
+
+LM_BACKOFF_SCORE_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         unnest(list_slice(toks, 2, len(toks))) AS w2
+  FROM l WHERE len(toks) >= 2
+), pcnt AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf2
+  FROM p GROUP BY doc_id, w1, w2
+), c2a AS (
+  SELECT w1, w2, CAST(sum(tf2) AS BIGINT) AS n2
+  FROM pcnt WHERE doc_id % 2 = 0 GROUP BY w1, w2
+), c1a AS (
+  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2a GROUP BY w1
+), uni AS (
+  SELECT t.token AS token, CAST(count(*) AS BIGINT) AS ctf
+  FROM l, unnest(toks) AS t(token)
+  WHERE doc_id % 2 = 0 GROUP BY t.token
+), tot AS (
+  SELECT CAST(coalesce(sum(ctf), 0) AS BIGINT) AS n FROM uni
+), contrib AS (
+  SELECT pcnt.doc_id, pcnt.tf2,
+         CASE WHEN c2a.n2 IS NOT NULL
+              THEN ({LM_SCALE} * c2a.n2) // c1a.n1
+              WHEN tot.n = 0 THEN 0
+              ELSE ({LMBO_ALPHA_NUM} * {LM_SCALE}
+                    * coalesce(uni.ctf, 0))
+                   // ({LMBO_ALPHA_DEN} * tot.n)
+         END AS c
+  FROM pcnt
+  LEFT JOIN c2a USING (w1, w2)
+  LEFT JOIN c1a USING (w1)
+  LEFT JOIN uni ON uni.token = pcnt.w2
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(tf2 * c) AS BIGINT) AS wsum,
+       CAST(sum(tf2) AS BIGINT) AS n_pairs,
+       CAST(sum(tf2 * c) // sum(tf2) AS BIGINT) AS lmbo_score
+FROM contrib GROUP BY doc_id
+"""

@@ -442,3 +442,172 @@ def test_property_table_and_full_outer_parity_sf(ray_session, sf_dir):
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
         assert len(a) > 0
+
+
+def test_resource_allocation_semantics(ray_session):
+    """Star a,b,c around hub h (+ edge a—b): every wedge weight is
+    floor(10^6 / deg(center)); deg(h)=3, deg(a)=deg(b)=2. Pairs via
+    center h — (a,b), (a,c), (b,c) — score 333333; (a,h) via center b
+    and (b,h) via center a score 500000."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import resource_allocation
+
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = resource_allocation(rd.from_arrow(tbl)).to_pandas()
+    got = {(r.u, r.v): r.ra_score for r in out.itertuples()}
+    assert got == {("a", "b"): 333333, ("a", "c"): 333333,
+                   ("b", "c"): 333333, ("a", "h"): 500000,
+                   ("b", "h"): 500000}
+
+
+def test_robust_outliers_semantics(ray_session, tmp_path):
+    """User 1: nine values at 10 (MAD 0) and one at 100 → only the 100
+    is flagged (|v-med| > 0). User 2: spread values where MAD > 0
+    gates the flag at 3×MAD exactly (strict >)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from jsonld_js_ray.stages.rank import robust_outliers
+
+    vals1 = [10.0] * 9 + [100.0]
+    # user 2: sorted [1..7, 100]; med = 4 (pos ceil(.5*8)=4), devs
+    # sorted [0,1,1,2,2,3,3,96] → MAD = 2; flag |v-4| > 6 → only 100
+    vals2 = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    vals = vals1 + vals2
+    users = [1] * len(vals1) + [2] * len(vals2)
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * len(vals),
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * len(vals), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * len(vals), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = robust_outliers(str(tmp_path)).to_pandas() \
+        .sort_values("event_id")
+    assert out["value"].tolist() == [100.0, 100.0]
+    assert out["user_id"].tolist() == [1, 2]
+
+
+def test_rollup_levels_consistent(ray_session, sf_dir):
+    """The three rollup levels agree internally: finest rows sum to
+    each type subtotal, subtotals sum to the grand total."""
+    import __ray_entry__ as E
+
+    df = E.queries()["rollup_events"](sf_dir).to_pandas()
+    fine = df[df["day"].notna()]
+    types = df[df["day"].isna() & df["event_type"].notna()]
+    grand = df[df["event_type"].isna()]
+    assert len(grand) == 1
+    assert grand["n_events"].iloc[0] == fine["n_events"].sum()
+    assert grand["total_cents"].iloc[0] == fine["total_cents"].sum()
+    by_t = fine.groupby("event_type")[["n_events", "total_cents"]] \
+        .sum()
+    for t, row in types.set_index("event_type").iterrows():
+        assert row["n_events"] == by_t.loc[t, "n_events"]
+        assert row["total_cents"] == by_t.loc[t, "total_cents"]
+
+
+def test_new_relational_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    for q in ("robust_outliers", "rollup_events",
+              "kg_resource_allocation"):
+        a = _parity(E, q, sf_dir, ("events",))
+        assert len(a) > 0
+
+
+def test_lm_backoff_semantics(ray_session):
+    """Train split = even doc_ids. Doc 0 (train): pair (a,b) seen
+    twice, (b,a) once -> all pairs seen, pure conditional probs.
+    Doc 1 (held-out): pair (a,b) seen in train -> main branch;
+    pair (b,z) unseen -> backoff to alpha * ctf(z)/totA = 0 (z not in
+    train); pair (z,q) unseen, q unseen -> 0."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.tfidf import LM_SCALE, lm_backoff_score
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b a b a", "a b z q"], pa.string()),
+    })
+    out = lm_backoff_score(rd.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # train counts (doc 0 only): pairs (a,b)x2 (b,a)x2; n1(a)=2 n1(b)=2
+    # doc 0: pairs (a,b) tf2=2 contrib=SCALE*2//2=SCALE;
+    #        (b,a) tf2=2 contrib=SCALE -> mean = SCALE
+    assert out.loc[0, "lmbo_score"] == LM_SCALE
+    # doc 1: (a,b) seen contrib=SCALE; (b,z) unseen, ctfA(z)=0 -> 0;
+    #        (z,q) unseen, ctfA(q)=0 -> 0 -> mean = SCALE // 3
+    assert out.loc[1, "n_pairs"] == 3
+    assert out.loc[1, "lmbo_score"] == LM_SCALE // 3
+    # backoff to a SEEN unigram: doc 3 pairs (b,c): c unseen as pair
+    # second... craft: train doc 2 = "c c c" (ctfA(c)=3), doc 3 = "b c"
+    docs2 = pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["c c c", "b c"], pa.string()),
+    })
+    out2 = lm_backoff_score(rd.from_arrow(docs2)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 3: pair (b,c) unseen in train (train has only (c,c));
+    # backoff = (2*SCALE*ctfA(c)) // (5*totA) = (2*SCALE*3)//(5*3)
+    assert out2.loc[3, "lmbo_score"] == (2 * LM_SCALE * 3) // (5 * 3)
+
+
+def test_lm_backoff_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "lm_backoff_score", sf_dir, ("documents",))
+    assert len(a) == 500
+    # held-out (odd) docs hit unseen bigrams: their mean score must
+    # fall below the train split's (backoff contributions are tiny)
+    even = a[a["doc_id"] % 2 == 0]["lmbo_score"].mean()
+    odd = a[a["doc_id"] % 2 == 1]["lmbo_score"].mean()
+    assert odd < even
+
+
+def test_rollup_null_event_type(ray_session, tmp_path):
+    """A NULL event_type groups as its own finest-level key (not the
+    string 'None'), exactly as DuckDB ROLLUP groups NULLs; the output
+    multiset matches the oracle on the same file."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonld_js_ray.stages.rollup import rollup_events
+
+    tbl = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * 2
+                       + [dt.datetime(2026, 1, 2)] * 2,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+        "event_type": pa.array(["click", None, "click", None],
+                               pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+        "props": pa.array([""] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    mine = rollup_events(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    orc = con.sql(E.oracle_sql()["rollup_events"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # NULL-typed events form real finest-level groups (day non-null)
+    assert ((a["event_type"].isna()) & (a["day"].notna())).sum() == 2
