@@ -864,44 +864,72 @@ _REACH_INF = np.int64(2 ** 62)
 def _reach_seed(quads):
     """quad table → the round-0 exchange rows: globally-distinct
     undirected adjacency (both directions, each copy keyed by the
-    bucket of the node it is FOR) + dist-0 state rows for every seed
-    (per-batch distinct; duplicates are harmless under min)."""
-    def seed_rows(batch: pa.Table) -> pa.Table:
+    bucket of the node it is FOR) + dist-0 state rows for every seed.
+
+    ONE pass over the quad stream emits both row kinds (seed rows ride
+    the edge exchange with a NULL v) — two separate consumers of
+    ``quads`` would re-execute the whole upstream KG pipeline per
+    consumer (Ray Data plans have no common-subexpression
+    elimination)."""
+    def edge_and_seed_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = batch.filter(pc.equal(batch["obj_kind"], "iri"))
+        s = np.asarray(t["subj"].to_pylist(), dtype=str)
+        o = np.asarray(t["obj_value"].to_pylist(), dtype=str)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        lo = s < o
+        u = np.where(lo, s, o)
+        v = np.where(lo, o, s)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
         m = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
         ents = np.unique(np.asarray(m["obj_value"].to_pylist(),
                                     dtype=object))
+        uu = np.concatenate([df["u"].to_numpy(object), ents])
+        vv = np.concatenate([df["v"].to_numpy(object),
+                             np.full(len(ents), None, object)])
         return pa.table({
-            "node": pa.array(ents, pa.string()),
-            "dst": pa.array([None] * len(ents), pa.string()),
-            "dist": pa.array(np.zeros(len(ents), np.int64)),
-            "bucket": _bucket_of(ents),
+            "u": pa.array(uu, pa.string()),
+            "v": pa.array(vv, pa.string()),
+            "bucket": _bucket_of(uu),
         })
 
-    def adj_in_bucket(g) -> pa.Table:
-        df = g[["u", "v"]].drop_duplicates()
+    def seed_adj_in_bucket(g) -> pa.Table:
+        is_seed = g["v"].isna().to_numpy()
+        ents = np.unique(g["u"].to_numpy()[is_seed])
+        df = g[~is_seed][["u", "v"]].drop_duplicates()
         u = df["u"].to_numpy(object)
         v = df["v"].to_numpy(object)
-        n = len(u)
+        n, k = len(u), len(ents)
         return pa.table({
-            "node": pa.array(np.concatenate([u, v]), pa.string()),
-            "dst": pa.array(np.concatenate([v, u]), pa.string()),
-            "dist": pa.array([None] * (2 * n), pa.int64()),
+            "node": pa.array(np.concatenate([u, v, ents]),
+                             pa.string()),
+            "dst": pa.array(np.concatenate(
+                [v, u, np.full(k, None, object)]), pa.string()),
+            "dist": pa.array(np.concatenate(
+                [np.full(2 * n, None, object),
+                 np.zeros(k, object)]), pa.int64()),
             "bucket": pa.array(np.concatenate([
-                _bucket_of(u).to_numpy(), _bucket_of(v).to_numpy()])),
+                _bucket_of(u).to_numpy(), _bucket_of(v).to_numpy(),
+                _bucket_of(ents).to_numpy()])),
         })
 
-    adj = quads.map_batches(_canon_edge_rows, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(adj_in_bucket,
+    return quads.map_batches(edge_and_seed_rows,
+                             batch_format="pyarrow") \
+        .groupby("bucket").map_groups(seed_adj_in_bucket,
                                       batch_format="pandas")
-    seeds = quads.map_batches(seed_rows, batch_format="pyarrow")
-    return adj.union(seeds)
 
 
-def _reach_round(state, last: bool):
+def _reach_round(state, t: int, last: bool):
     """One superstep: per node, new dist = min over its dist rows
     (own state + incoming messages); then (unless ``last``) re-emit
     adjacency + state in place and one message dist+1 per adjacency
-    row whose source is already reached, keyed by bucket(dst)."""
+    row whose source is on the FRONTIER (dist == ``t`` exactly — in
+    unweighted BFS a node at distance d is first reached at superstep
+    d, so each node emits messages in exactly one superstep; emitting
+    from all reached nodes every round would re-ship the same
+    messages hops× over), keyed by bucket(dst)."""
     def round_in_bucket(g) -> pa.Table:
         is_a = g["dst"].notna().to_numpy()
         node = g["node"].to_numpy()
@@ -921,10 +949,17 @@ def _reach_round(state, last: bool):
         a_dst = g["dst"].to_numpy()[is_a]
         idx = np.searchsorted(nodes, a_src)
         idx_ok = np.minimum(idx, max(len(nodes) - 1, 0))
-        reached = np.zeros(len(a_src), bool) if not len(nodes) else (
+        in_state = np.zeros(len(a_src), bool) if not len(nodes) else (
             (idx < len(nodes)) & (nodes[idx_ok] == a_src))
-        m_dst = a_dst[reached]
-        m_dist = dists[idx_ok[reached]] + 1
+        is_front = in_state.copy()
+        if len(nodes):
+            is_front[in_state] = dists[idx_ok[in_state]] == t
+        m_dst = a_dst[is_front]
+        m_dist = np.full(len(m_dst), t + 1, np.int64)
+        # a reached source has emitted (now, or at its own earlier
+        # frontier superstep) — its adjacency rows are dead weight for
+        # every later exchange; only unreached-source rows survive
+        a_src, a_dst = a_src[~in_state], a_dst[~in_state]
         b = np.int32(g["bucket"].iloc[0])
         n_e, n_s, n_m = len(a_src), len(nodes), len(m_dst)
         out_node = np.concatenate([a_src, nodes, m_dst])
@@ -960,7 +995,7 @@ def reach_quads(quads, hops: int = REACH_HOPS):
     nodes are absent from the output."""
     state = _reach_seed(quads)
     for t in range(hops + 1):
-        state = _reach_round(state, last=(t == hops))
+        state = _reach_round(state, t, last=(t == hops))
     return state
 
 
