@@ -501,10 +501,15 @@ def _lp_seed(quads):
     harmless — min() is idempotent — so no node-dedup pass is needed.
 
     Row kinds share one schema: adjacency rows have dst non-null /
-    lab null; state and message rows are indistinguishable on purpose
-    (new label = min over ALL label rows of a node, own and incoming
-    alike — exactly the s_t = min(s_{t-1}, i_t) recurrence, since the
-    own s_{t-1} label always rides as a label row)."""
+    lab null; STATE rows carry the empty-string dst sentinel and
+    message rows a null dst — the new label is still min over ALL
+    label rows (own and incoming alike — exactly the
+    s_t = min(s_{t-1}, i_t) recurrence), but the state/message split
+    lets each round detect whether a node's label CHANGED and message
+    its neighbors only then (labels only decrease and min is
+    monotone, so skipping re-delivery of an unchanged label cannot
+    alter any round's result — the label already folded on first
+    arrival)."""
     def seed_in_bucket(g) -> pa.Table:
         df = g[["u", "v"]].drop_duplicates()
         u = df["u"].to_numpy()
@@ -513,10 +518,11 @@ def _lp_seed(quads):
         bu = _bucket_of(u).to_numpy()
         bv = _bucket_of(v).to_numpy()
         none = np.full(n, None, object)
-        # order: adj u→v, adj v→u, lab (u,u), lab (v,v), msg (v,u),
-        # msg (u,v)
+        empty = np.full(n, "", object)
+        # order: adj u→v, adj v→u, state (u,u), state (v,v),
+        # msg (v,u), msg (u,v)
         node = np.concatenate([u, v, u, v, v, u])
-        dst = np.concatenate([v, u, none, none, none, none])
+        dst = np.concatenate([v, u, empty, empty, none, none])
         lab = np.concatenate([none, none, u, v, u, v])
         bucket = np.concatenate([bu, bv, bu, bv, bv, bu])
         return pa.table({
@@ -568,37 +574,60 @@ def _lp_round(state, last: bool):
     """One fused propagation superstep: per node, new label = min over
     ALL its label rows (own state + incoming messages — exactly
     s_t = min(s_{t-1}, i_t)); then (unless ``last``) re-emit adjacency
-    + new state in place and one message per adjacency row, the new
-    source label keyed by bucket(dst)."""
+    + new state in place, and message neighbors ONLY for nodes whose
+    label changed this round (delta propagation — an unchanged label
+    already folded at the neighbor on first delivery, so re-sending
+    it every round is pure shuffle waste; late rounds go quiet as the
+    labels converge)."""
     def round_in_bucket(g) -> pa.Table:
-        is_a = g["dst"].notna().to_numpy()
+        import pandas as pd
+
+        dst_all = g["dst"].to_numpy()
+        is_state = np.asarray(dst_all == "", bool)
+        is_lab = is_state | pd.isna(dst_all)
         node = g["node"].to_numpy()
-        nodes, labs = _min_per_run(node[~is_a],
-                                   g["lab"].to_numpy()[~is_a])
+        lab_all = g["lab"].to_numpy()
+        nodes, labs = _min_per_run(node[is_lab], lab_all[is_lab])
         if last:
             return pa.table({
                 "node": pa.array(nodes, pa.string()),
                 "lab": pa.array(labs, pa.string()),
             })
+        # old label per node = min over its state rows (seed emits one
+        # per incident edge, all equal); changed ⇔ some message beat it
+        onodes, olabs = _min_per_run(node[is_state],
+                                     lab_all[is_state])
+        oidx = np.searchsorted(onodes, nodes)
+        if len(nodes) and not ((oidx < len(onodes)).all()
+                               and (onodes[oidx] == nodes).all()):
+            raise AssertionError(
+                "components invariant broken: label row with no "
+                "state row in its bucket")
+        changed = labs != olabs[oidx] if len(nodes) else \
+            np.zeros(0, bool)
+        is_a = ~is_lab
         a_src = node[is_a]
-        a_dst = g["dst"].to_numpy()[is_a]
+        a_dst = dst_all[is_a]
         idx = np.searchsorted(nodes, a_src)
         if len(a_src) and not ((idx < len(nodes)).all()
                                and (nodes[idx] == a_src).all()):
             raise AssertionError(
                 "components invariant broken: adjacency source with "
                 "no label row in its bucket")
-        msg_lab = labs[idx]
+        emit = changed[idx]
+        m_dst = a_dst[emit]
+        msg_lab = labs[idx[emit]]
         b = np.int32(g["bucket"].iloc[0])
-        n_e, n_s = len(a_src), len(nodes)
-        none_e = np.full(n_e, None, object)
-        out_node = np.concatenate([a_src, nodes, a_dst])
+        n_e, n_s, n_m = len(a_src), len(nodes), len(m_dst)
+        out_node = np.concatenate([a_src, nodes, m_dst])
         out_dst = np.concatenate(
-            [a_dst, np.full(n_s + n_e, None, object)])
-        out_lab = np.concatenate([none_e, labs, msg_lab])
+            [a_dst, np.full(n_s, "", object),
+             np.full(n_m, None, object)])
+        out_lab = np.concatenate(
+            [np.full(n_e, None, object), labs, msg_lab])
         bucket = np.concatenate([
             np.full(n_e + n_s, b, np.int32),
-            _bucket_of(a_dst).to_numpy()])
+            _bucket_of(m_dst).to_numpy()])
         return pa.table({
             "node": pa.array(out_node, pa.string()),
             "dst": pa.array(out_dst, pa.string()),
