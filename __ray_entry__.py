@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
+        "user_value_ntiles": _q_user_value_ntiles,
+        "pricing_summary": _q_pricing_summary,
         "kg_resource_allocation": _q_kg_resource_allocation,
         "funnel_stages": _q_funnel_stages,
         # streaming-shaped windowed aggregates (engine-only operators)
@@ -282,6 +284,18 @@ def _q_rollup_events(sf_dir: str):
     from jsonld_js_ray.stages.rollup import rollup_events
 
     return rollup_events(sf_dir)
+
+
+def _q_user_value_ntiles(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_value_ntiles
+
+    return user_value_ntiles(sf_dir)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from jsonld_js_ray.stages.rollup import pricing_summary
+
+    return pricing_summary(sf_dir)
 
 
 def _q_kg_resource_allocation(sf_dir: str):
@@ -587,11 +601,15 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.rank import (
         ROBUST_OUTLIERS_SQL,
+        USER_NTILES_SQL,
         RUNNING_TOTALS_SQL,
         TOP_EVENTS_SQL,
         USER_QUANTILES_SQL,
     )
-    from jsonld_js_ray.stages.rollup import ROLLUP_EVENTS_SQL
+    from jsonld_js_ray.stages.rollup import (
+        PRICING_SUMMARY_SQL,
+        ROLLUP_EVENTS_SQL,
+    )
     from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
@@ -773,6 +791,10 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": ROBUST_OUTLIERS_SQL,
         # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)
         "rollup_events": ROLLUP_EVENTS_SQL,
+        # NTILE window (per-user quartile bucketing, deterministic ties)
+        "user_value_ntiles": USER_NTILES_SQL,
+        # TPC-H-Q1-shaped read-prune + partial aggregate (exact cents)
+        "pricing_summary": PRICING_SUMMARY_SQL,
         # degree-weighted link prediction (exact fixed-point Σ 1/deg)
         "kg_resource_allocation": _resource_allocation_oracle(),
         # canonical lowercase/alnum-collapsed text (RE2 both sides)

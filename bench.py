@@ -183,10 +183,19 @@ def run_bench() -> dict:
     robust_outliers(SF_DIR).count()
     queries["robust_outliers"] = round(time.perf_counter() - t0, 3)
 
-    from jsonld_js_ray.stages.rollup import rollup_events
+    from jsonld_js_ray.stages.rollup import pricing_summary, rollup_events
     t0 = time.perf_counter()
     rollup_events(SF_DIR).count()
     queries["rollup_events"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pricing_summary(SF_DIR).count()
+    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.rank import user_value_ntiles
+    t0 = time.perf_counter()
+    user_value_ntiles(SF_DIR).count()
+    queries["user_value_ntiles"] = round(time.perf_counter() - t0, 3)
 
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry

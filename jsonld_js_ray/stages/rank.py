@@ -150,6 +150,57 @@ def user_running_totals(sf_dir: str):
                                            batch_format="pandas")
 
 
+NTILES = 4
+
+
+def user_value_ntiles(sf_dir: str, tiles: int = NTILES):
+    """events → (event_id, user_id, tile): NTILE(``tiles``) OVER
+    (PARTITION BY user_id ORDER BY value, event_id) — the quartile
+    bucketing a feature pipeline uses to discretize a per-user
+    distribution. SQL NTILE semantics exactly: the first n % tiles
+    buckets get ⌈n/tiles⌉ rows, the rest ⌊n/tiles⌋; the (value,
+    event_id) order key makes ties deterministic. One user-hash shard
+    shuffle, one lexsort + run arithmetic per shard."""
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "user_id", "value"]))
+
+    def per_shard(g, _t=tiles):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eids, vals, users))
+        users, eids = users[order], eids[order]
+        starts = run_starts(users)
+        ns = run_lengths(users, starts)
+        pos = run_positions(users, starts)
+        n_per = np.repeat(ns, ns)
+        big = n_per // _t + 1            # size of the first-rem tiles
+        rem = n_per % _t
+        cut = rem * big                  # rows covered by big tiles
+        in_big = pos < cut
+        small = np.maximum(n_per // _t, 1)   # guard n < tiles (rem>pos)
+        tile = np.where(in_big, pos // big,
+                        rem + (pos - cut) // small) + 1
+        return pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+USER_NTILES_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(ntile({NTILES}) OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id)
+            AS BIGINT) AS tile
+FROM events
+"""
+
+
 MAD_K = 3.0
 
 

@@ -35,6 +35,28 @@ def _cents(vals: np.ndarray) -> np.ndarray:
     return np.where(np.isnan(out), 0, out).astype(np.int64)
 
 
+def _enc(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """NULL-safe key encoding: 'v' + value, or bare 'n' for NULL —
+    collision-free by the prefix, so a genuine NULL group (SQL groups
+    NULLs together) round-trips exactly and can never collide with a
+    value that stringifies to 'None'. EVERY keyed partial aggregate in
+    this module must use this one encoder (and ``_dec``) so the NULL
+    convention can't silently diverge between operators."""
+    vals = col.to_numpy(zero_copy_only=False)
+    isnull = pc.is_null(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+        else col).to_numpy(zero_copy_only=False)
+    filled = np.where(isnull, "", vals).astype(str)
+    return np.where(isnull, "n", np.char.add("v", filled))
+
+
+def _dec(enc: pa.Array) -> pa.Array:
+    """Inverse of _enc: strip the 'v' prefix, 'n' → NULL."""
+    vals = pc.utf8_slice_codeunits(enc, 1)
+    return pc.if_else(pc.equal(enc, "n"),
+                      pa.scalar(None, pa.string()), vals)
+
+
 def rollup_events(sf_dir: str):
     """events → (event_type, day, n_events, total_cents) at all three
     rollup levels; the subtotal rows carry NULL in the rolled-up
@@ -47,18 +69,6 @@ def rollup_events(sf_dir: str):
         columns=["ts", "event_type", "value"],
     ).map_batches(_strip_meta, batch_format="pyarrow",
                   zero_copy_batch=True)
-
-    def _enc(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-        """NULL-safe key encoding: 'v' + value, or bare 'n' for NULL —
-        collision-free by the prefix, so a genuine NULL group (SQL
-        groups NULLs together under ROLLUP) round-trips exactly and can
-        never collide with a value that stringifies to 'None'."""
-        vals = col.to_numpy(zero_copy_only=False)
-        isnull = pc.is_null(
-            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-            else col).to_numpy(zero_copy_only=False)
-        filled = np.where(isnull, "", vals).astype(str)
-        return np.where(isnull, "n", np.char.add("v", filled))
 
     def partial(batch: pa.Table) -> pa.Table:
         day = _enc(pc.strftime(batch["ts"], format="%Y-%m-%d"))
@@ -79,12 +89,6 @@ def rollup_events(sf_dir: str):
                               batch_size=65536) \
         .groupby("k").aggregate(Sum("n", alias_name="n"),
                                 Sum("cents", alias_name="cents"))
-
-    def _dec(enc: pa.Array) -> pa.Array:
-        """Inverse of _enc: strip the 'v' prefix, 'n' → NULL."""
-        vals = pc.utf8_slice_codeunits(enc, 1)
-        return pc.if_else(pc.equal(enc, "n"),
-                          pa.scalar(None, pa.string()), vals)
 
     def fine_rows(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["k"], pattern=_SEP)
@@ -145,4 +149,107 @@ SELECT event_type,
             AS BIGINT) AS total_cents
 FROM events
 GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# --- TPC-H-Q1-shaped pricing summary over lineitem ---
+# The canonical read-prune + partial-aggregate benchmark query: filter
+# at the parquet read (shipdate cutoff -> row groups never leave
+# storage), per-batch partials over the 6-value (returnflag,
+# linestatus) key, one tiny groupby to finish. Money/quantity sums use
+# the repo's exact-cents contract: each row's disc_price and charge
+# are the same IEEE-754 double products in numpy and DuckDB, floored
+# to integer cents BEFORE summing, so group sums are order-free and
+# hash-exact (a float SUM would be order-nondeterministic).
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str, cutoff: str = Q1_CUTOFF):
+    """lineitem → one row per (l_returnflag, l_linestatus) with exact
+    integer-cent sums of quantity, base price, discounted price and
+    charge, plus the row count, over rows shipped on/before
+    ``cutoff``."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cut = np.datetime64(cutoff)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=pads.field("l_shipdate")
+        <= pads.scalar(cut.astype("datetime64[us]")),
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = _enc(batch["l_returnflag"])
+        ls = _enc(batch["l_linestatus"])
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        disc_price = price * (1 - disc)
+        qty_c = _cents(qty)
+        base_c = _cents(price)
+        disc_c = _cents(disc_price)
+        charge_c = _cents(disc_price * (1 + tax))
+        key = np.char.add(np.char.add(rf, _SEP), ls)
+        uniq, codes = np.unique(key, return_inverse=True)
+        from .groupkit import int_group_sums
+        k = len(uniq)
+        return pa.table({
+            "k": pa.array(uniq, pa.string()),
+            "sum_qty_c": pa.array(int_group_sums(codes, qty_c, k)),
+            "sum_base_c": pa.array(int_group_sums(codes, base_c, k)),
+            "sum_disc_c": pa.array(int_group_sums(codes, disc_c, k)),
+            "sum_charge_c": pa.array(
+                int_group_sums(codes, charge_c, k)),
+            "n_items": pa.array(
+                np.bincount(codes, minlength=k).astype(np.int64)),
+        })
+
+    agg = li.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("k").aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("sum_charge_c", alias_name="sum_charge_c"),
+            Sum("n_items", alias_name="n_items"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["k"], pattern=_SEP)
+        return pa.table({
+            "l_returnflag": _dec(pc.list_element(parts, 0)),
+            "l_linestatus": _dec(pc.list_element(parts, 1)),
+            "sum_qty_c": batch["sum_qty_c"].cast(pa.int64()),
+            "sum_base_c": batch["sum_base_c"].cast(pa.int64()),
+            "sum_disc_c": batch["sum_disc_c"].cast(pa.int64()),
+            "sum_charge_c": batch["sum_charge_c"].cast(pa.int64()),
+            "n_items": batch["n_items"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_disc_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_charge_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
 """

@@ -611,3 +611,45 @@ def test_rollup_null_event_type(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     # NULL-typed events form real finest-level groups (day non-null)
     assert ((a["event_type"].isna()) & (a["day"].notna())).sum() == 2
+
+
+def test_ntile_semantics(ray_session, tmp_path):
+    """NTILE(4) sizing: n=6 -> tile sizes 2,2,1,1; n=3 (< tiles) ->
+    each row its own tile; ties broken by event_id."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from jsonld_js_ray.stages.rank import user_value_ntiles
+
+    vals1 = [5.0, 1.0, 3.0, 3.0, 2.0, 4.0]      # user 1, n=6
+    vals2 = [9.0, 7.0, 8.0]                      # user 2, n=3
+    vals = vals1 + vals2
+    users = [1] * 6 + [2] * 3
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * len(vals),
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * len(vals), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * len(vals), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_value_ntiles(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["tile"]
+    # user 1 sorted by (value, event_id): e1(1) e4(2) e2(3) e3(3)
+    # e5(4) e0(5) -> tiles 1,1,2,2,3,4
+    assert out[[1, 4, 2, 3, 5, 0]].tolist() == [1, 1, 2, 2, 3, 4]
+    # user 2 sorted: e7(7) e8(8) e6(9) -> tiles 1,2,3
+    assert out[[7, 8, 6]].tolist() == [1, 2, 3]
+
+
+def test_ntile_and_pricing_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "user_value_ntiles", sf_dir, ("events",))
+    assert set(a["tile"].unique()) == {1, 2, 3, 4}
+    b = _parity(E, "pricing_summary", sf_dir, ("lineitem",))
+    assert len(b) == 6 and (b["sum_charge_c"] >= b["sum_disc_c"]).all()
+    assert (b["sum_base_c"] >= b["sum_disc_c"]).all()
