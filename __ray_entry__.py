@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
+        "shipping_priority": _q_shipping_priority,
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ntiles": _q_user_value_ntiles,
         "pricing_summary": _q_pricing_summary,
         "kg_resource_allocation": _q_kg_resource_allocation,
+        "kg_entity_lift": _q_kg_entity_lift,
         "funnel_stages": _q_funnel_stages,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
@@ -296,6 +298,43 @@ def _q_pricing_summary(sf_dir: str):
     from jsonld_js_ray.stages.rollup import pricing_summary
 
     return pricing_summary(sf_dir)
+
+
+def _q_kg_entity_lift(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import entity_lift
+
+    return entity_lift(sf_dir)
+
+
+def _entity_lift_oracle() -> str:
+    from jsonld_js_ray.pipelines.kg import LIFT_SCALE
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL as QSQL,
+    )
+    from jsonld_js_ray.stages.assemble import CONV_VOCAB
+
+    return f"""
+WITH q AS ({QSQL}),
+h AS (SELECT subj AS conv, obj_value AS turn FROM q
+      WHERE pred = '{CONV_VOCAB}hasTurn'),
+m AS (SELECT subj AS turn, obj_value AS entity FROM q
+      WHERE pred = '{CONV_VOCAB}mentions'),
+ce AS (SELECT DISTINCT h.conv, m.entity
+       FROM h JOIN m ON h.turn = m.turn),
+n1 AS (SELECT entity, CAST(count(*) AS BIGINT) AS c
+       FROM ce GROUP BY entity),
+nn AS (SELECT CAST(count(DISTINCT conv) AS BIGINT) AS n FROM ce),
+p AS (SELECT a.entity AS e1, b.entity AS e2,
+             CAST(count(*) AS BIGINT) AS n12
+      FROM ce a JOIN ce b ON a.conv = b.conv AND a.entity < b.entity
+      GROUP BY a.entity, b.entity)
+SELECT p.e1, p.e2, p.n12 AS n_both,
+       CAST((nn.n * p.n12 * {LIFT_SCALE}) // (x.c * y.c) AS BIGINT)
+           AS lift
+FROM p JOIN n1 x ON x.entity = p.e1
+       JOIN n1 y ON y.entity = p.e2
+       CROSS JOIN nn
+"""
 
 
 def _q_kg_resource_allocation(sf_dir: str):
@@ -445,6 +484,12 @@ def _property_table_oracle() -> str:
     return property_table_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
+def _q_shipping_priority(sf_dir: str):
+    from jsonld_js_ray.stages.joins import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
 def _q_join_full_outer(sf_dir: str):
     from jsonld_js_ray.stages.joins import full_outer_join_clicks_purchases
 
@@ -588,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         BUCKETED_JOIN_SQL,
         FULL_OUTER_JOIN_SQL,
         LEFT_JOIN_SQL,
+        SHIPPING_PRIORITY_SQL,
         RANGE_JOIN_SQL,
         TOPK_DOCS_SQL,
     )
@@ -778,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "join_left": LEFT_JOIN_SQL,
         # partitioned hash FULL OUTER join (both sides optional)
         "join_full_outer": FULL_OUTER_JOIN_SQL,
+        # 3-table broadcast+bucketed join with partial top-k (Q3 shape)
+        "shipping_priority": SHIPPING_PRIORITY_SQL,
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
@@ -797,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": PRICING_SUMMARY_SQL,
         # degree-weighted link prediction (exact fixed-point Σ 1/deg)
         "kg_resource_allocation": _resource_allocation_oracle(),
+        # conversation-level co-mention lift (statistical link proposal)
+        "kg_entity_lift": _entity_lift_oracle(),
         # canonical lowercase/alnum-collapsed text (RE2 both sides)
         "normalize_text": NORMALIZE_TEXT_SQL,
         # strict-after chained stage mins (sequential pattern match)

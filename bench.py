@@ -178,6 +178,16 @@ def run_bench() -> dict:
     resource_allocation(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_resource_allocation"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.joins import shipping_priority
+    t0 = time.perf_counter()
+    shipping_priority(SF_DIR).count()
+    queries["shipping_priority"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.pipelines.kg import entity_lift
+    t0 = time.perf_counter()
+    entity_lift(SF_DIR).count()
+    queries["kg_entity_lift"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.rank import robust_outliers
     t0 = time.perf_counter()
     robust_outliers(SF_DIR).count()

@@ -598,3 +598,146 @@ FULL OUTER JOIN
       WHERE event_type = 'purchase' GROUP BY user_id) p
 ON c.user_id = p.user_id
 """
+
+
+# --- TPC-H-Q3-shaped 3-table join (broadcast + bucketed + top-k) ---
+# The composition showcase: a small filtered dimension BROADCAST
+# (segment customers — ray.put once, np.isin per batch), two
+# read-pruned fact scans (order-date and ship-date filters pushed to
+# the parquet reads), one bucketed hash join on the shared orderkey
+# with per-batch partial revenue aggregation on the lineitem side,
+# and a partial-top-k global sort (the topk_docs pattern: each bucket
+# keeps its best k, the final sort sees ≤ k·buckets rows). Revenue is
+# exact integer cents per the repo contract.
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPK = 10
+Q3_BUCKETS = 64
+
+
+def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
+                      cutoff: str = Q3_CUTOFF, k: int = Q3_TOPK):
+    """customer ⋈ orders ⋈ lineitem → the ``k`` highest-revenue
+    orders from ``segment`` customers placed before ``cutoff`` with
+    lineitems still shipping after it (revenue = Σ exact cents of
+    extendedprice·(1−discount); ties by orderkey)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from .groupkit import int_group_sums, run_starts
+
+    cut = np.datetime64(cutoff).astype("datetime64[us]")
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == segment,
+    ).to_pandas()
+    keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(ck, keys)
+        t = batch.filter(pa.array(m))
+        from .sketches import _hash64
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "okey": pa.array(ok),
+            "odate": pc.strftime(t["o_orderdate"],
+                                 format="%Y-%m-%d"),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.zeros(len(ok), np.int8)),
+            "bucket": pa.array((_hash64(ok) % np.uint64(Q3_BUCKETS))
+                               .astype(np.int32)),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5) \
+            .astype(np.int64)
+        from .sketches import _hash64
+        uniq, codes = np.unique(ok, return_inverse=True)
+        rev = int_group_sums(codes, cents, len(uniq))
+        n = len(uniq)
+        return pa.table({
+            "okey": pa.array(uniq),
+            "odate": pa.array([""] * n, pa.string()),
+            "rev": pa.array(rev),
+            "side": pa.array(np.ones(n, np.int8)),
+            "bucket": pa.array((_hash64(uniq) % np.uint64(Q3_BUCKETS))
+                               .astype(np.int32)),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < pads.scalar(cut),
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True) \
+        .map_batches(order_rows, batch_format="pyarrow")
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pads.scalar(cut),
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True) \
+        .map_batches(lineitem_partials, batch_format="pyarrow")
+
+    def join_topk_in_bucket(g, _k=k) -> pa.Table:
+        is_l = (g["side"] == 1).to_numpy()
+        lk = g["okey"].to_numpy()[is_l].astype(np.int64)
+        lr = g["rev"].to_numpy()[is_l].astype(np.int64)
+        order = np.argsort(lk, kind="stable")
+        lk, lr = lk[order], lr[order]
+        starts = run_starts(lk)
+        codes = np.repeat(np.arange(len(starts)),
+                          np.diff(np.append(starts, len(lk))))
+        rev = int_group_sums(codes, lr, len(starts))
+        ukeys = lk[starts]
+        ok = g["okey"].to_numpy()[~is_l].astype(np.int64)
+        od = g["odate"].to_numpy()[~is_l]
+        idx = np.searchsorted(ukeys, ok)
+        idx_ok = np.minimum(idx, max(len(ukeys) - 1, 0))
+        hit = np.zeros(len(ok), bool) if not len(ukeys) else (
+            (idx < len(ukeys)) & (ukeys[idx_ok] == ok))
+        ok, od = ok[hit], od[hit]
+        r = rev[idx_ok[hit]]
+        top = np.lexsort((ok, -r))[:_k]
+        return pa.table({
+            "o_orderkey": pa.array(ok[top]),
+            "o_orderdate": pa.array(od[top], pa.string()),
+            "revenue_c": pa.array(r[top]),
+        })
+
+    return orders.union(items).groupby("bucket").map_groups(
+        join_topk_in_bucket, batch_format="pandas") \
+        .sort(["revenue_c", "o_orderkey"],
+              descending=[True, False]).limit(k)
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_c DESC, o_orderkey
+LIMIT {Q3_TOPK}
+"""

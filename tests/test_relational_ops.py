@@ -653,3 +653,70 @@ def test_ntile_and_pricing_oracle_parity_sf(ray_session, sf_dir):
     b = _parity(E, "pricing_summary", sf_dir, ("lineitem",))
     assert len(b) == 6 and (b["sum_charge_c"] >= b["sum_disc_c"]).all()
     assert (b["sum_base_c"] >= b["sum_disc_c"]).all()
+
+
+def test_entity_lift_semantics(ray_session):
+    """Hand-built (conv, entity) relation: N=4 convs; pair (a, b)
+    co-mentioned once with c(a)=c(b)=2 → lift exactly 10^6
+    (independence); pair (x, y) co-occurring both times either
+    appears (c=2 each, n12=2) → lift 2×10^6; never-co-mentioned
+    pairs are absent."""
+    import ray.data as rd
+
+    from jsonld_js_ray.pipelines.kg import LIFT_SCALE, _lift_over_ce
+
+    rows = [  # (conv, entity)
+        ("c1", "a"),
+        ("c2", "a"), ("c2", "b"),
+        ("c3", "b"),
+        ("c1", "x"), ("c1", "y"),     # x,y always together
+        ("c4", "x"), ("c4", "y"),
+    ]
+    ce = rd.from_arrow(pa.table({
+        "conv": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    out = _lift_over_ce(ce).to_pandas()
+    got = {(r.e1, r.e2): (r.n_both, r.lift) for r in out.itertuples()}
+    assert got[("a", "b")] == (1, LIFT_SCALE)
+    assert got[("x", "y")] == (2, 2 * LIFT_SCALE)
+    # co-mentions in c1: (a,x), (a,y) — present with below-1 lift is
+    # impossible here (c(a)=2, c(x)=2, N=4, n12=1 -> exactly 10^6)
+    assert got[("a", "x")] == (1, LIFT_SCALE)
+    assert ("a", "b") in got and ("b", "x") not in got
+    assert len(got) == 4
+
+
+def test_entity_lift_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_entity_lift", sf_dir, ("events",))
+    # 5 mention surfaces -> up to C(5,2)=10 pairs, all present at sf
+    assert len(a) == 10
+    assert (a["e1"] < a["e2"]).all()
+    assert (a["lift"] > 0).all() and (a["n_both"] > 0).all()
+
+
+def test_shipping_priority_semantics_and_parity(ray_session, sf_dir):
+    """Q3 shape: result is exactly the oracle's top-10 by revenue;
+    revenue descending; all three filters (segment, order date, ship
+    date) are live — relaxing any would change membership."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "shipping_priority", sf_dir,
+                ("customer", "orders", "lineitem"))
+    assert len(a) == 10
+    r = a.sort_values(["revenue_c", "o_orderkey"],
+                      ascending=[False, True])["revenue_c"].tolist()
+    assert r == sorted(r, reverse=True) and r[0] > 0
+    # every result order belongs to a segment customer (filter live)
+    con = duckdb.connect()
+    seg = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet' o "
+        f"JOIN '{sf_dir}/customer.parquet' c "
+        f"ON o.o_custkey = c.c_custkey "
+        f"WHERE c.c_mktsegment <> 'BUILDING' AND o.o_orderkey IN "
+        f"({','.join(str(x) for x in a['o_orderkey'])})").fetchone()[0]
+    assert seg == 0
