@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
+        "kg_communities": _q_kg_communities,
         "kg_kcore": _q_kg_kcore,
         "kg_reach": _q_kg_reach,
         "kg_common_neighbors": _q_kg_common_neighbors,
@@ -454,6 +455,22 @@ def _q_kg_components(sf_dir: str):
     return components_quads(build_quads_with_mentions(sf_dir))
 
 
+def _q_kg_communities(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import communities_quads
+
+    return communities_quads(build_quads_with_mentions(sf_dir))
+
+
+def _communities_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _communities_oracle_sql
+
+    return _communities_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
 def _q_kg_kcore(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
     from jsonld_js_ray.stages.graph import kcore_quads
@@ -688,6 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_oracle(),
         # R-round synchronous k-core peeling vs chained-CTE mirror
         "kg_kcore": _kcore_oracle(),
+        # synchronous mode-label LPA vs row_number()-argmax CTE mirror
+        "kg_communities": _communities_oracle(),
         "kg_reach": _reach_oracle(),
         "kg_common_neighbors": _common_neighbors_oracle(),
         # quad pivot -> wide node property table (KG entity export)

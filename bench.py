@@ -145,6 +145,11 @@ def run_bench() -> dict:
     components_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_components"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import communities_quads
+    t0 = time.perf_counter()
+    communities_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_communities"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     degree_histogram(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)

@@ -1214,3 +1214,154 @@ SELECT x.nb AS u, y.nb AS v, CAST(sum(x.w) AS BIGINT) AS ra_score
 FROM c x JOIN c y ON x.ctr = y.ctr AND x.nb < y.nb
 GROUP BY x.nb, y.nb
 """
+
+
+# --- label-propagation communities (synchronous mode-label LPA) ---
+# The community-detection counterpart of components_quads: each round
+# every node adopts the MODE of its neighbors' labels (ties broken by
+# min label — the deterministic synchronous LPA variant), seeded with
+# the node's own IRI. Unlike min-label propagation, mode is NOT
+# monotone, so there is no delta shortcut: every node re-messages its
+# neighbors each round (the components/reach delta optimizations
+# explicitly do not apply). COMM_ITERS fused bucketed exchanges + the
+# seed exchange, same message-passing shape as _lp_round. On the
+# conversation KG the stable communities are the conversation stars.
+
+COMM_ITERS = 3
+
+
+def _comm_seed(quads):
+    """quad table → adjacency rows + round-1 messages (each edge
+    endpoint sends its OWN IRI — exactly s0 = identity labels)."""
+    def seed_in_bucket(g) -> pa.Table:
+        df = g[["u", "v"]].drop_duplicates()
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        n = len(u)
+        # the group IS bucket(u) — no need to rehash u
+        bu = np.full(n, np.int32(g["bucket"].iloc[0]), np.int32)
+        bv = _bucket_of(v).to_numpy()
+        none = np.full(n, None, object)
+        # adj u→v (bucket u), adj v→u (bucket v),
+        # msg to u lab=v (bucket u), msg to v lab=u (bucket v);
+        # dbucket = the static bucket of each adjacency row's dst,
+        # carried so rounds never rehash the edge strings
+        node = np.concatenate([u, v, u, v])
+        dst = np.concatenate([v, u, none, none])
+        lab = np.concatenate([none, none, v, u])
+        bucket = np.concatenate([bu, bv, bu, bv])
+        dbucket = np.concatenate([bv, bu, bu, bv])
+        return pa.table({
+            "node": pa.array(node, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "lab": pa.array(lab, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+            "dbucket": pa.array(dbucket, pa.int32()),
+        })
+
+    return quads.map_batches(_canon_edge_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(seed_in_bucket,
+                                      batch_format="pandas")
+
+
+def _mode_per_node(nodes: np.ndarray, labs: np.ndarray):
+    """(unique node, mode label) — argmax count per node, ties by min
+    label: one lexsort to count (node, lab) runs, one lexsort to rank
+    (node, -count, lab)."""
+    from .groupkit import pair_run_starts, run_lengths, run_starts
+
+    order = np.lexsort((labs, nodes))
+    ns, ls = nodes[order], labs[order]
+    pstarts = pair_run_starts(ns, ls)
+    counts = run_lengths(ns, pstarts)
+    gn, gl = ns[pstarts], ls[pstarts]
+    order2 = np.lexsort((gl, -counts, gn))
+    gn, gl = gn[order2], gl[order2]
+    starts = run_starts(gn)
+    return gn[starts], gl[starts]
+
+
+def _comm_round(state, last: bool):
+    """One superstep: per node, new label = mode of incoming messages;
+    then (unless ``last``) re-emit adjacency and one message per
+    adjacency row carrying the source's new label."""
+    def round_in_bucket(g) -> pa.Table:
+        import pandas as pd
+
+        dst_all = g["dst"].to_numpy()
+        is_a = ~pd.isna(dst_all)
+        node = g["node"].to_numpy()
+        nodes, labs = _mode_per_node(node[~is_a],
+                                     g["lab"].to_numpy()[~is_a])
+        if last:
+            return pa.table({
+                "node": pa.array(nodes, pa.string()),
+                "community": pa.array(labs, pa.string()),
+            })
+        a_src = node[is_a]
+        a_dst = dst_all[is_a]
+        idx = np.searchsorted(nodes, a_src)
+        if len(a_src) and not ((idx < len(nodes)).all()
+                               and (nodes[idx] == a_src).all()):
+            raise AssertionError(
+                "communities invariant broken: adjacency source "
+                "with no message in its bucket")
+        msg_lab = labs[idx]
+        b = np.int32(g["bucket"].iloc[0])
+        n_e = len(a_src)
+        dbucket = g["dbucket"].to_numpy()[is_a].astype(np.int32)
+        out_node = np.concatenate([a_src, a_dst])
+        out_dst = np.concatenate([a_dst,
+                                  np.full(n_e, None, object)])
+        out_lab = np.concatenate([np.full(n_e, None, object),
+                                  msg_lab])
+        bucket = np.concatenate([np.full(n_e, b, np.int32), dbucket])
+        return pa.table({
+            "node": pa.array(out_node, pa.string()),
+            "dst": pa.array(out_dst, pa.string()),
+            "lab": pa.array(out_lab, pa.string()),
+            "bucket": pa.array(bucket, pa.int32()),
+            "dbucket": pa.array(
+                np.concatenate([dbucket, np.zeros(n_e, np.int32)])),
+        })
+
+    return state.groupby("bucket").map_groups(round_in_bucket,
+                                              batch_format="pandas")
+
+
+def communities_quads(quads, iters: int = COMM_ITERS):
+    """quad table → (node, community): synchronous mode-label LPA
+    after ``iters`` rounds over the undirected distinct IRI–IRI
+    graph (community = the label a plurality of neighbors held last
+    round; ties to the lexicographically smallest label)."""
+    if iters < 1:
+        raise ValueError("communities_quads: iters must be >= 1")
+    state = _comm_seed(quads)
+    for t in range(iters):
+        state = _comm_round(state, last=(t == iters - 1))
+    return state
+
+
+def _communities_oracle_sql(quads_sql: str,
+                            iters: int = COMM_ITERS) -> str:
+    """Chained-CTE mirror: per round, per node the (count DESC,
+    label ASC) top neighbor label."""
+    ctes = [f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+s0 AS (SELECT DISTINCT a AS node, a AS lab FROM ed)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+i{t} AS (SELECT ed.b AS node, s.lab, count(*) AS c
+      FROM ed JOIN s{t - 1} s ON s.node = ed.a
+      GROUP BY ed.b, s.lab),
+s{t} AS (SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rn
+        FROM i{t}) WHERE rn = 1)""")
+    return (",".join(ctes)
+            + f"\nSELECT node, lab AS community FROM s{iters}")
