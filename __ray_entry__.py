@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
         "user_value_ntiles": _q_user_value_ntiles,
+        "user_value_deltas": _q_user_value_deltas,
         "pricing_summary": _q_pricing_summary,
         "kg_resource_allocation": _q_kg_resource_allocation,
         "kg_entity_lift": _q_kg_entity_lift,
@@ -287,6 +288,12 @@ def _q_rollup_events(sf_dir: str):
     from jsonld_js_ray.stages.rollup import rollup_events
 
     return rollup_events(sf_dir)
+
+
+def _q_user_value_deltas(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_value_deltas
+
+    return user_value_deltas(sf_dir)
 
 
 def _q_user_value_ntiles(sf_dir: str):
@@ -664,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.rank import (
         ROBUST_OUTLIERS_SQL,
+        USER_DELTAS_SQL,
         USER_NTILES_SQL,
         RUNNING_TOTALS_SQL,
         TOP_EVENTS_SQL,
@@ -860,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": ROLLUP_EVENTS_SQL,
         # NTILE window (per-user quartile bucketing, deterministic ties)
         "user_value_ntiles": USER_NTILES_SQL,
+        # LAG window (consecutive per-user value deltas, NULL first row)
+        "user_value_deltas": USER_DELTAS_SQL,
         # TPC-H-Q1-shaped read-prune + partial aggregate (exact cents)
         "pricing_summary": PRICING_SUMMARY_SQL,
         # degree-weighted link prediction (exact fixed-point Σ 1/deg)

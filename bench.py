@@ -207,10 +207,14 @@ def run_bench() -> dict:
     pricing_summary(SF_DIR).count()
     queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
 
-    from jsonld_js_ray.stages.rank import user_value_ntiles
+    from jsonld_js_ray.stages.rank import user_value_deltas, user_value_ntiles
     t0 = time.perf_counter()
     user_value_ntiles(SF_DIR).count()
     queries["user_value_ntiles"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    user_value_deltas(SF_DIR).count()
+    queries["user_value_deltas"] = round(time.perf_counter() - t0, 3)
 
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry

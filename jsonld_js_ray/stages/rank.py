@@ -201,6 +201,50 @@ FROM events
 """
 
 
+def user_value_deltas(sf_dir: str):
+    """events → (event_id, user_id, delta): value − LAG(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) — the consecutive
+    difference a feature pipeline derives from a behavioral stream;
+    each user's first event has a NULL delta (SQL LAG semantics).
+    One user-hash shard shuffle, one lexsort + shifted subtraction per
+    shard; the subtraction is a single IEEE-754 double op evaluated
+    identically by numpy and DuckDB — hash-exact."""
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        order = np.lexsort((eids, ts, users))
+        users, eids, vals = users[order], eids[order], vals[order]
+        delta = np.empty(len(vals), np.float64)
+        delta[1:] = vals[1:] - vals[:-1]
+        starts = run_starts(users)
+        # each user's FIRST row gets NULL (covers index 0 too; an
+        # unconditional delta[0] would crash on an empty shard)
+        delta[starts] = np.nan
+        return pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "delta": pa.array(delta, pa.float64(),
+                              mask=np.isnan(delta)),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+USER_DELTAS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
 MAD_K = 3.0
 
 

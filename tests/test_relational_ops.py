@@ -761,3 +761,32 @@ def test_communities_oracle_parity_sf(ray_session, sf_dir):
     # the rdf:type class hubs pull nodes into a handful of
     # class-anchored communities — more than one, far fewer than nodes
     assert 1 < a["community"].nunique() < len(a)
+
+
+def test_user_deltas_semantics_and_parity(ray_session, sf_dir, tmp_path):
+    """LAG semantics: first event per user NULL, others the exact
+    consecutive difference in (ts, event_id) order; sf parity vs
+    DuckDB lag()."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonld_js_ray.stages.rank import user_value_deltas
+
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1, h) for h in
+                        (1, 2, 3, 1)], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([10.0, 7.5, 12.25, 3.0], pa.float64()),
+        "props": pa.array([""] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_value_deltas(str(tmp_path)).to_pandas() \
+        .set_index("event_id").sort_index()["delta"]
+    assert out.isna().tolist() == [True, False, False, True]
+    assert out[1] == -2.5 and out[2] == 4.75
+    a = _parity(E, "user_value_deltas", sf_dir, ("events",))
+    assert len(a) > 0 and a["delta"].isna().any()
