@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": _q_rollup_events,
         "user_value_ntiles": _q_user_value_ntiles,
         "user_value_deltas": _q_user_value_deltas,
+        "user_event_paths": _q_user_event_paths,
+        "event_transitions": _q_event_transitions,
         "pricing_summary": _q_pricing_summary,
         "kg_resource_allocation": _q_kg_resource_allocation,
         "kg_entity_lift": _q_kg_entity_lift,
@@ -288,6 +290,18 @@ def _q_rollup_events(sf_dir: str):
     from jsonld_js_ray.stages.rollup import rollup_events
 
     return rollup_events(sf_dir)
+
+
+def _q_user_event_paths(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_event_paths
+
+    return user_event_paths(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from jsonld_js_ray.stages.rank import event_transitions
+
+    return event_transitions(sf_dir)
 
 
 def _q_user_value_deltas(sf_dir: str):
@@ -670,8 +684,10 @@ def oracle_sql() -> dict[str, str]:
         TFIDF_TOPK_SQL,
     )
     from jsonld_js_ray.stages.rank import (
+        EVENT_TRANSITIONS_SQL,
         ROBUST_OUTLIERS_SQL,
         USER_DELTAS_SQL,
+        USER_PATHS_SQL,
         USER_NTILES_SQL,
         RUNNING_TOTALS_SQL,
         TOP_EVENTS_SQL,
@@ -870,6 +886,10 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntiles": USER_NTILES_SQL,
         # LAG window (consecutive per-user value deltas, NULL first row)
         "user_value_deltas": USER_DELTAS_SQL,
+        # ordered string_agg (per-user session path export)
+        "user_event_paths": USER_PATHS_SQL,
+        # Markov transition counts over per-user ordered streams
+        "event_transitions": EVENT_TRANSITIONS_SQL,
         # TPC-H-Q1-shaped read-prune + partial aggregate (exact cents)
         "pricing_summary": PRICING_SUMMARY_SQL,
         # degree-weighted link prediction (exact fixed-point Σ 1/deg)

@@ -216,6 +216,15 @@ def run_bench() -> dict:
     user_value_deltas(SF_DIR).count()
     queries["user_value_deltas"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.rank import event_transitions, user_event_paths
+    t0 = time.perf_counter()
+    user_event_paths(SF_DIR).count()
+    queries["user_event_paths"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    event_transitions(SF_DIR).count()
+    queries["event_transitions"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

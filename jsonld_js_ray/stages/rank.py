@@ -245,6 +245,95 @@ FROM events
 """
 
 
+def user_event_paths(sf_dir: str):
+    """events → (user_id, path, n_events): each user's event types
+    joined with ',' in (ts, event_id) order — the session-path export
+    a behavior-modeling pipeline feeds to sequence models (SQL
+    string_agg ... ORDER BY). One user-hash shard shuffle; the join
+    is one lexsort + Arrow binary_join (the list-array kernel) per
+    shard — no per-user Python string building."""
+    import pyarrow.compute as pc
+
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        types = g["event_type"].to_numpy()
+        order = np.lexsort((eids, ts, users))
+        users, types = users[order], types[order]
+        starts = run_starts(users)
+        lens = run_lengths(users, starts)
+        offsets = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(types, pa.string()))
+        path = pc.binary_join(lst, pa.scalar(","))
+        return pa.table({
+            "user_id": pa.array(users[starts], pa.int64()),
+            "path": path,
+            "n_events": pa.array(lens),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+USER_PATHS_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def event_transitions(sf_dir: str):
+    """events → (prev_type, next_type, n): the Markov transition
+    counts over each user's (ts, event_id)-ordered event stream — the
+    behavior model a funnel/recommendation pipeline estimates first.
+    One user-hash shard shuffle; per shard one lexsort + shifted pair
+    counting (in-shard partials), then a tiny pair groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        types = g["event_type"].to_numpy()
+        order = np.lexsort((eids, ts, users))
+        users, types = users[order], types[order]
+        same = users[1:] == users[:-1]
+        return pa.table({
+            "prev_type": pa.array(types[:-1][same], pa.string()),
+            "next_type": pa.array(types[1:][same], pa.string()),
+        }).group_by(["prev_type", "next_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["prev_type", "next_type", "n_part"])
+
+    parts = ds.groupby("bucket").map_groups(per_shard,
+                                            batch_format="pandas")
+    return parts.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n_part", alias_name="n"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 MAD_K = 3.0
 
 

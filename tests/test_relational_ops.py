@@ -790,3 +790,57 @@ def test_user_deltas_semantics_and_parity(ray_session, sf_dir, tmp_path):
     assert out[1] == -2.5 and out[2] == 4.75
     a = _parity(E, "user_value_deltas", sf_dir, ("events",))
     assert len(a) > 0 and a["delta"].isna().any()
+
+
+def test_paths_and_transitions_semantics(ray_session, tmp_path):
+    """Crafted two-user stream: paths join in exact (ts, event_id)
+    order; transitions never cross users; counts sum."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from jsonld_js_ray.stages.rank import (
+        event_transitions,
+        user_event_paths,
+    )
+
+    rows = [  # (user, type, hour)
+        (1, "signup", 1), (1, "view", 2), (1, "click", 3),
+        (1, "view", 4),
+        (2, "view", 1), (2, "click", 2),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1, h) for _, _, h
+                        in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, t, _ in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    paths = user_event_paths(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert paths.loc[1, "path"] == "signup,view,click,view"
+    assert paths.loc[2, "path"] == "view,click"
+    assert paths["n_events"].tolist() == [4, 2]
+    tr = event_transitions(str(tmp_path)).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n for r in tr.itertuples()}
+    # user 1: signup->view, view->click, click->view; user 2:
+    # view->click — NO view->view bridge between users
+    assert got == {("signup", "view"): 1, ("view", "click"): 2,
+                   ("click", "view"): 1}
+
+
+def test_paths_and_transitions_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    import duckdb
+
+    a = _parity(E, "user_event_paths", sf_dir, ("events",))
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert len(a) == n_users and (a["n_events"] > 0).all()
+    b = _parity(E, "event_transitions", sf_dir, ("events",))
+    assert b["n"].sum() == a["n_events"].sum() - len(a)
