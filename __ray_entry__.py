@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
         "user_quantiles": _q_user_quantiles,
+        "user_quantiles_cont": _q_user_quantiles_cont,
         "top_events_per_user": _q_top_events_per_user,
         "user_running_totals": _q_user_running_totals,
         "value_histogram": _q_value_histogram,
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resource_allocation": _q_kg_resource_allocation,
         "kg_entity_lift": _q_kg_entity_lift,
         "funnel_stages": _q_funnel_stages,
+        "funnel_windowed": _q_funnel_windowed,
         # streaming-shaped windowed aggregates (engine-only operators)
         "window_tumbling": _q_window_tumbling,
         "window_distinct_users": _q_window_distinct_users,
@@ -290,6 +292,12 @@ def _q_rollup_events(sf_dir: str):
     from jsonld_js_ray.stages.rollup import rollup_events
 
     return rollup_events(sf_dir)
+
+
+def _q_user_quantiles_cont(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_value_quantiles_cont
+
+    return user_value_quantiles_cont(sf_dir)
 
 
 def _q_user_event_paths(sf_dir: str):
@@ -405,6 +413,13 @@ def _events(sf_dir: str, columns):
         f"{sf_dir}/events.parquet", columns=columns
     ).map_batches(strip_meta, batch_format="pyarrow",
                   zero_copy_batch=True)
+
+
+def _q_funnel_windowed(sf_dir: str):
+    from jsonld_js_ray.stages.funnel import funnel_stages_windowed
+
+    return funnel_stages_windowed(
+        _events(sf_dir, ["ts", "user_id", "event_type"]))
 
 
 def _q_funnel_stages(sf_dir: str):
@@ -686,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.rank import (
         EVENT_TRANSITIONS_SQL,
         ROBUST_OUTLIERS_SQL,
+        USER_QUANTILES_CONT_SQL,
         USER_DELTAS_SQL,
         USER_PATHS_SQL,
         USER_NTILES_SQL,
@@ -697,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         PRICING_SUMMARY_SQL,
         ROLLUP_EVENTS_SQL,
     )
+    from jsonld_js_ray.stages.funnel import FUNNEL_WINDOWED_SQL
     from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
         SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
@@ -873,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,
         "user_quantiles": USER_QUANTILES_SQL,
+        # interpolated (continuous) quantiles — bit-exact lerp mirror
+        "user_quantiles_cont": USER_QUANTILES_CONT_SQL,
         "top_events_per_user": TOP_EVENTS_SQL,
         # per-user cumulative window (ROWS UNBOUNDED PRECEDING)
         "user_running_totals": RUNNING_TOTALS_SQL,
@@ -900,6 +919,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": NORMALIZE_TEXT_SQL,
         # strict-after chained stage mins (sequential pattern match)
         "funnel_stages": _funnel_oracle(),
+        # conversion-window funnel (chain bounded by start + 7 days)
+        "funnel_windowed": FUNNEL_WINDOWED_SQL,
         # No oracle (not SQL-expressible → driver rows-only check):
         #   window_distinct_users_hll (approximate sketch — its error
         #     bound is pinned vs the exact oracled twin in pytest),

@@ -216,6 +216,11 @@ def run_bench() -> dict:
     user_value_deltas(SF_DIR).count()
     queries["user_value_deltas"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.rank import user_value_quantiles_cont
+    t0 = time.perf_counter()
+    user_value_quantiles_cont(SF_DIR).count()
+    queries["user_quantiles_cont"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.rank import event_transitions, user_event_paths
     t0 = time.perf_counter()
     user_event_paths(SF_DIR).count()
@@ -230,6 +235,10 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     _entry.queries()["funnel_stages"](SF_DIR).count()
     queries["funnel_stages"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry.queries()["funnel_windowed"](SF_DIR).count()
+    queries["funnel_windowed"] = round(time.perf_counter() - t0, 3)
 
     # optional training-data ops (present from later milestones)
     try:

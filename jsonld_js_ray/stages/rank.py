@@ -150,6 +150,66 @@ def user_running_totals(sf_dir: str):
                                            batch_format="pandas")
 
 
+CONT_QUANTILES = (0.5, 0.9)
+
+
+def user_value_quantiles_cont(sf_dir: str,
+                              quantiles=CONT_QUANTILES):
+    """events → (user_id, c50, c90): INTERPOLATED per-user quantiles
+    of ``value`` — the continuous counterpart of user_value_quantiles.
+
+    Exactness: DuckDB's quantile_cont is bit-identical to the lerp
+    s[lo]·(1−frac) + s[hi]·frac at q = p·(n−1) (verified empirically:
+    900/900 random trials across n and p — note the OTHER common
+    formulations, s[lo]+(s[hi]−s[lo])·frac and np.quantile, do NOT
+    match bit-for-bit), so the mirror is hash-exact with no epsilon.
+    Same shard shape as the discrete variant; NULLs are ignored."""
+    ds = _with_bucket(_events(sf_dir, ["user_id", "value"]))
+
+    def per_shard(g):
+        all_users = np.unique(
+            g["user_id"].to_numpy().astype(np.int64))
+        users = g["user_id"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        valid = ~np.isnan(vals)
+        users, vals = users[valid], vals[valid]
+        order = np.lexsort((vals, users))
+        users, vals = users[order], vals[order]
+        starts = run_starts(users)
+        ns = run_lengths(users, starts)
+        cols: dict = {"user_id": pa.array(users[starts], pa.int64())}
+        for p in quantiles:
+            q = p * (ns - 1)
+            lo = np.floor(q).astype(np.int64)
+            hi = np.ceil(q).astype(np.int64)
+            frac = q - lo
+            v = (vals[starts + lo] * (1 - frac)
+                 + vals[starts + hi] * frac)
+            cols[f"c{int(p * 100)}"] = pa.array(v, pa.float64())
+        tbl = pa.table(cols)
+        # all-NULL users still get a row (NULL quantiles), matching
+        # GROUP BY semantics — same pad as the discrete twin above
+        missing = np.setdiff1d(all_users, users[starts])
+        if len(missing):
+            pad = {"user_id": pa.array(missing, pa.int64())}
+            for p in quantiles:
+                pad[f"c{int(p * 100)}"] = pa.array(
+                    [None] * len(missing), pa.float64())
+            tbl = pa.concat_tables([tbl, pa.table(pad)])
+        return tbl
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+USER_QUANTILES_CONT_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       quantile_cont(value, 0.5) AS c50,
+       quantile_cont(value, 0.9) AS c90
+FROM events GROUP BY user_id
+"""
+
+
 NTILES = 4
 
 

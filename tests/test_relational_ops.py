@@ -844,3 +844,76 @@ def test_paths_and_transitions_oracle_parity_sf(ray_session, sf_dir):
     assert len(a) == n_users and (a["n_events"] > 0).all()
     b = _parity(E, "event_transitions", sf_dir, ("events",))
     assert b["n"].sum() == a["n_events"].sum() - len(a)
+
+
+def test_quantiles_cont_semantics_and_parity(ray_session, sf_dir,
+                                             tmp_path):
+    """Interpolation: user with values [1, 2, 10]: c50 = 2 (exact
+    point), c90 = 2*(1-0.8) + 10*0.8 = 8.4; single-value user: both
+    quantiles = the value. sf parity vs DuckDB quantile_cont."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonld_js_ray.stages.rank import user_value_quantiles_cont
+
+    vals = [1.0, 2.0, 10.0, 7.0]
+    users = [1, 1, 1, 2]
+    tbl = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * 4,
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_value_quantiles_cont(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "c50"] == 2.0
+    assert out.loc[1, "c90"] == 2.0 * (1 - 0.8) + 10.0 * 0.8
+    assert out.loc[2, "c50"] == 7.0 and out.loc[2, "c90"] == 7.0
+    a = _parity(E, "user_quantiles_cont", sf_dir, ("events",))
+    assert len(a) > 0 and (a["c90"] >= a["c50"]).all()
+
+
+def test_funnel_windowed_semantics(ray_session):
+    """The window bites: user 1 completes signup->view->click inside
+    7 days but purchases on day 10 -> stage 3 (unwindowed would be 4);
+    user 2 completes everything in hours -> 4; the window anchors at
+    the FIRST signup."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.funnel import funnel_stages_windowed
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [  # (user, type, day-offset)
+        (1, "signup", 0.0), (1, "view", 1.0), (1, "click", 2.0),
+        (1, "purchase", 10.0),
+        (2, "signup", 0.0), (2, "view", 0.1), (2, "click", 0.2),
+        (2, "purchase", 0.3),
+    ]
+    tbl = pa.table({
+        "ts": pa.array([base + dt.timedelta(days=d)
+                        for _, _, d in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, t, _ in rows], pa.string()),
+    })
+    out = funnel_stages_windowed(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("user_id")["funnel_stage"]
+    assert out[1] == 3 and out[2] == 4
+
+
+def test_funnel_windowed_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "funnel_windowed", sf_dir, ("events",))
+    b = _parity(E, "funnel_stages", sf_dir, ("events",))
+    m = a.set_index("user_id")["funnel_stage"]
+    u = b.set_index("user_id")["funnel_stage"]
+    # the window can only reduce depth, and it genuinely does for some
+    assert (m <= u.loc[m.index]).all() and (m < u.loc[m.index]).any()
