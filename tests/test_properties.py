@@ -172,3 +172,68 @@ def test_jcs_stable_and_parseable(value):
     assert a == b
     # canonical output is itself valid JSON that re-canonicalizes to itself
     assert jcs.canonicalize(json.loads(a)) == a
+
+
+# --- vectorized group-kernel properties (no Ray, no oracle needed) ---
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                max_size=60))
+def test_pair_run_starts_matches_scalar(pairs):
+    import numpy as np
+
+    from jsonld_js_ray.stages.groupkit import pair_run_starts
+
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    got = pair_run_starts(a, b).tolist()
+    want = [i for i in range(len(a))
+            if i == 0 or (a[i], b[i]) != (a[i - 1], b[i - 1])]
+    assert got == want
+
+
+@given(st.integers(1, 200), st.integers(1, 12))
+def test_ntile_sizing_matches_sql_definition(n, t):
+    """The vectorized NTILE arithmetic in rank.user_value_ntiles must
+    produce the SQL sizing: first n%t buckets ceil(n/t), rest
+    floor(n/t), clamped to n buckets when n < t."""
+    import numpy as np
+
+    pos = np.arange(n)
+    n_per = np.full(n, n)
+    big = n_per // t + 1
+    rem = n_per % t
+    cut = rem * big
+    in_big = pos < cut
+    small = np.maximum(n_per // t, 1)
+    tile = np.where(in_big, pos // big,
+                    rem + (pos - cut) // small) + 1
+    # reference: walk the SQL definition
+    sizes = [n // t + (1 if i < n % t else 0) for i in range(t)]
+    want, k = [], 1
+    for s in sizes:
+        want.extend([k] * s)
+        k += 1
+    assert tile.tolist() == want[:n]
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                min_size=1, max_size=80))
+def test_mode_per_node_argmax_min_tiebreak(rows):
+    import numpy as np
+
+    from jsonld_js_ray.stages.graph import _mode_per_node
+
+    nodes = np.array([f"n{a}" for a, _ in rows], object)
+    labs = np.array([f"l{b}" for _, b in rows], object)
+    gn, gl = _mode_per_node(nodes, labs)
+    # scalar reference: per node, max count, ties -> min label
+    from collections import Counter, defaultdict
+    per = defaultdict(Counter)
+    for a, b in zip(nodes, labs):
+        per[a][b] += 1
+    want = {a: min(lb for lb, c in cnt.items()
+                   if c == max(cnt.values()))
+            for a, cnt in per.items()}
+    assert dict(zip(gn, gl)) == want
