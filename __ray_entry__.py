@@ -97,6 +97,38 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_quads(build_quads_with_mentions(sf_dir))
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    import pyarrow as pa
+
+    from jsonld_js_ray.pipelines.kg import conv_entity_mentions
+    from jsonld_js_ray.stages.graph import pagerank_weighted
+
+    ce = conv_entity_mentions(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        w = batch["n_mentions"].cast(pa.int64())
+        fwd = pa.table({"src": batch["conv"],
+                        "dst": batch["entity"], "w": w})
+        rev = pa.table({"src": batch["entity"],
+                        "dst": batch["conv"], "w": w})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    edges = ce.map_batches(both_dirs, batch_format="pyarrow")
+    return pagerank_weighted(edges)
+
+
+def _pagerank_weighted_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        CONV_ENTITY_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import (
+        _pagerank_weighted_oracle_sql,
+    )
+
+    return _pagerank_weighted_oracle_sql(
+        CONV_ENTITY_MENTIONS_ORACLE_SQL)
+
+
 def _q_kg_quads_roundtrip(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import roundtrip_quads
 
@@ -136,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_canonical_planted": _q_kg_entities_canonical_planted,
         "kg_conv_entity_mentions": _q_kg_conv_entity_mentions,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
         "kg_communities": _q_kg_communities,
@@ -740,6 +773,8 @@ def oracle_sql() -> dict[str, str]:
         # integer damped PageRank over the quad graph (3 fixed rounds;
         # every op order-independent so the hash compare is exact)
         "kg_pagerank": _pagerank_oracle(),
+        # mention-weighted bipartite PageRank (weight-split messages)
+        "kg_pagerank_weighted": _pagerank_weighted_oracle(),
         # degree-oriented wedge-join triangle count vs 3-way self-join
         "kg_triangles": _triangles_oracle(),
         # R-round min-label propagation vs chained-CTE mirror

@@ -128,6 +128,11 @@ def run_bench() -> dict:
     pagerank_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
 
+    import __ray_entry__ as _entry
+    t0 = time.perf_counter()
+    _entry.queries()["kg_pagerank_weighted"](SF_DIR).count()
+    queries["kg_pagerank_weighted"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     conv_entity_mentions(SF_DIR).count()
     queries["kg_conv_entity_mentions"] = round(time.perf_counter() - t0, 3)

@@ -97,37 +97,53 @@ def _pr_seed(quads):
 
     def seed_in_bucket(g) -> pa.Table:
         df = g[["src", "dst"]].drop_duplicates()
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
-        b = np.int32(g["bucket"].iloc[0])
-        usrc, codes, deg = np.unique(src, return_inverse=True,
-                                     return_counts=True)
-        udst = np.unique(dst)
-        msg = (PR_SCALE // deg.astype(np.int64))[codes]
-        n_e, n_s = len(src), len(usrc) + len(udst)
-        node = np.concatenate([src, usrc, udst, dst])
-        out_dst = np.concatenate(
-            [dst, np.full(n_s + n_e, None, object)])
-        val = np.concatenate([np.zeros(n_e, np.int64),
-                              np.full(n_s, PR_SCALE, np.int64), msg])
-        kind = np.repeat(np.array([_K_ADJ, _K_STATE, _K_MSG], np.int8),
-                         [n_e, n_s, n_e])
-        bucket = np.concatenate([
-            np.full(n_e, b, np.int32),
-            _bucket_of(usrc).to_numpy(),
-            _bucket_of(udst).to_numpy(),
-            _bucket_of(dst).to_numpy()])
-        return pa.table({
-            "node": pa.array(node, pa.string()),
-            "dst": pa.array(out_dst, pa.string()),
-            "val": pa.array(val, pa.int64()),
-            "k": pa.array(kind, pa.int8()),
-            "bucket": pa.array(bucket, pa.int32()),
-        })
+        w = np.ones(len(df), np.int64)
+        return _pr_seed_rows(df["src"].to_numpy(),
+                             df["dst"].to_numpy(), w,
+                             np.int32(g["bucket"].iloc[0]))
 
     return quads.map_batches(edge_rows, batch_format="pyarrow") \
         .groupby("bucket").map_groups(seed_in_bucket,
                                       batch_format="pandas")
+
+
+def _pr_seed_rows(src, dst, w, b: np.int32) -> pa.Table:
+    """Shared weighted seed kernel: adjacency rows carry the edge
+    weight in val; round-1 messages are (PR_SCALE · w) // W(src)
+    (W = Σ outgoing weight — with w ≡ 1 this is exactly the
+    unweighted PR_SCALE // deg)."""
+    usrc, codes = np.unique(src, return_inverse=True)
+    W = _int_group_sums(codes, w, len(usrc))
+    udst = np.unique(dst)
+    # same loud-failure contract as the round kernel: seed scores are
+    # at their maximum (PR_SCALE), so this is where weight overflow
+    # bites first; zero/negative weights would silently divide by zero
+    if len(w) and (int(w.max()) > (2 ** 63 - 1) // PR_SCALE
+                   or int(w.min()) < 1):
+        raise OverflowError(
+            "pagerank: edge weight outside [1, ~9.2e9] — rescale the "
+            "weights (integer contract)")
+    msg = (PR_SCALE * w) // W[codes]
+    n_e, n_s = len(src), len(usrc) + len(udst)
+    node = np.concatenate([src, usrc, udst, dst])
+    out_dst = np.concatenate(
+        [dst, np.full(n_s + n_e, None, object)])
+    val = np.concatenate([w,
+                          np.full(n_s, PR_SCALE, np.int64), msg])
+    kind = np.repeat(np.array([_K_ADJ, _K_STATE, _K_MSG], np.int8),
+                     [n_e, n_s, n_e])
+    bucket = np.concatenate([
+        np.full(n_e, b, np.int32),
+        _bucket_of(usrc).to_numpy(),
+        _bucket_of(udst).to_numpy(),
+        _bucket_of(dst).to_numpy()])
+    return pa.table({
+        "node": pa.array(node, pa.string()),
+        "dst": pa.array(out_dst, pa.string()),
+        "val": pa.array(val, pa.int64()),
+        "k": pa.array(kind, pa.int8()),
+        "bucket": pa.array(bucket, pa.int32()),
+    })
 
 
 def _pr_round(state, last: bool):
@@ -158,8 +174,10 @@ def _pr_round(state, last: bool):
             })
         b = np.int32(g["bucket"].iloc[0])
         a_src, a_dst = node[is_a], g["dst"].to_numpy()[is_a]
-        usrc, codes, deg = np.unique(a_src, return_inverse=True,
-                                     return_counts=True)
+        a_w = val[is_a].astype(np.int64)       # edge weight (1 for
+        usrc, codes = np.unique(a_src,         # the unweighted graph)
+                                return_inverse=True)
+        W = _int_group_sums(codes, a_w, len(usrc))
         sidx = np.searchsorted(s_nodes, usrc)
         if len(usrc) and not ((sidx < len(s_nodes)).all()
                               and (s_nodes[sidx] == usrc).all()):
@@ -167,13 +185,17 @@ def _pr_round(state, last: bool):
                 "pagerank invariant broken: adjacency source with no "
                 "state row in its bucket")
         src_score = score[sidx]
-        msg = (src_score // deg.astype(np.int64))[codes]
+        if len(a_w) and (int(src_score.max()) * int(a_w.max())
+                         > 2 ** 63 - 1):
+            raise OverflowError(
+                "pagerank: score × edge weight exceeds the integer "
+                "contract bound; rescale PR_SCALE or the weights")
+        msg = (src_score[codes] * a_w) // W[codes]
         n_e, n_s = len(a_src), len(s_nodes)
         out_node = np.concatenate([a_src, s_nodes, a_dst])
         out_dst = np.concatenate(
             [a_dst, np.full(n_s + n_e, None, object)])
-        out_val = np.concatenate(
-            [np.zeros(n_e, np.int64), score, msg])
+        out_val = np.concatenate([a_w, score, msg])
         kind = np.repeat(np.array([_K_ADJ, _K_STATE, _K_MSG], np.int8),
                          [n_e, n_s, n_e])
         bucket = np.concatenate([
@@ -191,11 +213,9 @@ def _pr_round(state, last: bool):
                                               batch_format="pandas")
 
 
-def pagerank_quads(quads):
-    """quad table → (node, pagerank): PR_ITERS rounds of the integer
-    damped update over the distinct IRI→IRI edge graph, as
-    1 + PR_ITERS fused bucketed exchanges (see module docstring)."""
-    state = _pr_seed(quads)
+def _pr_run(state):
+    """PR_ITERS fused rounds + the (node, pagerank) projection —
+    shared driver tail of the unweighted and weighted operators."""
     for t in range(PR_ITERS):
         state = _pr_round(state, last=(t == PR_ITERS - 1))
 
@@ -206,18 +226,23 @@ def pagerank_quads(quads):
     return state.map_batches(final, batch_format="pyarrow")
 
 
-def _pagerank_oracle_sql(quads_sql: str) -> str:
-    """Chained-CTE mirror: s0 → (i1, s1) → … → (i_T, s_T)."""
-    ctes = [f"""
-WITH q AS ({quads_sql}),
-e AS (SELECT DISTINCT subj AS src, obj_value AS dst
-      FROM q WHERE obj_kind = 'iri'),
-d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+def pagerank_quads(quads):
+    """quad table → (node, pagerank): PR_ITERS rounds of the integer
+    damped update over the distinct IRI→IRI edge graph, as
+    1 + PR_ITERS fused bucketed exchanges (see module docstring)."""
+    return _pr_run(_pr_seed(quads))
+
+
+def _pr_oracle_rounds(head: str, msg_expr: str) -> str:
+    """Shared chained-CTE tail: ``head`` must define e (src, dst[,
+    w]), d (per-src divisor) and n (nodes); ``msg_expr`` is the
+    per-edge message (floor division, matching the kernel)."""
+    ctes = [head + f""",
 s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM n)"""]
     for t in range(1, PR_ITERS + 1):
         ctes.append(f"""
-i{t} AS (SELECT e.dst AS node, sum(s{t - 1}.score // d.deg) AS insum
+i{t} AS (SELECT e.dst AS node, sum({msg_expr.format(s=f's{t - 1}')})
+             AS insum
       FROM e JOIN d USING (src)
              JOIN s{t - 1} ON s{t - 1}.node = e.src
       GROUP BY e.dst),
@@ -227,6 +252,17 @@ s{t} AS (SELECT n.node,
       FROM n LEFT JOIN i{t} USING (node))""")
     return (",".join(ctes)
             + f"\nSELECT node, score AS pagerank FROM s{PR_ITERS}")
+
+
+def _pagerank_oracle_sql(quads_sql: str) -> str:
+    """Chained-CTE mirror: s0 → (i1, s1) → … → (i_T, s_T)."""
+    head = f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT subj AS src, obj_value AS dst
+      FROM q WHERE obj_kind = 'iri'),
+d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)"""
+    return _pr_oracle_rounds(head, "{s}.score // d.deg")
 
 
 # --- triangle counting (degree-oriented wedge join) ---
@@ -1365,3 +1401,49 @@ s{t} AS (SELECT node, lab FROM (
         FROM i{t}) WHERE rn = 1)""")
     return (",".join(ctes)
             + f"\nSELECT node, lab AS community FROM s{iters}")
+
+
+# --- weighted PageRank over an explicit (src, dst, w) edge table ---
+# The weighted-link-analysis variant: message mass splits by edge
+# weight, msg = (score · w) // W(src), W = Σ outgoing weight — with
+# w ≡ 1 this is bit-identical to pagerank_quads (the two share
+# _pr_seed_rows and _pr_round). The flagship weighted input is the
+# mention-count bipartite graph conv ↔ entity (w = n_mentions from
+# the 2-hop BGP join), symmetrized so rank flows both ways.
+
+def pagerank_weighted(edges):
+    """(src, dst, w) edge Dataset → (node, pagerank): PR_ITERS rounds
+    of the weighted integer damped update. Partial weights for the
+    same (src, dst) are summed in the seed bucket (ship per-batch
+    partials, not global edges)."""
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object)
+        return batch.append_column("bucket", _bucket_of(src))
+
+    def seed_in_bucket(g) -> pa.Table:
+        agg = g.groupby(["src", "dst"], sort=False)["w"].sum() \
+            .reset_index()
+        return _pr_seed_rows(agg["src"].to_numpy(),
+                             agg["dst"].to_numpy(),
+                             agg["w"].to_numpy().astype(np.int64),
+                             np.int32(g["bucket"].iloc[0]))
+
+    return _pr_run(
+        edges.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket").map_groups(seed_in_bucket,
+                                      batch_format="pandas"))
+
+
+def _pagerank_weighted_oracle_sql(ce_sql: str) -> str:
+    """Chained-CTE mirror over the (conv, entity, n_mentions) BGP
+    join output, symmetrized; shares the round builder with the
+    unweighted oracle."""
+    head = f"""
+WITH ce AS ({ce_sql}),
+e AS (SELECT conv AS src, entity AS dst,
+             CAST(n_mentions AS BIGINT) AS w FROM ce
+      UNION ALL
+      SELECT entity, conv, CAST(n_mentions AS BIGINT) FROM ce),
+d AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)"""
+    return _pr_oracle_rounds(head, "({s}.score * e.w) // d.tw")

@@ -917,3 +917,58 @@ def test_funnel_windowed_oracle_parity_sf(ray_session, sf_dir):
     u = b.set_index("user_id")["funnel_stage"]
     # the window can only reduce depth, and it genuinely does for some
     assert (m <= u.loc[m.index]).all() and (m < u.loc[m.index]).any()
+
+
+def test_pagerank_weighted_semantics(ray_session):
+    """Weight-split messages: hub h links to a (w=3) and b (w=1); a
+    receives 3x b's mass from h; with w==1 everywhere the weighted
+    kernel is bit-identical to the unweighted one on the same graph."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import (
+        PR_BASE,
+        PR_SCALE,
+        pagerank_quads,
+        pagerank_weighted,
+    )
+
+    edges = pa.table({
+        "src": pa.array(["h", "h"], pa.string()),
+        "dst": pa.array(["a", "b"], pa.string()),
+        "w": pa.array([3, 1], pa.int64()),
+    })
+    out = pagerank_weighted(rd.from_arrow(edges)).to_pandas() \
+        .set_index("node")["pagerank"]
+    # closed form: h has no in-edges so its score is PR_BASE from
+    # round 1 on; in rounds 2..T a/b receive (h_score·w)//4 with
+    # h_score = PR_BASE — the FINAL scores are exactly:
+    want_a = PR_BASE + (85 * ((PR_BASE * 3) // 4)) // 100
+    want_b = PR_BASE + (85 * (PR_BASE // 4)) // 100
+    assert out["h"] == PR_BASE
+    assert out["a"] == want_a and out["b"] == want_b
+    assert out["a"] > out["b"]
+    # w==1 equivalence on a small directed graph
+    tbl = pa.table({
+        "subj": pa.array(["x", "y", "z"], pa.string()),
+        "pred": pa.array(["p"] * 3, pa.string()),
+        "obj_kind": pa.array(["iri"] * 3, pa.string()),
+        "obj_value": pa.array(["y", "z", "x"], pa.string()),
+    })
+    unw = pagerank_quads(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("node")["pagerank"].sort_index()
+    ew = pa.table({
+        "src": pa.array(["x", "y", "z"], pa.string()),
+        "dst": pa.array(["y", "z", "x"], pa.string()),
+        "w": pa.array([1, 1, 1], pa.int64()),
+    })
+    wgt = pagerank_weighted(rd.from_arrow(ew)).to_pandas() \
+        .set_index("node")["pagerank"].sort_index()
+    assert (unw == wgt).all()
+
+
+def test_pagerank_weighted_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_pagerank_weighted", sf_dir, ("events",))
+    # bipartite conv <-> entity graph: convs + the 5 entities
+    assert len(a) > 5 and a["pagerank"].nunique() > 1
