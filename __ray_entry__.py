@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": td.q_lm_bigram_score,
         "lm_backoff_score": td.q_lm_backoff_score,
         "fingerprint": td.q_fingerprint,
+        "cms_token_counts": td.q_cms_token_counts,
         "multimodal_features": td.q_multimodal_features,
         "multimodal_audio": td.q_multimodal_audio,
         # joins / sort-limit (relational operator classes)
@@ -959,6 +960,9 @@ def oracle_sql() -> dict[str, str]:
         # No oracle (not SQL-expressible → driver rows-only check):
         #   window_distinct_users_hll (approximate sketch — its error
         #     bound is pinned vs the exact oracled twin in pytest),
+        #   cms_token_counts (Count-Min sketch — one-sided bound
+        #     est >= exact and est-exact <= eN/W asserted exactly vs
+        #     the exact top-k twin in pytest),
         #   fingerprint (engine-specific winnowing hex; its equality
         #     classes ARE oracled via fingerprint_classes_planted),
         #   dedup_minhash / dedup_simhash / dedup_ngram on the RAW

@@ -245,6 +245,10 @@ def run_bench() -> dict:
     _entry.queries()["funnel_windowed"](SF_DIR).count()
     queries["funnel_windowed"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    _entry.queries()["cms_token_counts"](SF_DIR)
+    queries["cms_token_counts"] = round(time.perf_counter() - t0, 3)
+
     # optional training-data ops (present from later milestones)
     try:
         from jsonld_js_ray.pipelines.training_data import bench_queries

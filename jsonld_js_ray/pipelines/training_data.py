@@ -299,6 +299,17 @@ def q_dedup_substring(sf_dir: str):
     return dedup_substring(_docs(sf_dir))
 
 
+def q_cms_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.sketches import cms_token_counts, exact_top_tokens
+
+    cand, _ = exact_top_tokens(_docs(sf_dir), 20)
+    # Dataset wrapper: registry contract (every queries() entry
+    # returns a Dataset the driver can .count()/.to_pandas())
+    return rd.from_arrow(cms_token_counts(_docs(sf_dir), cand))
+
+
 def q_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 

@@ -972,3 +972,31 @@ def test_pagerank_weighted_oracle_parity_sf(ray_session, sf_dir):
     a = _parity(E, "kg_pagerank_weighted", sf_dir, ("events",))
     # bipartite conv <-> entity graph: convs + the 5 entities
     assert len(a) > 5 and a["pagerank"].nunique() > 1
+
+
+def test_cms_one_sided_bound(ray_session, sf_dir):
+    """Count-Min guarantee, asserted exactly (the sketch is
+    deterministic given data + seeds): est >= exact for every probe,
+    and the overestimate stays within the e/W * N bound."""
+    import numpy as np
+
+    import __ray_entry__ as E
+    from jsonld_js_ray.pipelines.training_data import _docs
+    from jsonld_js_ray.stages.sketches import CMS_W, exact_top_tokens
+
+    import duckdb
+
+    est = E.queries()["cms_token_counts"](sf_dir).to_pandas() \
+        .set_index("token")["est_count"]
+    cand, exact = exact_top_tokens(_docs(sf_dir), 20)
+    assert list(est.index) == cand
+    n_total = duckdb.sql(
+        rf"SELECT sum(len(regexp_extract_all(lower(coalesce(text, "
+        rf"'')), '\S+'))) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    bound = int(np.e / CMS_W * float(n_total)) + 1
+    for t in cand:
+        assert est[t] >= exact[t]
+        assert est[t] - exact[t] <= bound
+    # the sketch is TIGHT on this corpus for at least some tokens
+    assert (est.to_numpy() == np.array([exact[t] for t in cand])).any()
