@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "user_running_totals": _q_user_running_totals,
         "value_histogram": _q_value_histogram,
+        "range_partition_bounds": _q_range_partition_bounds,
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
         "user_value_ntiles": _q_user_value_ntiles,
@@ -314,6 +315,12 @@ def _q_value_histogram(sf_dir: str):
     from jsonld_js_ray.stages.histo import value_histogram
 
     return value_histogram(_events(sf_dir, ["value"]))
+
+
+def _q_range_partition_bounds(sf_dir: str):
+    from jsonld_js_ray.stages.histo import range_partition_bounds
+
+    return range_partition_bounds(sf_dir)
 
 
 def _q_robust_outliers(sf_dir: str):
@@ -712,7 +719,10 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_COUNTS_SQL,
         curation_filter_sql,
     )
-    from jsonld_js_ray.stages.histo import VALUE_HISTOGRAM_SQL
+    from jsonld_js_ray.stages.histo import (
+        RANGE_BOUNDS_SQL,
+        VALUE_HISTOGRAM_SQL,
+    )
     from jsonld_js_ray.stages.joins import (
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
@@ -933,6 +943,8 @@ def oracle_sql() -> dict[str, str]:
         "user_running_totals": RUNNING_TOTALS_SQL,
         # fixed-width float histogram (bit-identical IEEE bin ids)
         "value_histogram": VALUE_HISTOGRAM_SQL,
+        # sampled range-partition boundaries (the TeraSort primitive)
+        "range_partition_bounds": RANGE_BOUNDS_SQL,
         # per-user median/MAD anomaly flag (quantile_disc + IEEE ops)
         "robust_outliers": ROBUST_OUTLIERS_SQL,
         # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)

@@ -198,6 +198,11 @@ def run_bench() -> dict:
     entity_lift(SF_DIR).count()
     queries["kg_entity_lift"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.histo import range_partition_bounds
+    t0 = time.perf_counter()
+    range_partition_bounds(SF_DIR).count()
+    queries["range_partition_bounds"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.rank import robust_outliers
     t0 = time.perf_counter()
     robust_outliers(SF_DIR).count()

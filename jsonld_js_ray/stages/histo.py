@@ -55,3 +55,79 @@ FROM events
 WHERE value IS NOT NULL
 GROUP BY 1
 """
+
+
+# --- range-partitioner boundaries (the TeraSort primitive) ---
+# The scale-path prerequisite of any distributed SORT/range shuffle:
+# sample the key column deterministically, take exact quantiles of
+# the SAMPLE, and use them as range-partition boundaries. The sample
+# is the md5-of-key unit-interval rule shared with split/sample
+# (stages/text) so the oracle mirrors it exactly; the sample size —
+# rate · corpus — is the only thing that ever co-locates, which is
+# the entire point of sampling-based partitioning at 100 TB.
+
+RB_RATE = 0.05
+RB_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def range_partition_bounds(sf_dir: str, rate: float = RB_RATE,
+                           quantiles=RB_QUANTILES):
+    """orders → (pct, bound): quantile_disc boundaries of
+    o_totalprice over the deterministic md5(o_orderkey) sample."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .groupkit import quantile_disc_pos
+    from ..rayutil import strip_meta as _strip_meta
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        # per-row md5 is the repo's deterministic-sampling CONTRACT
+        # (split_assign/sample_docs use the same loop) — the cost is
+        # bounded by the read, and only rate·corpus rows survive it
+        u = np.array([
+            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+            for k in keys], np.float64) / float(1 << 32)
+        t = batch.filter(pa.array(u < rate))
+        return pa.table({
+            "v": t["o_totalprice"],
+            "g": pa.array(np.zeros(len(t), np.int32)),
+        })
+
+    def bounds(g) -> pa.Table:
+        vals = np.sort(g["v"].to_numpy().astype(np.float64))
+        n = len(vals)
+        out_p, out_b = [], []
+        for p in quantiles:
+            pos = int(quantile_disc_pos(p, n))
+            out_p.append(int(p * 100))
+            out_b.append(vals[pos - 1])
+        return pa.table({
+            "pct": pa.array(out_p, pa.int64()),
+            "bound": pa.array(out_b, pa.float64()),
+        })
+
+    return orders.map_batches(sampled, batch_format="pyarrow") \
+        .groupby("g").map_groups(bounds, batch_format="pandas")
+
+
+_RB_MD5_UNIT = ("(CAST(concat('0x', substr(md5(CAST(o_orderkey AS "
+                "VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)")
+
+RANGE_BOUNDS_SQL = f"""
+WITH s AS (SELECT o_totalprice AS v FROM orders
+           WHERE {_RB_MD5_UNIT} < {RB_RATE})
+SELECT CAST(25 AS BIGINT) AS pct, quantile_disc(v, 0.25) AS bound
+FROM s
+UNION ALL
+SELECT 50, quantile_disc(v, 0.5) FROM s
+UNION ALL
+SELECT 75, quantile_disc(v, 0.75) FROM s
+"""

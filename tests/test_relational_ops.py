@@ -1000,3 +1000,13 @@ def test_cms_one_sided_bound(ray_session, sf_dir):
         assert est[t] - exact[t] <= bound
     # the sketch is TIGHT on this corpus for at least some tokens
     assert (est.to_numpy() == np.array([exact[t] for t in cand])).any()
+
+
+def test_range_bounds_semantics_and_parity(ray_session, sf_dir):
+    """Boundaries are quantiles of the DETERMINISTIC sample (md5 rule
+    shared with split/sample), monotone, and hash-exact vs DuckDB."""
+    a = _parity(__import__("__ray_entry__"), "range_partition_bounds",
+                sf_dir, ("orders",))
+    a = a.sort_values("pct")
+    assert a["pct"].tolist() == [25, 50, 75]
+    assert a["bound"].is_monotonic_increasing
