@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_property_table": _q_kg_property_table,
         "kg_degree_hist": _q_kg_degree_hist,
+        "kg_clustering": _q_kg_clustering,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins / sort-limit (relational operator classes)
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
+        "join_bloom_semi": _q_join_bloom_semi,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
@@ -249,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_bounds": _q_range_partition_bounds,
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
+        "cube_events": _q_cube_events,
+        "cohort_retention": _q_cohort_retention,
         "user_value_ntiles": _q_user_value_ntiles,
         "user_value_deltas": _q_user_value_deltas,
         "user_event_paths": _q_user_event_paths,
@@ -333,6 +337,42 @@ def _q_rollup_events(sf_dir: str):
     from jsonld_js_ray.stages.rollup import rollup_events
 
     return rollup_events(sf_dir)
+
+
+def _q_cube_events(sf_dir: str):
+    from jsonld_js_ray.stages.rollup import cube_events
+
+    return cube_events(sf_dir)
+
+
+def _q_cohort_retention(sf_dir: str):
+    from jsonld_js_ray.stages.cohort import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
+def _q_join_bloom_semi(sf_dir: str):
+    from jsonld_js_ray.stages.joins import (
+        bloom_semi_join_lineitem_urgent,
+    )
+
+    return bloom_semi_join_lineitem_urgent(sf_dir)
+
+
+def _q_kg_clustering(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import clustering_quads
+
+    return clustering_quads(build_quads_with_mentions(sf_dir))
+
+
+def _clustering_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _clustering_oracle_sql
+
+    return _clustering_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_user_quantiles_cont(sf_dir: str):
@@ -723,9 +763,11 @@ def oracle_sql() -> dict[str, str]:
         RANGE_BOUNDS_SQL,
         VALUE_HISTOGRAM_SQL,
     )
+    from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
     from jsonld_js_ray.stages.joins import (
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
+        BLOOM_SEMI_JOIN_SQL,
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
         FULL_OUTER_JOIN_SQL,
@@ -754,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         USER_QUANTILES_SQL,
     )
     from jsonld_js_ray.stages.rollup import (
+        CUBE_EVENTS_SQL,
         PRICING_SUMMARY_SQL,
         ROLLUP_EVENTS_SQL,
     )
@@ -800,6 +843,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_table": _property_table_oracle(),
         # undirected degree distribution (deg values bounded)
         "kg_degree_hist": _degree_hist_oracle(),
+        # per-node local clustering coefficient as exact integer
+        # numerator/denominator (triangle corners vs 3-way join)
+        "kg_clustering": _clustering_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (
@@ -949,6 +995,12 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": ROBUST_OUTLIERS_SQL,
         # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)
         "rollup_events": ROLLUP_EVENTS_SQL,
+        # GROUP BY CUBE (all four grouping sets, pinned finest level)
+        "cube_events": CUBE_EVENTS_SQL,
+        # cohort-retention matrix (first-day cohorts × day offsets)
+        "cohort_retention": COHORT_RETENTION_SQL,
+        # Bloom-prefiltered partitioned SEMI join (exact post-verify)
+        "join_bloom_semi": BLOOM_SEMI_JOIN_SQL,
         # NTILE window (per-user quartile bucketing, deterministic ties)
         "user_value_ntiles": USER_NTILES_SQL,
         # LAG window (consecutive per-user value deltas, NULL first row)

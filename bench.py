@@ -240,6 +240,26 @@ def run_bench() -> dict:
     event_transitions(SF_DIR).count()
     queries["event_transitions"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.cohort import cohort_retention
+    t0 = time.perf_counter()
+    cohort_retention(SF_DIR).count()
+    queries["cohort_retention"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.joins import bloom_semi_join_lineitem_urgent
+    t0 = time.perf_counter()
+    bloom_semi_join_lineitem_urgent(SF_DIR).count()
+    queries["join_bloom_semi"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.rollup import cube_events
+    t0 = time.perf_counter()
+    cube_events(SF_DIR).count()
+    queries["cube_events"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.graph import clustering_quads
+    t0 = time.perf_counter()
+    clustering_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_clustering"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

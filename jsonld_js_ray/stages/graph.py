@@ -421,12 +421,15 @@ def _oriented_edges(und):
                                                batch_format="pandas")
 
 
-def _wedges(directed):
+def _wedges(directed, with_center: bool = False):
     """directed (a, b, db, bucket=hash(a)) → candidate wedges (x, y)
     with rank(x) < rank(y): all ordered out-neighbor pairs per center,
     vectorized via groupkit.run_pair_indices (out-degree is
     O(sqrt(2m)) under the degree orientation, bounding per-center
-    work). The bucket column already carries the center key."""
+    work). The bucket column already carries the center key.
+    ``with_center`` adds the pivot node as a ``ctr`` column (needed by
+    per-node triangle credits in clustering_quads; the global count of
+    triangle_stats doesn't pay for it)."""
     from .groupkit import run_pair_indices
 
     def wedges_in_bucket(g) -> pa.Table:
@@ -436,10 +439,13 @@ def _wedges(directed):
         order = np.lexsort((b, db, a))
         a_s, b_s = a[order], b[order]
         i_idx, j_idx = run_pair_indices(a_s)
-        return pa.table({
+        cols = {
             "x": pa.array(b_s[i_idx], pa.string()),
             "y": pa.array(b_s[j_idx], pa.string()),
-        })
+        }
+        if with_center:
+            cols["ctr"] = pa.array(a_s[i_idx], pa.string())
+        return pa.table(cols)
 
     return directed.groupby("bucket").map_groups(wedges_in_bucket,
                                                  batch_format="pandas")
@@ -510,6 +516,143 @@ SELECT
   (SELECT count(*)
    FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def clustering_quads(quads):
+    """quad table → (node, n_tri, n_wedges) for every node with
+    degree ≥ 2 over the undirected distinct IRI–IRI graph: the local
+    clustering coefficient n_tri / n_wedges kept as its EXACT integer
+    numerator (triangles through the node) and denominator
+    (deg·(deg−1)/2), per the repo contract that float division is
+    done by the reader, not hashed.
+
+    Same degree-oriented machinery as triangle_stats, but wedges carry
+    their pivot so every closed triangle credits all three corners:
+    the in-bucket closure join emits per-node partial counts (never
+    pair rows), which meet the per-node degrees from _tri_degrees in
+    one final node-bucketed exchange. Each triangle closes exactly
+    once (its min-rank vertex pivots both oriented edges), so corner
+    credits are exact."""
+    und = _pin(_undirected_edges(quads))
+    directed = _pin(_oriented_edges(und))
+
+    def pair_bucket(x, y) -> pa.Array:
+        return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["x"], "y": batch["y"], "ctr": batch["ctr"],
+            "is_edge": pa.array(np.zeros(len(x), np.int8)),
+            "bucket": pair_bucket(x, y),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["a"], "y": batch["b"],
+            "ctr": pa.array([""] * len(a), pa.string()),
+            "is_edge": pa.array(np.ones(len(a), np.int8)),
+            "bucket": pair_bucket(a, b),
+        })
+
+    def close_credits(g) -> pa.Table:
+        e = g[g["is_edge"] == 1][["x", "y"]]
+        w = g[g["is_edge"] == 0][["x", "y", "ctr"]]
+        if not len(e) or not len(w):
+            return pa.table({
+                "node": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "nbucket": pa.array([], pa.int32()),
+            })
+        m = w.merge(e, on=["x", "y"])
+        node = np.concatenate([m["x"].to_numpy(object),
+                               m["y"].to_numpy(object),
+                               m["ctr"].to_numpy(object)])
+        uniq, counts = np.unique(node.astype(str), return_counts=True)
+        return pa.table({
+            "node": pa.array(uniq, pa.string()),
+            "cnt": pa.array(counts.astype(np.int64)),
+            "nbucket": _bucket_of(uniq),
+        })
+
+    credits = _wedges(directed, with_center=True) \
+        .map_batches(wedge_rows, batch_format="pyarrow") \
+        .union(directed.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(close_credits,
+                                      batch_format="pandas")
+
+    def tri_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"],
+            "tri": batch["cnt"].cast(pa.int64()),
+            "deg": pa.array(np.zeros(n, np.int64)),
+            "nbucket": batch["nbucket"],
+        })
+
+    def deg_side(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch["node"],
+            "tri": pa.array(np.zeros(len(nodes), np.int64)),
+            "deg": batch["deg"].cast(pa.int64()),
+            "nbucket": _bucket_of(nodes),
+        })
+
+    from .groupkit import run_lengths, run_starts
+
+    def finish(g) -> pa.Table:
+        nodes = np.asarray(g["node"].to_numpy(object), dtype=str)
+        tri = g["tri"].to_numpy(np.int64)
+        deg = g["deg"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        n_s, t_s, d_s = nodes[order], tri[order], deg[order]
+        starts = run_starts(n_s)
+        codes = np.repeat(np.arange(len(starts)),
+                          run_lengths(n_s, starts))
+        n_tri = _int_group_sums(codes, t_s, len(starts))
+        degs = _int_group_sums(codes, d_s, len(starts))
+        keep = degs >= 2
+        return pa.table({
+            "node": pa.array(n_s[starts][keep], pa.string()),
+            "n_tri": pa.array(n_tri[keep]),
+            "n_wedges": pa.array(degs[keep] * (degs[keep] - 1) // 2),
+        })
+
+    return credits.map_batches(tri_side, batch_format="pyarrow") \
+        .union(_tri_degrees(und).map_batches(deg_side,
+                                             batch_format="pyarrow")) \
+        .groupby("nbucket").map_groups(finish, batch_format="pandas")
+
+
+def _clustering_oracle_sql(quads_sql: str) -> str:
+    """Triangle corners via the canonical u < v < w 3-way join, each
+    credited to all three vertices; degrees from the doubled edge
+    list."""
+    return f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                      greatest(subj, obj_value) AS v
+      FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+       FROM corners GROUP BY node),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+SELECT d.node AS node,
+       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges
+FROM d LEFT JOIN tc ON tc.node = d.node
+WHERE d.deg >= 2
 """
 
 

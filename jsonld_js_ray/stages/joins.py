@@ -341,6 +341,184 @@ ON o.o_custkey = c.c_custkey
 """
 
 
+# --- Bloom-filter semi-join (the scale-path join pruning pattern) ---
+# At 100 TB the build side of a semi-join is too big to broadcast as a
+# raw key set, but a Bloom filter over its keys is a few MB regardless
+# of cardinality: build it distributed (per-batch bitmaps, OR-reduced
+# — the driver touches n_blocks × M/8 bytes, bounded by block count,
+# never keys), broadcast ONCE via ray.put, and prefilter the probe
+# side BEFORE the shuffle so only probable matches (true matches +
+# the ~(1-e^{-kn/m})^k false-positive sliver) pay the exchange. A
+# final in-bucket exact membership check removes the false positives,
+# so the result is hash-exact vs the EXISTS oracle — the Bloom stage
+# only cuts shuffled volume, never changes semantics.
+
+BLOOM_M_BITS = 1 << 20          # 128 KiB bitmap (power of two)
+BLOOM_K = 4                     # hash probes per key
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(BLOOM_K, n) bit positions via double hashing h1 + i·h2 —
+    the standard Kirsch–Mitzenmacher construction; h2 forced odd so
+    the probe stride never degenerates."""
+    from .sketches import _hash64
+
+    ku = keys.astype(np.int64).astype(np.uint64)
+    h1 = _hash64(ku)
+    h2 = _hash64(ku ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :])
+            % np.uint64(BLOOM_M_BITS)).astype(np.uint64)
+
+
+def _bloom_test(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: AND of the K bit tests."""
+    if not len(keys):
+        return np.zeros(0, bool)
+    pos = _bloom_positions(keys)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return (bits == 1).all(axis=0)
+
+
+def bloom_semi_join_lineitem_urgent(sf_dir: str):
+    """lineitem ⋉ σ(orders.priority = URGENT) (SEMI join on orderkey)
+    → per-returnflag item count + revenue cents of lineitems whose
+    order is urgent.
+
+    Phase 1 (build): urgent orderkeys → per-batch Bloom bitmaps →
+    OR-reduce → ray.put once. Phase 2 (probe): lineitem batches are
+    Bloom-prefiltered, then pre-aggregated to (okey, flag) partials
+    and bucket-shuffled WITH the distinct build keys; the in-bucket
+    ``np.isin`` semi filter discards Bloom false positives exactly.
+    Final groupby over ≤ |flags| × buckets partial rows."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .entity_merge import _pin
+    from .groupkit import int_group_sums
+
+    # lineage-pinned: the build side feeds TWO consumers (the bitmap
+    # pass and the union's exact-verify rows) — without the pin the
+    # filtered orders scan would execute twice (entity_merge._pin)
+    urgent = _pin(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=pads.field("o_orderpriority") == BLOOM_PRIORITY,
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True))
+
+    def batch_bitmap(batch: pa.Table) -> pa.Table:
+        words = np.zeros(BLOOM_M_BITS // 64, np.uint64)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(np.unique(keys)).ravel()
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"words": pa.array([words.tobytes()],
+                                           pa.large_binary())})
+
+    # driver-side OR over one fixed-size bitmap PER BLOCK (bounded by
+    # block count, independent of key cardinality)
+    words = np.zeros(BLOOM_M_BITS // 64, np.uint64)
+    for b in urgent.map_batches(
+            batch_bitmap, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for buf in b["words"]:
+            words |= np.frombuffer(buf.as_py(), np.uint64)
+    bloom_ref = ray.put(words)
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n = len(keys)
+        return pa.table({
+            "key": pa.array(keys),
+            "flag": pa.array([""] * n, pa.string()),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "cents": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def probe_partials(batch: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _bloom_test(w, keys)            # the volume cut
+        t = batch.filter(pa.array(m))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
+            .astype(np.int64)
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        # integer-fused (okey, flag) group key: factorize the tiny
+        # flag domain, combine — no per-row string building
+        _, fcodes = np.unique(flag, return_inverse=True)
+        nf = int(fcodes.max()) + 1 if len(fcodes) else 1
+        uniq, first, codes = np.unique(
+            ok * nf + fcodes, return_index=True, return_inverse=True)
+        return pa.table({
+            "key": pa.array(ok[first]),
+            "flag": pa.array(flag[first], pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64)),
+            "cents": pa.array(int_group_sums(codes, cents, len(uniq))),
+            "side": pa.array(np.ones(len(uniq), np.int8)),
+        })
+
+    probe = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True) \
+        .map_batches(probe_partials, batch_format="pyarrow")
+
+    both = urgent.map_batches(build_rows, batch_format="pyarrow") \
+        .union(probe) \
+        .map_batches(_bucketize("key"), batch_format="pyarrow")
+
+    def semi_bucket(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        keys = g["key"].to_numpy(np.int64)
+        is_p = side == 1
+        # exact verify: drop the Bloom false positives
+        hit = np.isin(keys[is_p], keys[~is_p])
+        flag = g["flag"].to_numpy()[is_p][hit]
+        n = g["n"].to_numpy(np.int64)[is_p][hit]
+        cents = g["cents"].to_numpy(np.int64)[is_p][hit]
+        uniq, codes = np.unique(flag, return_inverse=True)
+        return pa.table({
+            "returnflag": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(int_group_sums(codes, n, len(uniq))),
+            "cents": pa.array(int_group_sums(codes, cents, len(uniq))),
+        })
+
+    return both.groupby("bucket").map_groups(
+        semi_bucket, batch_format="pandas") \
+        .groupby("returnflag").aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("cents", alias_name="rev_cents"))
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT l.l_returnflag AS returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '{BLOOM_PRIORITY}')
+GROUP BY l.l_returnflag
+"""
+
+
 def topk_docs_by_tokens(sf_dir: str, k: int = 20):
     """Top-k documents by token count (ties broken by doc_id).
 

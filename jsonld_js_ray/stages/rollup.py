@@ -57,10 +57,14 @@ def _dec(enc: pa.Array) -> pa.Array:
                       pa.scalar(None, pa.string()), vals)
 
 
-def rollup_events(sf_dir: str):
-    """events → (event_type, day, n_events, total_cents) at all three
-    rollup levels; the subtotal rows carry NULL in the rolled-up
-    columns (SQL ROLLUP convention)."""
+def _finest_level(sf_dir: str):
+    """events → the decoded finest grouping level (event_type, day,
+    n_events, total_cents): ONE read, per-batch keyed partials over
+    the fused NULL-safe (type, day) key (the shuffle moves one row per
+    distinct combination per batch), one groupby to finish. Both
+    grouping-set operators (rollup_events, cube_events) derive every
+    coarser level from THIS output, so the keyed-partial contract
+    lives in exactly one place."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -85,11 +89,6 @@ def rollup_events(sf_dir: str):
             "cents": pa.array(c),
         })
 
-    fine = events.map_batches(partial, batch_format="pyarrow",
-                              batch_size=65536) \
-        .groupby("k").aggregate(Sum("n", alias_name="n"),
-                                Sum("cents", alias_name="cents"))
-
     def fine_rows(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["k"], pattern=_SEP)
         return pa.table({
@@ -99,7 +98,25 @@ def rollup_events(sf_dir: str):
             "total_cents": batch["cents"].cast(pa.int64()),
         })
 
-    level0 = fine.map_batches(fine_rows, batch_format="pyarrow")
+    return events.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                Sum("cents", alias_name="cents")) \
+        .map_batches(fine_rows, batch_format="pyarrow")
+
+
+def rollup_events(sf_dir: str):
+    """events → (event_type, day, n_events, total_cents) at all three
+    rollup levels; the subtotal rows carry NULL in the rolled-up
+    columns (SQL ROLLUP convention)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .entity_merge import _pin
+
+    # pinned: level 0 feeds both the output union and the level-1
+    # re-aggregation — unpinned, the events read would run twice
+    level0 = _pin(_finest_level(sf_dir))
 
     # rollup cascade: level 1 re-aggregates level 0's output (tiny),
     # never the raw events
@@ -139,6 +156,84 @@ def rollup_events(sf_dir: str):
     }))
 
     return level0.union(level1).union(level2)
+
+
+def cube_events(sf_dir: str):
+    """events → (event_type, day, n_events, total_cents) at ALL FOUR
+    ``GROUP BY CUBE(event_type, day)`` grouping sets — the rollup's
+    (type, day)/(type)/() levels plus the cross-cut (day) level a
+    ROLLUP cannot produce. Subtotal rows carry NULL in the collapsed
+    columns (SQL convention, via the module's shared NULL-safe
+    encoder).
+
+    Same cascade discipline as rollup_events — every coarser level
+    re-aggregates the finest level's already-tiny output, never the
+    raw events — but the finest level feeds THREE consumers here, so
+    it is lineage-pinned once (from_arrow_refs; a bare ``union`` of
+    derived datasets would re-run the raw read per consumer, see
+    entity_merge._pin) and the cube costs one corpus pass total."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .entity_merge import _pin
+
+    level0 = _pin(_finest_level(sf_dir))
+
+    def collapse(keep: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                keep: batch[keep],
+                "n": batch["n_events"],
+                "cents": batch["total_cents"],
+            })
+        return fn
+
+    def subtotal_rows(keep: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = len(batch)
+            null = pa.array([None] * k, pa.string())
+            return pa.table({
+                "event_type": batch[keep] if keep == "event_type"
+                else null,
+                "day": batch[keep] if keep == "day" else null,
+                "n_events": batch["n"].cast(pa.int64()),
+                "total_cents": batch["cents"].cast(pa.int64()),
+            })
+        return fn
+
+    levels = [level0]
+    for keep in ("event_type", "day"):
+        levels.append(
+            level0.map_batches(collapse(keep), batch_format="pyarrow")
+            .groupby(keep)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents"))
+            .map_batches(subtotal_rows(keep), batch_format="pyarrow"))
+
+    tot = level0.aggregate(Sum("n_events", alias_name="n"),
+                           Sum("total_cents", alias_name="cents"))
+    levels.append(rd.from_arrow(pa.table({
+        "event_type": pa.array([None], pa.string()),
+        "day": pa.array([None], pa.string()),
+        "n_events": pa.array([int(tot["n"])], pa.int64()),
+        "total_cents": pa.array([int(tot["cents"])], pa.int64()),
+    })))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+CUBE_EVENTS_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+            AS BIGINT) AS total_cents
+FROM events
+GROUP BY CUBE(event_type, day)
+"""
 
 
 ROLLUP_EVENTS_SQL = """

@@ -1,0 +1,151 @@
+"""Round-3 session-4 operators: cohort retention, Bloom semi-join,
+CUBE grouping sets, per-node clustering coefficient (semantics +
+DuckDB oracle parity at sf0.001; the driver re-checks at sf0.01)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _parity(E, q, sf_dir, views):
+    import duckdb
+    import pandas as pd
+
+    mine = E.queries()[q](sf_dir).to_pandas()
+    con = duckdb.connect()
+    for t in views:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    orc = con.sql(E.oracle_sql()[q]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    return a
+
+
+def test_cohort_retention_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "cohort_retention", sf_dir, ("events",))
+    assert (a["day_offset"] >= 0).all()
+    # Σ over the offset-0 cells = total distinct users (every user is
+    # active on their own cohort day exactly once)
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert a[a["day_offset"] == 0]["n_users"].sum() == n_users
+    # retention can never exceed the cohort's size
+    day0 = a[a["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    assert (a["n_users"] <= a["cohort_day"].map(day0)).all()
+
+
+def test_bloom_filter_kernel():
+    from jsonld_js_ray.stages.joins import (
+        BLOOM_M_BITS,
+        _bloom_positions,
+        _bloom_test,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 40, size=5000)
+    others = rng.integers(1 << 41, 1 << 42, size=20000)
+    words = np.zeros(BLOOM_M_BITS // 64, np.uint64)
+    pos = _bloom_positions(members).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    # NO false negatives (correctness invariant the semi-join's
+    # exactness rests on) ...
+    assert _bloom_test(words, members).all()
+    # ... and a low false-positive rate (the volume-cut guarantee):
+    # k=4, n=5k, m=1M bits → theory ~1.1e-5; allow generous slack
+    fp = _bloom_test(words, others).mean()
+    assert fp < 0.01
+
+
+def test_join_bloom_semi_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "join_bloom_semi", sf_dir,
+                ("orders", "lineitem"))
+    # the semi join keeps a strict subset of all lineitems
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/lineitem.parquet'").fetchone()[0]
+    assert 0 < a["n_items"].sum() < n_all
+
+
+def test_cube_events_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "cube_events", sf_dir, ("events",))
+    # all four grouping sets present, with consistent totals
+    fine = a[a["event_type"].notna() & a["day"].notna()]
+    by_type = a[a["event_type"].notna() & a["day"].isna()]
+    by_day = a[a["event_type"].isna() & a["day"].notna()]
+    total = a[a["event_type"].isna() & a["day"].isna()]
+    assert len(total) == 1
+    n = int(total["n_events"].iloc[0])
+    assert fine["n_events"].sum() == n
+    assert by_type["n_events"].sum() == n
+    assert by_day["n_events"].sum() == n
+    assert fine["total_cents"].sum() == int(total["total_cents"].iloc[0])
+
+
+def test_kg_clustering_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_clustering", sf_dir, ("events",))
+    # coefficient is a probability: 0 <= n_tri <= n_wedges, deg >= 2
+    assert (a["n_wedges"] >= 1).all()
+    assert (a["n_tri"] >= 0).all()
+    assert (a["n_tri"] <= a["n_wedges"]).all()
+    # the conv KG is bipartite-ish (conv→turn→entity, no closing
+    # edges) so its triangle count is genuinely 0 — the nonzero path
+    # is exercised by test_kg_clustering_semantics below
+
+
+def test_kg_clustering_semantics(ray_session):
+    """K4 on {a,b,c,d} plus pendant e—a: every K4 node sits on 3 of
+    its wedge pairs' triangles; a's extra pendant edge raises its
+    denominator to C(4,2)=6; e has degree 1 and is excluded."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import clustering_quads
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("e", "a")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = clustering_quads(rd.from_arrow(tbl)).to_pandas()
+    got = {r.node: (r.n_tri, r.n_wedges) for r in out.itertuples()}
+    assert got == {"a": (3, 6), "b": (3, 3), "c": (3, 3),
+                   "d": (3, 3)}
+
+
+def test_kg_clustering_consistent_with_triangle_stats(ray_session,
+                                                      sf_dir):
+    """Σ per-node credits = 3 × the independently-computed global
+    triangle count (each triangle has exactly 3 corners)."""
+    import ray.data as rd
+
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import (
+        clustering_quads,
+        triangle_stats,
+    )
+
+    per_node = clustering_quads(
+        build_quads_with_mentions(sf_dir)).to_pandas()
+    stats = triangle_stats(
+        build_quads_with_mentions(sf_dir)).to_pandas()
+    assert per_node["n_tri"].sum() == 3 * int(stats["n_triangles"][0])
