@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": _q_user_running_totals,
         "value_histogram": _q_value_histogram,
         "range_partition_bounds": _q_range_partition_bounds,
+        "global_sort": _q_global_sort,
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
         "cube_events": _q_cube_events,
@@ -325,6 +326,12 @@ def _q_range_partition_bounds(sf_dir: str):
     from jsonld_js_ray.stages.histo import range_partition_bounds
 
     return range_partition_bounds(sf_dir)
+
+
+def _q_global_sort(sf_dir: str):
+    from jsonld_js_ray.stages.histo import global_sort_events
+
+    return global_sort_events(sf_dir)
 
 
 def _q_robust_outliers(sf_dir: str):
@@ -760,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         curation_filter_sql,
     )
     from jsonld_js_ray.stages.histo import (
+        GLOBAL_SORT_SQL,
         RANGE_BOUNDS_SQL,
         VALUE_HISTOGRAM_SQL,
     )
@@ -991,6 +999,9 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": VALUE_HISTOGRAM_SQL,
         # sampled range-partition boundaries (the TeraSort primitive)
         "range_partition_bounds": RANGE_BOUNDS_SQL,
+        # full TeraSort: range-partitioned global total order with
+        # exact row_number ranks (sample → route once → local sort)
+        "global_sort": GLOBAL_SORT_SQL,
         # per-user median/MAD anomaly flag (quantile_disc + IEEE ops)
         "robust_outliers": ROBUST_OUTLIERS_SQL,
         # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)

@@ -260,6 +260,11 @@ def run_bench() -> dict:
     clustering_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_clustering"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.histo import global_sort_events
+    t0 = time.perf_counter()
+    global_sort_events(SF_DIR).count()
+    queries["global_sort"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

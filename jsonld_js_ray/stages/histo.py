@@ -131,3 +131,134 @@ SELECT 50, quantile_disc(v, 0.5) FROM s
 UNION ALL
 SELECT 75, quantile_disc(v, 0.75) FROM s
 """
+
+
+# --- global total-order sort (the full TeraSort composition) ---
+# range_partition_bounds above computes the PRIMITIVE (sampled
+# boundaries); this runs the whole operator: sample → range-partition
+# → in-partition sort → exact global ranks. The all-to-all moves each
+# row ONCE to its key-range partition (vs a comparison-sort shuffle's
+# log passes); only two tiny things ever reach the driver — the
+# per-block boundary sample (≤ SORT_SAMPLE_PER_BLOCK rows per block,
+# bounded by block count, independent of corpus size) and the P
+# partition counts whose prefix sum turns local sort positions into
+# global ranks. Boundary quality affects only partition BALANCE,
+# never correctness: equal keys always land in one partition, so the
+# (key, id) tie-break is resolved entirely in-partition.
+
+SORT_PARTITIONS = 32
+SORT_SAMPLE_PER_BLOCK = 64
+
+
+def _sort_cents(batch: pa.Table):
+    """(event_id, cents) for non-NULL values — the shared key kernel
+    of every pass (sample, count, rank)."""
+    vals = batch["value"].to_numpy(zero_copy_only=False)
+    ids = batch["event_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = ~np.isnan(vals)
+    cents = np.floor(vals[keep] * 100 + 0.5).astype(np.int64)
+    return ids[keep], cents
+
+
+def global_sort_events(sf_dir: str, parts: int = SORT_PARTITIONS):
+    """events → (event_id, cents, rank): the exact global total order
+    of all non-NULL values by (cents, event_id) — row_number() over
+    the whole table, computed distributed."""
+    import ray
+    import ray.data as rd
+
+    from ..rayutil import strip_meta as _strip_meta
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    # pass 1 — per-block evenly-spaced key sample (TeraSort-style
+    # fixed count per block, NOT a rate: the driver sees
+    # n_blocks × SORT_SAMPLE_PER_BLOCK values at any corpus size)
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        _, cents = _sort_cents(batch)
+        cents = np.sort(cents)
+        k = min(SORT_SAMPLE_PER_BLOCK, len(cents))
+        idx = (np.linspace(0, len(cents) - 1, num=k).astype(np.int64)
+               if k else np.zeros(0, np.int64))
+        return pa.table({"v": pa.array(cents[idx])})
+
+    sample = np.sort(np.concatenate([
+        b["v"].to_numpy(zero_copy_only=False)
+        for b in events.map_batches(
+            sample_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")] or [np.zeros(0, np.int64)]))
+    if len(sample):
+        pos = (np.arange(1, parts) * len(sample)) // parts
+        bounds = np.unique(sample[pos])
+    else:
+        bounds = np.zeros(0, np.int64)
+    bounds_ref = ray.put(bounds)
+
+    def pid_of(cents: np.ndarray) -> np.ndarray:
+        b = ray.get(bounds_ref)
+        return np.searchsorted(b, cents, side="right").astype(np.int32)
+
+    # pass 2 — per-partition row counts (partial per batch; the
+    # groupby reduces to ≤ parts rows, whose prefix sum is the rank
+    # offset vector)
+    from ray.data.aggregate import Sum
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        _, cents = _sort_cents(batch)
+        pid = pid_of(cents)
+        uniq, counts = np.unique(pid, return_counts=True)
+        return pa.table({
+            "pid": pa.array(uniq.astype(np.int32)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    counts = events.map_batches(count_rows, batch_format="pyarrow") \
+        .groupby("pid").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    offsets = np.zeros(len(bounds) + 2, np.int64)
+    for pid, n in zip(counts["pid"], counts["n"]):
+        offsets[int(pid) + 1] = int(n)
+    offsets = np.cumsum(offsets)
+    offsets_ref = ray.put(offsets)
+
+    # pass 3 — route each row once, sort within its key range, add
+    # the partition's rank offset (global order needs no merge step)
+    def route(batch: pa.Table) -> pa.Table:
+        ids, cents = _sort_cents(batch)
+        return pa.table({
+            "event_id": pa.array(ids),
+            "cents": pa.array(cents),
+            "pid": pa.array(pid_of(cents)),
+        })
+
+    def rank_in_partition(g) -> pa.Table:
+        ids = g["event_id"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        pid = int(g["pid"].iloc[0])
+        order = np.lexsort((ids, cents))
+        base = ray.get(offsets_ref)[pid]
+        return pa.table({
+            "event_id": pa.array(ids[order]),
+            "cents": pa.array(cents[order]),
+            "rank": pa.array(base + 1
+                             + np.arange(len(ids), dtype=np.int64)),
+        })
+
+    return events.map_batches(route, batch_format="pyarrow") \
+        .groupby("pid").map_groups(rank_in_partition,
+                                   batch_format="pandas")
+
+
+GLOBAL_SORT_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       CAST(row_number() OVER (
+            ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                     event_id) AS BIGINT) AS rank
+FROM events
+WHERE value IS NOT NULL
+"""

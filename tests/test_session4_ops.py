@@ -111,6 +111,24 @@ def test_kg_clustering_oracle_parity_sf(ray_session, sf_dir):
     # is exercised by test_kg_clustering_semantics below
 
 
+def test_global_sort_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "global_sort", sf_dir, ("events",))
+    # ranks are the exact permutation 1..n ...
+    n = len(a)
+    r = np.sort(a["rank"].to_numpy(np.int64))
+    assert (r == np.arange(1, n + 1)).all()
+    # ... and the key is globally nondecreasing in rank order
+    by_rank = a.sort_values("rank")
+    assert (np.diff(by_rank["cents"].to_numpy(np.int64)) >= 0).all()
+    # ties broken by event_id within equal keys
+    c = by_rank["cents"].to_numpy(np.int64)
+    e = by_rank["event_id"].to_numpy(np.int64)
+    same = np.diff(c) == 0
+    assert (np.diff(e)[same] > 0).all()
+
+
 def test_kg_clustering_semantics(ray_session):
     """K4 on {a,b,c,d} plus pendant e—a: every K4 node sits on 3 of
     its wedge pairs' triangles; a's extra pendant edge raises its
