@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_table": _q_kg_property_table,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_clustering": _q_kg_clustering,
+        "kg_truss_support": _q_kg_truss_support,
+        "kg_jaccard_neighbors": _q_kg_jaccard_neighbors,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -380,6 +382,41 @@ def _clustering_oracle() -> str:
     from jsonld_js_ray.stages.graph import _clustering_oracle_sql
 
     return _clustering_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_kg_truss_support(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import truss_support_quads
+
+    return truss_support_quads(build_quads_with_mentions(sf_dir))
+
+
+def _truss_support_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _truss_support_oracle_sql
+
+    return _truss_support_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_kg_jaccard_neighbors(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import jaccard_neighbors
+
+    return jaccard_neighbors(build_quads_with_mentions(sf_dir))
+
+
+def _jaccard_neighbors_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import (
+        _jaccard_neighbors_oracle_sql,
+    )
+
+    return _jaccard_neighbors_oracle_sql(
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_user_quantiles_cont(sf_dir: str):
@@ -854,6 +891,10 @@ def oracle_sql() -> dict[str, str]:
         # per-node local clustering coefficient as exact integer
         # numerator/denominator (triangle corners vs 3-way join)
         "kg_clustering": _clustering_oracle(),
+        # per-edge triangle support (the k-truss base quantity)
+        "kg_truss_support": _truss_support_oracle(),
+        # neighborhood Jaccard as exact integer common/union counts
+        "kg_jaccard_neighbors": _jaccard_neighbors_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

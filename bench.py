@@ -265,6 +265,18 @@ def run_bench() -> dict:
     global_sort_events(SF_DIR).count()
     queries["global_sort"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import (
+        jaccard_neighbors,
+        truss_support_quads,
+    )
+    t0 = time.perf_counter()
+    truss_support_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_truss_support"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    jaccard_neighbors(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_jaccard_neighbors"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

@@ -278,6 +278,11 @@ n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)"""
 
 TRI_BUCKETS = 64
 
+# wedge-center degree cap shared by the link-prediction family
+# (common_neighbors / resource_allocation / jaccard_neighbors) — part
+# of the operator CONTRACT, mirrored in every oracle
+CN_MAX_DEG = 64
+
 
 def _undirected_edges(quads):
     """quad table → globally distinct undirected IRI–IRI edges
@@ -627,6 +632,260 @@ def clustering_quads(quads):
         .union(_tri_degrees(und).map_batches(deg_side,
                                              batch_format="pyarrow")) \
         .groupby("nbucket").map_groups(finish, batch_format="pandas")
+
+
+def truss_support_quads(quads):
+    """quad table → (u, v, support) for EVERY distinct undirected
+    IRI–IRI edge (u < v): the number of triangles the edge sits in —
+    the k-truss decomposition's base quantity (an edge survives the
+    k-truss iff support ≥ k−2).
+
+    Reuses the degree-oriented closure engine (clustering_quads):
+    each triangle closes exactly once, crediting its THREE edges in
+    canonical (u < v) string order; per-bucket partial pair counts
+    meet the full edge list (support-0 rows preserved) in one final
+    pair-bucketed exchange."""
+    from .groupkit import pair_run_starts
+
+    und = _pin(_undirected_edges(quads))
+    directed = _pin(_oriented_edges(und))
+
+    def pair_bucket(x, y) -> pa.Array:
+        return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["x"], "y": batch["y"], "ctr": batch["ctr"],
+            "is_edge": pa.array(np.zeros(len(x), np.int8)),
+            "bucket": pair_bucket(
+                batch["x"].to_numpy(zero_copy_only=False),
+                batch["y"].to_numpy(zero_copy_only=False)),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": batch["a"], "y": batch["b"],
+            "ctr": pa.array([""] * len(a), pa.string()),
+            "is_edge": pa.array(np.ones(len(a), np.int8)),
+            "bucket": pair_bucket(
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False)),
+        })
+
+    def close_edge_credits(g) -> pa.Table:
+        e = g[g["is_edge"] == 1][["x", "y"]]
+        w = g[g["is_edge"] == 0][["x", "y", "ctr"]]
+        if not len(e) or not len(w):
+            return pa.table({
+                "u": pa.array([], pa.string()),
+                "v": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pbucket": pa.array([], pa.int32()),
+            })
+        m = w.merge(e, on=["x", "y"])
+        x = np.asarray(m["x"].to_numpy(object), dtype=str)
+        y = np.asarray(m["y"].to_numpy(object), dtype=str)
+        c = np.asarray(m["ctr"].to_numpy(object), dtype=str)
+        # the triangle's three edges, canonicalized u < v by STRING
+        # order (wedge rows are rank-ordered, not string-ordered);
+        # np.where on the comparison — np.minimum has no unicode loop
+        xy, cx, cy = x < y, c < x, c < y
+        eu = np.concatenate([np.where(xy, x, y), np.where(cx, c, x),
+                             np.where(cy, c, y)])
+        ev = np.concatenate([np.where(xy, y, x), np.where(cx, x, c),
+                             np.where(cy, y, c)])
+        order = np.lexsort((ev, eu))
+        eu, ev = eu[order], ev[order]
+        starts = pair_run_starts(eu, ev)
+        lens = np.diff(np.append(starts, len(eu)))
+        du, dv = eu[starts], ev[starts]
+        return pa.table({
+            "u": pa.array(du, pa.string()),
+            "v": pa.array(dv, pa.string()),
+            "cnt": pa.array(lens.astype(np.int64)),
+            "pbucket": pa.array(
+                _pair_bucket_ids(du, dv, TRI_BUCKETS)),
+        })
+
+    credits = _wedges(directed, with_center=True) \
+        .map_batches(wedge_rows, batch_format="pyarrow") \
+        .union(directed.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(close_edge_credits,
+                                      batch_format="pandas")
+
+    def edge_zero_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": batch["u"], "v": batch["v"],
+            "cnt": pa.array(np.zeros(len(u), np.int64)),
+            "pbucket": pa.array(_pair_bucket_ids(u, v, TRI_BUCKETS)),
+        })
+
+    def finish(g) -> pa.Table:
+        u = np.asarray(g["u"].to_numpy(object), dtype=str)
+        v = np.asarray(g["v"].to_numpy(object), dtype=str)
+        cnt = g["cnt"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v, cnt = u[order], v[order], cnt[order]
+        starts = pair_run_starts(u, v)
+        sums = (np.add.reduceat(cnt, starts) if len(starts)
+                else np.zeros(0, np.int64))
+        return pa.table({
+            "u": pa.array(u[starts], pa.string()),
+            "v": pa.array(v[starts], pa.string()),
+            "support": pa.array(sums),
+        })
+
+    return credits.union(
+        und.map_batches(edge_zero_rows, batch_format="pyarrow")) \
+        .groupby("pbucket").map_groups(finish, batch_format="pandas")
+
+
+def _truss_support_oracle_sql(quads_sql: str) -> str:
+    """Each canonical triangle (a < b < c) credits its three edges;
+    support-0 edges preserved by the LEFT join."""
+    return f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                      greatest(subj, obj_value) AS v
+      FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+te AS (SELECT a AS u, b AS v FROM t
+       UNION ALL SELECT a, c FROM t
+       UNION ALL SELECT b, c FROM t),
+sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s
+        FROM te GROUP BY u, v)
+SELECT e.u, e.v,
+       CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+"""
+
+
+def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
+    """quad table → (u, v, n_common, n_union) for pairs sharing ≥ 1
+    neighbor with degree in [2, ``max_deg``]: the neighborhood
+    Jaccard link-prediction index kept as its EXACT integer numerator
+    and denominator (n_union = deg(u) + deg(v) − n_common over FULL,
+    uncapped endpoint degrees; the cap bounds wedge centers only, per
+    the common_neighbors contract).
+
+    One extra exchange beyond _wedge_scores: each common-count pair
+    splits into two node-keyed half rows that pick up their
+    endpoint's degree where deg(n) = row count in n's bucket (the
+    _oriented_edges no-join degree trick), then the pair bucket
+    reunites the halves."""
+    from .groupkit import pair_run_starts
+
+    pairs = _wedge_scores(quads, max_deg, "common", scale=None)
+
+    def halves(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = batch["common"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        end = np.concatenate([np.zeros(len(u), np.int8),
+                              np.ones(len(v), np.int8)])
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "other": pa.array(other, pa.string()),
+            "common": pa.array(np.concatenate([c, c])),
+            "end": pa.array(end),
+            "is_pair": pa.array(np.ones(2 * len(u), np.int8)),
+            "bucket": _bucket_of(key),
+        })
+
+    def edge_ends(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        n = len(key)
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "common": pa.array(np.zeros(n, np.int64)),
+            "end": pa.array(np.zeros(n, np.int8)),
+            "is_pair": pa.array(np.zeros(n, np.int8)),
+            "bucket": _bucket_of(key),
+        })
+
+    def attach_deg(g) -> pa.Table:
+        is_pair = (g["is_pair"] == 1).to_numpy()
+        keys = g["key"].to_numpy()
+        # deg(n) = count of n-keyed EDGE endpoint rows in this bucket
+        ek, ec = np.unique(keys[~is_pair], return_counts=True)
+        p = g[is_pair]
+        pk = p["key"].to_numpy()
+        idx = np.searchsorted(ek, pk)
+        idx_ok = np.minimum(idx, max(len(ek) - 1, 0))
+        deg = np.where(
+            (idx < len(ek)) & (ek[idx_ok] == pk) if len(ek)
+            else np.zeros(len(pk), bool),
+            ec[idx_ok] if len(ek) else 0, 0).astype(np.int64)
+        is_u = (p["end"] == 0).to_numpy()
+        u = np.where(is_u, pk, p["other"].to_numpy())
+        v = np.where(is_u, p["other"].to_numpy(), pk)
+        return pa.table({
+            "u": pa.array(u, pa.string()),
+            "v": pa.array(v, pa.string()),
+            "common": pa.array(p["common"].to_numpy(np.int64)),
+            "deg": pa.array(deg),
+            "pbucket": pa.array(_pair_bucket_ids(u, v, PR_BUCKETS)),
+        })
+
+    def reunite(g) -> pa.Table:
+        u = np.asarray(g["u"].to_numpy(object), dtype=str)
+        v = np.asarray(g["v"].to_numpy(object), dtype=str)
+        c = g["common"].to_numpy(np.int64)
+        d = g["deg"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v, c, d = u[order], v[order], c[order], d[order]
+        starts = pair_run_starts(u, v)
+        # exactly two half rows per pair (one per endpoint)
+        dsum = np.add.reduceat(d, starts) if len(starts) \
+            else np.zeros(0, np.int64)
+        return pa.table({
+            "u": pa.array(u[starts], pa.string()),
+            "v": pa.array(v[starts], pa.string()),
+            "n_common": pa.array(c[starts]),
+            "n_union": pa.array(dsum - c[starts]),
+        })
+
+    und = _pin(_undirected_edges(quads))
+    return pairs.map_batches(halves, batch_format="pyarrow") \
+        .union(und.map_batches(edge_ends, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(attach_deg,
+                                      batch_format="pandas") \
+        .groupby("pbucket").map_groups(reunite, batch_format="pandas")
+
+
+def _jaccard_neighbors_oracle_sql(quads_sql: str,
+                                  max_deg: int = CN_MAX_DEG) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM ed GROUP BY a),
+c AS (SELECT ed.a AS ctr, ed.b AS nb FROM ed
+      JOIN d ON d.node = ed.a WHERE d.deg BETWEEN 2 AND {max_deg}),
+cn AS (SELECT x.nb AS u, y.nb AS v,
+              CAST(count(*) AS BIGINT) AS n_common
+       FROM c x JOIN c y ON x.ctr = y.ctr AND x.nb < y.nb
+       GROUP BY x.nb, y.nb)
+SELECT cn.u, cn.v, cn.n_common,
+       CAST(du.deg + dv.deg - cn.n_common AS BIGINT) AS n_union
+FROM cn JOIN d du ON du.node = cn.u
+        JOIN d dv ON dv.node = cn.v
+"""
 
 
 def _clustering_oracle_sql(quads_sql: str) -> str:
@@ -1245,9 +1504,8 @@ s{t} AS (SELECT coalesce(s.node, i.node) AS node,
 # bound per-center work at C(CN_MAX_DEG, 2) while keeping the output
 # exactly reproducible. Three bucketed exchanges: edge dedup, center-
 # keyed wedge generation (degree falls out of the same group), and
-# the pair-keyed count reduction.
-
-CN_MAX_DEG = 64
+# the pair-keyed count reduction. (CN_MAX_DEG is defined at the top
+# of the module, next to TRI_BUCKETS.)
 
 # resource-allocation index fixed-point scale: each shared neighbor z
 # contributes floor(RA_SCALE / deg(z)) — per-term integer floor keeps

@@ -150,6 +150,72 @@ def test_kg_clustering_semantics(ray_session):
                    "d": (3, 3)}
 
 
+def test_kg_truss_support_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_truss_support", sf_dir, ("events",))
+    # one row per distinct undirected edge, u < v, support >= 0
+    assert (a["u"] < a["v"]).all()
+    assert (a["support"] >= 0).all()
+    assert not a.duplicated(["u", "v"]).any()
+
+
+def test_kg_truss_support_semantics(ray_session):
+    """K4 minus one edge (a—b, a—c, a—d, b—c, b—d): two triangles;
+    the shared edge a—b supports both, the outer edges one each,
+    and c—d doesn't exist."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import truss_support_quads
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = truss_support_quads(rd.from_arrow(tbl)).to_pandas()
+    got = {(r.u, r.v): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("a", "d"): 1,
+                   ("b", "c"): 1, ("b", "d"): 1}
+
+
+def test_kg_jaccard_neighbors_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_jaccard_neighbors", sf_dir, ("events",))
+    # Jaccard is a probability: 0 < common <= union
+    assert (a["n_common"] >= 1).all()
+    assert (a["n_common"] <= a["n_union"]).all()
+
+
+def test_kg_jaccard_neighbors_semantics(ray_session):
+    """Star a,b,c around hub h plus edge a—b: pair (a, b) shares
+    neighbor h with N(a)={h,b}, N(b)={h,a} → common 1, union 3."""
+    import ray.data as rd
+
+    from jsonld_js_ray.stages.graph import jaccard_neighbors
+
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "obj_kind": pa.array(["iri"] * len(edges), pa.string()),
+        "obj_value": pa.array([e[1] for e in edges], pa.string()),
+    })
+    out = jaccard_neighbors(rd.from_arrow(tbl)).to_pandas()
+    got = {(r.u, r.v): (r.n_common, r.n_union)
+           for r in out.itertuples()}
+    # deg: h=3, a=2, b=2, c=1
+    assert got == {
+        ("a", "b"): (1, 3),    # share h; |{h,b} ∪ {h,a}| = 3
+        ("a", "c"): (1, 2),    # share h; |{h,b} ∪ {h}| = 2
+        ("b", "c"): (1, 2),
+        ("a", "h"): (1, 4),    # share b; |{h,b} ∪ {a,b,c}| = 4
+        ("b", "h"): (1, 4),
+    }
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
