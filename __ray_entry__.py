@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": _q_join_broadcast,
         "join_bucketed": _q_join_bucketed,
         "join_bloom_semi": _q_join_bloom_semi,
+        "join_salted": _q_join_salted,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "user_value_ntiles": _q_user_value_ntiles,
         "user_value_deltas": _q_user_value_deltas,
+        "debounce_events": _q_debounce_events,
         "user_event_paths": _q_user_event_paths,
         "event_transitions": _q_event_transitions,
         "pricing_summary": _q_pricing_summary,
@@ -366,6 +368,20 @@ def _q_join_bloom_semi(sf_dir: str):
     )
 
     return bloom_semi_join_lineitem_urgent(sf_dir)
+
+
+def _q_join_salted(sf_dir: str):
+    from jsonld_js_ray.stages.joins import (
+        salted_skew_join_lineitem_orders,
+    )
+
+    return salted_skew_join_lineitem_orders(sf_dir)
+
+
+def _q_debounce_events(sf_dir: str):
+    from jsonld_js_ray.stages.rank import debounce_events
+
+    return debounce_events(sf_dir)
 
 
 def _q_kg_clustering(sf_dir: str):
@@ -815,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         BLOOM_SEMI_JOIN_SQL,
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
+        SALTED_JOIN_SQL,
         FULL_OUTER_JOIN_SQL,
         LEFT_JOIN_SQL,
         SHIPPING_PRIORITY_SQL,
@@ -830,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         TFIDF_TOPK_SQL,
     )
     from jsonld_js_ray.stages.rank import (
+        DEBOUNCE_SQL,
         EVENT_TRANSITIONS_SQL,
         ROBUST_OUTLIERS_SQL,
         USER_QUANTILES_CONT_SQL,
@@ -1053,6 +1071,11 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": COHORT_RETENTION_SQL,
         # Bloom-prefiltered partitioned SEMI join (exact post-verify)
         "join_bloom_semi": BLOOM_SEMI_JOIN_SQL,
+        # salted hot-key join (row-salt probe, R-replicated build —
+        # identical semantics to the unsalted inner join)
+        "join_salted": SALTED_JOIN_SQL,
+        # per-(user, type) burst debounce (LAG gap filter, 5-min gap)
+        "debounce_events": DEBOUNCE_SQL,
         # NTILE window (per-user quartile bucketing, deterministic ties)
         "user_value_ntiles": USER_NTILES_SQL,
         # LAG window (consecutive per-user value deltas, NULL first row)

@@ -277,6 +277,16 @@ def run_bench() -> dict:
     jaccard_neighbors(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_jaccard_neighbors"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.joins import salted_skew_join_lineitem_orders
+    t0 = time.perf_counter()
+    salted_skew_join_lineitem_orders(SF_DIR).count()
+    queries["join_salted"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.rank import debounce_events
+    t0 = time.perf_counter()
+    debounce_events(SF_DIR).count()
+    queries["debounce_events"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

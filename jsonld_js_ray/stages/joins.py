@@ -919,3 +919,126 @@ GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue_c DESC, o_orderkey
 LIMIT {Q3_TOPK}
 """
+
+
+# --- salted hot-key join (the skew-handling join variant) ---
+# A plain partitioned hash join sends ALL rows of one join key to one
+# bucket — a single hot key (one viral order, one bot user) can make
+# one task as large as the rest of the job. The salted variant splits
+# every probe key's rows across SALT_R sub-buckets (salt = a
+# secondary hash of the ROW, not the key) and replicates each build
+# row into all R sub-buckets, so a hot key's probe volume spreads
+# evenly at the cost of R× the (small) build side — the standard
+# skew-join trade. Semantics are identical to the unsalted join
+# (every probe row still meets its build row exactly once), so the
+# oracle is the plain INNER-join SQL.
+
+SALT_R = 8
+
+
+def salted_skew_join_lineitem_orders(sf_dir: str):
+    """lineitem ⋈ orders on orderkey with SALTED buckets → item count
+    + revenue cents per order STATUS. Probe rows salt by
+    splitmix64(linenumber-fused row key); build rows replicate R×."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .groupkit import int_group_sums
+    from .sketches import _hash64
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
+            .astype(np.int64)
+        # salt from the ROW identity (orderkey, linenumber) — NOT the
+        # join key — so a hot key's rows spread across R sub-buckets
+        salt = (_hash64(ok * np.int64(8) + ln)
+                % np.uint64(SALT_R)).astype(np.int64)
+        kb = (_hash64(ok) % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(ok),
+            "cents": pa.array(cents),
+            "status": pa.array([""] * len(ok), pa.string()),
+            "side": pa.array(np.ones(len(ok), np.int8)),
+            "bucket": pa.array((kb * SALT_R + salt).astype(np.int32)),
+        })
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        kb = (_hash64(ok) % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        n = len(ok)
+        # replicate each build row into all R sub-buckets
+        rep_ok = np.repeat(ok, SALT_R)
+        rep_st = np.repeat(status, SALT_R)
+        rep_b = (np.repeat(kb, SALT_R) * SALT_R
+                 + np.tile(np.arange(SALT_R, dtype=np.int64), n))
+        return pa.table({
+            "key": pa.array(rep_ok),
+            "cents": pa.array(np.zeros(n * SALT_R, np.int64)),
+            "status": pa.array(rep_st, pa.string()),
+            "side": pa.array(np.zeros(n * SALT_R, np.int8)),
+            "bucket": pa.array(rep_b.astype(np.int32)),
+        })
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        is_l = (g["side"] == 1).to_numpy()
+        lk = g["key"].to_numpy(np.int64)[is_l]
+        lc = g["cents"].to_numpy(np.int64)[is_l]
+        ok = g["key"].to_numpy(np.int64)[~is_l]
+        st = g["status"].to_numpy()[~is_l]
+        order = np.argsort(ok, kind="stable")
+        ok, st = ok[order], st[order]
+        idx = np.searchsorted(ok, lk)
+        idx_ok = np.minimum(idx, max(len(ok) - 1, 0))
+        hit = np.zeros(len(lk), bool) if not len(ok) else (
+            (idx < len(ok)) & (ok[idx_ok] == lk))
+        sts = st[idx_ok[hit]]
+        cents = lc[hit]
+        uniq, codes = np.unique(sts, return_inverse=True)
+        n = len(uniq)
+        return pa.table({
+            "status": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=n)
+                          .astype(np.int64)),
+            "cents": pa.array(int_group_sums(codes, cents, n)),
+        })
+
+    return lineitem.union(orders).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas") \
+        .groupby("status").aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("cents", alias_name="rev_cents"))
+
+
+SALTED_JOIN_SQL = """
+SELECT o.o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""

@@ -486,3 +486,66 @@ FROM (
   FROM events)
 WHERE rank <= {TOP_N}
 """
+
+
+DEBOUNCE_US = 300 * 1_000_000    # 5-minute quiet gap
+
+
+def debounce_events(sf_dir: str, gap_us: int = DEBOUNCE_US):
+    """events → the debounced stream (event_id, user_id, event_type):
+    keep an event iff it is the user's FIRST event of that type or
+    arrives more than ``gap_us`` after the previous same-(user, type)
+    event — the stream-hygiene filter that collapses bursts (double
+    clicks, retry storms) before feature extraction.
+
+    One user-hash shard shuffle; per shard one lexsort by (user, type,
+    ts, event_id) and a shifted int64 gap test over the (user, type)
+    runs — LAG semantics with the deterministic (ts, event_id) order
+    key mirrored in SQL. Equal-timestamp duplicates debounce to the
+    lowest event_id."""
+    from .groupkit import run_starts as _rs
+
+    ds = _with_bucket(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+    def per_shard(g):
+        users = g["user_id"].to_numpy().astype(np.int64)
+        # normalize to MICROSECONDS regardless of the source parquet's
+        # timestamp unit (a ns-unit source would make the gap test
+        # 1000× too permissive; the SQL mirror uses epoch_us)
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eids = g["event_id"].to_numpy().astype(np.int64)
+        # factorize event_type so the run key is one int pair
+        etypes, tcodes = np.unique(g["event_type"].to_numpy(object),
+                                   return_inverse=True)
+        order = np.lexsort((eids, ts, tcodes, users))
+        u, t, e, tc = users[order], ts[order], eids[order], \
+            tcodes[order]
+        key = u * np.int64(max(len(etypes), 1)) + tc
+        gap = np.empty(len(t), np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        starts = _rs(key)
+        keep = gap > gap_us
+        keep[starts] = True              # first-in-run always kept
+        return pa.table({
+            "event_id": pa.array(e[keep], pa.int64()),
+            "user_id": pa.array(u[keep], pa.int64()),
+            "event_type": pa.array(etypes[tc[keep]], pa.string()),
+        })
+
+    return ds.groupby("bucket").map_groups(per_shard,
+                                           batch_format="pandas")
+
+
+DEBOUNCE_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type
+FROM (SELECT event_id, user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+      FROM events)
+WHERE gap IS NULL OR gap > {DEBOUNCE_US}
+"""

@@ -216,6 +216,73 @@ def test_kg_jaccard_neighbors_semantics(ray_session):
     }
 
 
+def test_join_salted_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "join_salted", sf_dir, ("orders", "lineitem"))
+    # identical semantics to the plain inner join: per-status totals
+    # must add up to the whole lineitem table (every order exists)
+    import duckdb
+
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/lineitem.parquet'").fetchone()[0]
+    assert a["n_items"].sum() == n_all
+
+
+def test_join_salted_spreads_hot_key():
+    """A manufactured hot key (90% of probe rows on one orderkey)
+    must spread across multiple salt sub-buckets — the whole point of
+    the operator."""
+    import numpy as np
+
+    from jsonld_js_ray.stages.joins import SALT_R
+    from jsonld_js_ray.stages.sketches import _hash64
+
+    ok = np.full(9000, 42, np.int64)
+    ln = np.arange(9000, dtype=np.int64)
+    salt = (_hash64(ok * np.int64(8) + ln)
+            % np.uint64(SALT_R)).astype(np.int64)
+    counts = np.bincount(salt, minlength=SALT_R)
+    assert (counts > 0).all()              # every sub-bucket used
+    assert counts.max() < 9000 * 0.25      # no sub-bucket hogs it
+
+
+def test_debounce_events_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "debounce_events", sf_dir, ("events",))
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert 0 < len(a) <= n_all
+    assert not a.duplicated("event_id").any()
+
+
+def test_debounce_events_semantics(ray_session, tmp_path):
+    """Burst of 3 clicks 10 s apart + one click 10 min later + an
+    interleaved view: keep the first click, the late click, and the
+    view (other type resets nothing)."""
+    import pandas as pd
+
+    from jsonld_js_ray.stages.rank import debounce_events
+
+    ts0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=10),
+               ts0 + pd.Timedelta(seconds=20),
+               ts0 + pd.Timedelta(minutes=10),
+               ts0 + pd.Timedelta(seconds=15)],
+        "user_id": [7, 7, 7, 7, 7],
+        "event_type": ["click", "click", "click", "click", "view"],
+    })
+    d = str(tmp_path)
+    ev.to_parquet(f"{d}/events.parquet")
+    out = debounce_events(d).to_pandas()
+    assert sorted(out["event_id"]) == [1, 4, 5]
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
