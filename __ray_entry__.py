@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ntiles": _q_user_value_ntiles,
         "user_value_deltas": _q_user_value_deltas,
         "debounce_events": _q_debounce_events,
+        "props_extract": _q_props_extract,
         "user_event_paths": _q_user_event_paths,
         "event_transitions": _q_event_transitions,
         "pricing_summary": _q_pricing_summary,
@@ -382,6 +383,12 @@ def _q_debounce_events(sf_dir: str):
     from jsonld_js_ray.stages.rank import debounce_events
 
     return debounce_events(sf_dir)
+
+
+def _q_props_extract(sf_dir: str):
+    from jsonld_js_ray.stages.props import props_extract
+
+    return props_extract(sf_dir)
 
 
 def _q_kg_clustering(sf_dir: str):
@@ -825,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         VALUE_HISTOGRAM_SQL,
     )
     from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
+    from jsonld_js_ray.stages.props import PROPS_EXTRACT_SQL
     from jsonld_js_ray.stages.joins import (
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
@@ -1076,6 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": SALTED_JOIN_SQL,
         # per-(user, type) burst debounce (LAG gap filter, 5-min gap)
         "debounce_events": DEBOUNCE_SQL,
+        # JSON payload field extraction (RE2 both sides) + aggregates
+        "props_extract": PROPS_EXTRACT_SQL,
         # NTILE window (per-user quartile bucketing, deterministic ties)
         "user_value_ntiles": USER_NTILES_SQL,
         # LAG window (consecutive per-user value deltas, NULL first row)

@@ -287,6 +287,11 @@ def run_bench() -> dict:
     debounce_events(SF_DIR).count()
     queries["debounce_events"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.props import props_extract
+    t0 = time.perf_counter()
+    props_extract(SF_DIR).count()
+    queries["props_extract"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

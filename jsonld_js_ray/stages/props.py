@@ -1,0 +1,89 @@
+"""Semi-structured payload extraction over ``events.props``.
+
+The events stream carries a JSON payload column (``props``) that the
+relational operators ignore; real pipelines constantly hoist typed
+fields out of exactly this kind of column. This stage extracts the
+integer ``k`` field VECTORIZED (one RE2 ``pc.extract_regex`` pass per
+batch — never ``json.loads`` per row) and aggregates it per event
+type; the oracle mirrors the same RE2 pattern via DuckDB's
+``regexp_extract``, the repo's RE2-both-sides contract
+(cf. stages/text.scrub_pii).
+
+Shape: per-batch partials over the tiny event-type key (the shuffle
+moves ≤ |types| rows per batch), one groupby to finish. Rows whose
+payload lacks a parseable ``k`` are dropped on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..rayutil import strip_meta as _strip_meta
+
+# RE2 pattern shared verbatim with the SQL mirror (named group for
+# Arrow's extract_regex; DuckDB takes the group by index)
+_K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
+_K_PATTERN_SQL = r'"k":\s*(-?\d+)'
+
+
+def props_extract(sf_dir: str):
+    """events → (event_type, n, sum_k, min_k, max_k): exact integer
+    aggregates of the JSON payload field ``k`` per event type."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .groupkit import int_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
+        ks = pc.struct_field(ext, "k")
+        valid = pc.is_valid(ks)
+        t = batch.filter(valid)
+        k = pc.cast(ks.filter(valid) if isinstance(ks, pa.ChunkedArray)
+                    else ks.filter(valid), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(et, return_inverse=True)
+        n = len(uniq)
+        mins = np.full(n, np.iinfo(np.int64).max, np.int64)
+        maxs = np.full(n, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mins, codes, k)
+        np.maximum.at(maxs, codes, k)
+        return pa.table({
+            "event_type": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=n)
+                          .astype(np.int64)),
+            "sum_k": pa.array(int_group_sums(codes, k, n)),
+            "min_k": pa.array(mins),
+            "max_k": pa.array(maxs),
+        })
+
+    return events.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"))
+
+
+PROPS_EXTRACT_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '{_K_PATTERN_SQL}', 1)
+                  AS BIGINT) AS k
+      FROM events
+      WHERE regexp_extract(props, '{_K_PATTERN_SQL}', 1) <> '')
+GROUP BY event_type
+"""

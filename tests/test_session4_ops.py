@@ -283,6 +283,36 @@ def test_debounce_events_semantics(ray_session, tmp_path):
     assert sorted(out["event_id"]) == [1, 4, 5]
 
 
+def test_props_extract_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "props_extract", sf_dir, ("events",))
+    # every event carries a parseable k in this generator
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert a["n"].sum() == n_all
+    assert (a["min_k"] <= a["max_k"]).all()
+
+
+def test_props_extract_skips_unparseable(ray_session, tmp_path):
+    import pandas as pd
+
+    from jsonld_js_ray.stages.props import props_extract
+
+    ev = pd.DataFrame({
+        "event_type": ["click", "click", "view"],
+        "props": ['{"k": 7}', '{"other": 1}', '{"k": -3}'],
+    })
+    d = str(tmp_path)
+    ev.to_parquet(f"{d}/events.parquet")
+    out = props_extract(d).to_pandas().set_index("event_type")
+    assert out.loc["click"]["n"] == 1          # unparseable dropped
+    assert out.loc["click"]["sum_k"] == 7
+    assert out.loc["view"]["min_k"] == -3      # negatives parse
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
