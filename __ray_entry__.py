@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
         "shipping_priority": _q_shipping_priority,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "brand_revenue": _q_brand_revenue,
         "join_asof": _q_join_asof,
         "join_range": _q_join_range,
         "topk_docs": _q_topk_docs,
@@ -691,6 +693,18 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    from jsonld_js_ray.stages.tpch import local_supplier_revenue
+
+    return local_supplier_revenue(sf_dir)
+
+
+def _q_brand_revenue(sf_dir: str):
+    from jsonld_js_ray.stages.tpch import brand_revenue
+
+    return brand_revenue(sf_dir)
+
+
 def _q_join_full_outer(sf_dir: str):
     from jsonld_js_ray.stages.joins import full_outer_join_clicks_purchases
 
@@ -833,6 +847,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
     from jsonld_js_ray.stages.props import PROPS_EXTRACT_SQL
+    from jsonld_js_ray.stages.tpch import (
+        BRAND_REVENUE_SQL,
+        LOCAL_SUPPLIER_REVENUE_SQL,
+    )
     from jsonld_js_ray.stages.joins import (
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
@@ -1053,6 +1071,11 @@ def oracle_sql() -> dict[str, str]:
         "join_full_outer": FULL_OUTER_JOIN_SQL,
         # 3-table broadcast+bucketed join with partial top-k (Q3 shape)
         "shipping_priority": SHIPPING_PRIORITY_SQL,
+        # 6-table star join (Q5 shape): broadcast dims + two bucketed
+        # fact hops + same-nation predicate
+        "local_supplier_revenue": LOCAL_SUPPLIER_REVENUE_SQL,
+        # lineitem ⋈ part dimension broadcast (brand rollup)
+        "brand_revenue": BRAND_REVENUE_SQL,
         "join_asof": ASOF_JOIN_SQL,
         "join_range": RANGE_JOIN_SQL,
         "topk_docs": TOPK_DOCS_SQL,

@@ -292,6 +292,19 @@ def run_bench() -> dict:
     props_extract(SF_DIR).count()
     queries["props_extract"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.tpch import (
+        brand_revenue,
+        local_supplier_revenue,
+    )
+    t0 = time.perf_counter()
+    local_supplier_revenue(SF_DIR).count()
+    queries["local_supplier_revenue"] = round(
+        time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    brand_revenue(SF_DIR).count()
+    queries["brand_revenue"] = round(time.perf_counter() - t0, 3)
+
     # time the same input pipeline the oracled query uses
     import __ray_entry__ as _entry
     t0 = time.perf_counter()

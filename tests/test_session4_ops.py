@@ -313,6 +313,29 @@ def test_props_extract_skips_unparseable(ray_session, tmp_path):
     assert out.loc["view"]["min_k"] == -3      # negatives parse
 
 
+def test_local_supplier_revenue_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "local_supplier_revenue", sf_dir,
+                ("region", "nation", "customer", "supplier",
+                 "orders", "lineitem"))
+    # the same-nation predicate is selective but not vacuous
+    assert len(a) >= 1
+    assert (a["rev_cents"] > 0).all()
+
+
+def test_brand_revenue_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "brand_revenue", sf_dir, ("part", "lineitem"))
+    # every lineitem's part exists (TPC-H referential integrity)
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/lineitem.parquet'").fetchone()[0]
+    assert a["n_items"].sum() == n_all
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
