@@ -778,10 +778,14 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
     splits into two node-keyed half rows that pick up their
     endpoint's degree where deg(n) = row count in n's bucket (the
     _oriented_edges no-join degree trick), then the pair bucket
-    reunites the halves."""
+    reunites the halves. The edge list is pinned ONCE and feeds both
+    the wedge engine and the degree hop — otherwise the whole
+    upstream quad pipeline would execute twice."""
     from .groupkit import pair_run_starts
 
-    pairs = _wedge_scores(quads, max_deg, "common", scale=None)
+    und = _pin(_undirected_edges(quads))
+    pairs = _wedge_scores(quads, max_deg, "common", scale=None,
+                          und=und)
 
     def halves(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -857,7 +861,6 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
             "n_union": pa.array(dsum - c[starts]),
         })
 
-    und = _pin(_undirected_edges(quads))
     return pairs.map_batches(halves, batch_format="pyarrow") \
         .union(und.map_batches(edge_ends, batch_format="pyarrow")) \
         .groupby("bucket").map_groups(attach_deg,
@@ -1514,14 +1517,17 @@ RA_SCALE = 10 ** 6
 
 
 def _wedge_scores(quads, max_deg: int, out_col: str,
-                  scale: int | None):
+                  scale: int | None, und=None):
     """Shared degree-capped wedge engine: for every pair (u, v)
     sharing a neighbor z with deg(z) in [2, ``max_deg``], sum a
     per-center weight over the shared neighbors — 1 (``scale`` None,
     common-neighbor count) or floor(scale / deg(z)) (resource
     allocation). Three bucketed exchanges: edge dedup
     (_undirected_edges), center-keyed wedge generation (degree = run
-    length in the same group), pair-keyed sum reduction."""
+    length in the same group), pair-keyed sum reduction.
+    ``und`` lets a caller that ALSO consumes the edge list (e.g.
+    jaccard_neighbors' degree hop) pass a pinned one, so the upstream
+    quad pipeline executes once instead of per consumer."""
     from .groupkit import (
         pair_run_starts,
         run_lengths,
@@ -1593,7 +1599,8 @@ def _wedge_scores(quads, max_deg: int, out_col: str,
             out_col: pa.array(sums),
         })
 
-    und = _undirected_edges(quads)
+    if und is None:
+        und = _undirected_edges(quads)
     return und.map_batches(both_ends, batch_format="pyarrow") \
         .groupby("bucket").map_groups(wedges_in_bucket,
                                       batch_format="pandas") \
