@@ -650,28 +650,23 @@ def truss_support_quads(quads):
     und = _pin(_undirected_edges(quads))
     directed = _pin(_oriented_edges(und))
 
-    def pair_bucket(x, y) -> pa.Array:
-        return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
-
     def wedge_rows(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
         return pa.table({
             "x": batch["x"], "y": batch["y"], "ctr": batch["ctr"],
             "is_edge": pa.array(np.zeros(len(x), np.int8)),
-            "bucket": pair_bucket(
-                batch["x"].to_numpy(zero_copy_only=False),
-                batch["y"].to_numpy(zero_copy_only=False)),
+            "bucket": pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS)),
         })
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
         return pa.table({
             "x": batch["a"], "y": batch["b"],
             "ctr": pa.array([""] * len(a), pa.string()),
             "is_edge": pa.array(np.ones(len(a), np.int8)),
-            "bucket": pair_bucket(
-                batch["a"].to_numpy(zero_copy_only=False),
-                batch["b"].to_numpy(zero_copy_only=False)),
+            "bucket": pa.array(_pair_bucket_ids(a, b, TRI_BUCKETS)),
         })
 
     def close_edge_credits(g) -> pa.Table:
@@ -781,7 +776,7 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
     reunites the halves. The edge list is pinned ONCE and feeds both
     the wedge engine and the degree hop — otherwise the whole
     upstream quad pipeline would execute twice."""
-    from .groupkit import pair_run_starts
+    from .groupkit import pair_run_starts, sorted_lookup
 
     und = _pin(_undirected_edges(quads))
     pairs = _wedge_scores(quads, max_deg, "common", scale=None,
@@ -826,12 +821,9 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
         ek, ec = np.unique(keys[~is_pair], return_counts=True)
         p = g[is_pair]
         pk = p["key"].to_numpy()
-        idx = np.searchsorted(ek, pk)
-        idx_ok = np.minimum(idx, max(len(ek) - 1, 0))
-        deg = np.where(
-            (idx < len(ek)) & (ek[idx_ok] == pk) if len(ek)
-            else np.zeros(len(pk), bool),
-            ec[idx_ok] if len(ek) else 0, 0).astype(np.int64)
+        hit, idx = sorted_lookup(ek, pk)
+        deg = np.where(hit, ec[idx] if len(ec) else 0, 0) \
+            .astype(np.int64)
         is_u = (p["end"] == 0).to_numpy()
         u = np.where(is_u, pk, p["other"].to_numpy())
         v = np.where(is_u, p["other"].to_numpy(), pk)

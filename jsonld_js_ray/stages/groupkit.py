@@ -99,3 +99,20 @@ def quantile_disc_pos(p: float, n):
     (see stages/rank.py). n may be a scalar or an int array; the result
     matches its shape."""
     return np.maximum(np.ceil(p * np.asarray(n)).astype(np.int64), 1)
+
+
+def sorted_lookup(build_keys: np.ndarray, probes: np.ndarray):
+    """(hit, idx) membership probe against SORTED ``build_keys``:
+    ``hit[i]`` iff ``probes[i]`` occurs in build_keys, ``idx[i]`` the
+    matching position (meaningful only where hit). The ONE copy of
+    the searchsorted → clamp → equality idiom every explicit hash
+    join's in-bucket kernel needs — hand-rolled copies drift on the
+    empty-build and clamp edge cases."""
+    if not len(build_keys):
+        return (np.zeros(len(probes), bool),
+                np.zeros(len(probes), np.int64))
+    idx = np.searchsorted(build_keys, probes)
+    idx = np.minimum(idx, len(build_keys) - 1)
+    # equality after the clamp is a complete membership test: a probe
+    # above max(build_keys) clamps onto the last element and fails it
+    return build_keys[idx] == probes, idx

@@ -76,6 +76,21 @@ GROUP BY c.c_mktsegment
 NUM_BUCKETS = 16
 
 
+def revenue_cents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """The repo's ONE revenue-money kernel: floor to integer cents per
+    row BEFORE any summing (group sums stay order-free and
+    hash-exact). Mirrored by rev_cents_sql_expr — change BOTH or the
+    oracle parity silently breaks."""
+    return np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+
+
+def rev_cents_sql_expr(alias: str) -> str:
+    """The SQL mirror of revenue_cents for a lineitem aliased
+    ``alias``."""
+    return (f"CAST(floor({alias}.l_extendedprice * "
+            f"(1.0 - {alias}.l_discount) * 100 + 0.5) AS BIGINT)")
+
+
 def _bucketize(key_col: str):
     """map_batches fn: append a splitmix64(key) % NUM_BUCKETS bucket
     column — the shared partitioner of every explicit hash join here.
@@ -113,8 +128,7 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
     def li_prep(batch: pa.Table) -> pa.Table:
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        rev_cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(
-            "int64")
+        rev_cents = revenue_cents(price, disc)
         return pa.table({
             "key": batch["l_orderkey"],
             "rev_cents": pa.array(rev_cents),
@@ -161,11 +175,10 @@ def bucketed_hash_join_lineitem_orders(sf_dir: str):
         Sum("rev_cents", alias_name="rev_cents"))
 
 
-BUCKETED_JOIN_SQL = """
+BUCKETED_JOIN_SQL = f"""
 SELECT o.o_orderpriority AS priority,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
-                           + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT) AS rev_cents
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
@@ -452,8 +465,7 @@ def bloom_semi_join_lineitem_urgent(sf_dir: str):
             .astype(np.int64)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
-            .astype(np.int64)
+        cents = revenue_cents(price, disc)
         flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
         # integer-fused (okey, flag) group key: factorize the tiny
         # flag domain, combine — no per-row string building
@@ -508,8 +520,7 @@ def bloom_semi_join_lineitem_urgent(sf_dir: str):
 BLOOM_SEMI_JOIN_SQL = f"""
 SELECT l.l_returnflag AS returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
-                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
            AS rev_cents
 FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM orders o
@@ -804,7 +815,11 @@ def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
     import ray
     import ray.data as rd
 
-    from .groupkit import int_group_sums, run_starts
+    from .groupkit import (
+        int_group_sums,
+        run_starts,
+        sorted_lookup,
+    )
 
     cut = np.datetime64(cutoff).astype("datetime64[us]")
 
@@ -840,8 +855,7 @@ def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
         price = batch["l_extendedprice"].to_numpy(
             zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1 - disc) * 100 + 0.5) \
-            .astype(np.int64)
+        cents = revenue_cents(price, disc)
         from .sketches import _hash64
         uniq, codes = np.unique(ok, return_inverse=True)
         rev = int_group_sums(codes, cents, len(uniq))
@@ -884,12 +898,9 @@ def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
         ukeys = lk[starts]
         ok = g["okey"].to_numpy()[~is_l].astype(np.int64)
         od = g["odate"].to_numpy()[~is_l]
-        idx = np.searchsorted(ukeys, ok)
-        idx_ok = np.minimum(idx, max(len(ukeys) - 1, 0))
-        hit = np.zeros(len(ok), bool) if not len(ukeys) else (
-            (idx < len(ukeys)) & (ukeys[idx_ok] == ok))
+        hit, idx = sorted_lookup(ukeys, ok)
         ok, od = ok[hit], od[hit]
-        r = rev[idx_ok[hit]]
+        r = rev[idx[hit]]
         top = np.lexsort((ok, -r))[:_k]
         return pa.table({
             "o_orderkey": pa.array(ok[top]),
@@ -906,8 +917,7 @@ def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
 SHIPPING_PRIORITY_SQL = f"""
 SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
            AS revenue_c
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -944,7 +954,7 @@ def salted_skew_join_lineitem_orders(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from .groupkit import int_group_sums
+    from .groupkit import int_group_sums, sorted_lookup
     from .sketches import _hash64
 
     def li_prep(batch: pa.Table) -> pa.Table:
@@ -954,8 +964,7 @@ def salted_skew_join_lineitem_orders(sf_dir: str):
             .astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
-            .astype(np.int64)
+        cents = revenue_cents(price, disc)
         # salt from the ROW identity (orderkey, linenumber) — NOT the
         # join key — so a hot key's rows spread across R sub-buckets
         salt = (_hash64(ok * np.int64(8) + ln)
@@ -1011,11 +1020,8 @@ def salted_skew_join_lineitem_orders(sf_dir: str):
         st = g["status"].to_numpy()[~is_l]
         order = np.argsort(ok, kind="stable")
         ok, st = ok[order], st[order]
-        idx = np.searchsorted(ok, lk)
-        idx_ok = np.minimum(idx, max(len(ok) - 1, 0))
-        hit = np.zeros(len(lk), bool) if not len(ok) else (
-            (idx < len(ok)) & (ok[idx_ok] == lk))
-        sts = st[idx_ok[hit]]
+        hit, idx = sorted_lookup(ok, lk)
+        sts = st[idx[hit]]
         cents = lc[hit]
         uniq, codes = np.unique(sts, return_inverse=True)
         n = len(uniq)
@@ -1033,11 +1039,10 @@ def salted_skew_join_lineitem_orders(sf_dir: str):
             Sum("cents", alias_name="rev_cents"))
 
 
-SALTED_JOIN_SQL = """
+SALTED_JOIN_SQL = f"""
 SELECT o.o_orderstatus AS status,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
-                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
            AS rev_cents
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus

@@ -46,8 +46,7 @@ def props_extract(sf_dir: str):
         ks = pc.struct_field(ext, "k")
         valid = pc.is_valid(ks)
         t = batch.filter(valid)
-        k = pc.cast(ks.filter(valid) if isinstance(ks, pa.ChunkedArray)
-                    else ks.filter(valid), pa.int64()) \
+        k = pc.cast(ks.filter(valid), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         et = t["event_type"].to_numpy(zero_copy_only=False)
         uniq, codes = np.unique(et, return_inverse=True)

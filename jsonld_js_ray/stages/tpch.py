@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..rayutil import strip_meta as _strip_meta
+from .joins import rev_cents_sql_expr, revenue_cents
 
 Q5_REGION = "ASIA"
 Q5_YEAR_LO = "1996-01-01"
@@ -54,7 +55,7 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from .groupkit import int_group_sums
+    from .groupkit import int_group_sums, sorted_lookup
     from .sketches import _hash64
 
     # dimension chain on the driver: region ⋈ nation (30 rows total)
@@ -127,14 +128,11 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
         ck, cn = ck[order], cn[order]
         ok_ck = g["key"].to_numpy(np.int64)[is_o]
         okey = g["okey"].to_numpy(np.int64)[is_o]
-        idx = np.searchsorted(ck, ok_ck)
-        idx_ok = np.minimum(idx, max(len(ck) - 1, 0))
-        hit = np.zeros(len(ok_ck), bool) if not len(ck) else (
-            (idx < len(ck)) & (ck[idx_ok] == ok_ck))
+        hit, idx = sorted_lookup(ck, ok_ck)
         out_ok = okey[hit]
         return pa.table({
             "key": pa.array(out_ok),          # orderkey now the key
-            "nat": pa.array(cn[idx_ok[hit]]),
+            "nat": pa.array(cn[idx[hit]]),
             "rev": pa.array(np.zeros(len(out_ok), np.int64)),
             "n": pa.array(np.zeros(len(out_ok), np.int64)),
             "side": pa.array(np.zeros(len(out_ok), np.int8)),
@@ -155,9 +153,15 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
             .astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
-            .astype(np.int64)
-        nat = sn[sk]
+        cents = revenue_cents(price, disc)
+        # bounds-guarded dimension gather: an out-of-range or negative
+        # suppkey DROPS (INNER semantics, mirroring the SQL join) —
+        # a bare sn[sk] would wrap negatives onto the wrong supplier
+        ok_rng = (sk >= 0) & (sk < len(sn))
+        nat = np.full(len(sk), -1, np.int64)
+        nat[ok_rng] = sn[sk[ok_rng]]
+        keep = nat >= 0
+        ok, cents, nat = ok[keep], cents[keep], nat[keep]
         # partial per (orderkey, supplier nation): nation domain tiny
         uniq, first, codes = np.unique(
             ok * np.int64(64) + nat, return_index=True,
@@ -192,11 +196,9 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
         if not len(ok):
             local = np.zeros(len(lk), bool)
         else:
-            idx = np.searchsorted(ok, lk)
-            idx_ok = np.minimum(idx, len(ok) - 1)
-            hit = (idx < len(ok)) & (ok[idx_ok] == lk)
+            hit, idx = sorted_lookup(ok, lk)
             # the Q5 predicate: customer nation == supplier nation
-            local = hit & (ln == np.where(hit, cn[idx_ok], -2))
+            local = hit & (ln == cn[idx])
         nat = ln[local]
         uniq, codes = np.unique(nat, return_inverse=True)
         n = len(uniq)
@@ -227,8 +229,7 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
 LOCAL_SUPPLIER_REVENUE_SQL = f"""
 SELECT n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
-                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
            AS rev_cents
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -266,9 +267,12 @@ def brand_revenue(sf_dir: str):
             .astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1.0 - disc) * 100 + 0.5) \
-            .astype(np.int64)
-        codes = bc[pk]
+        cents = revenue_cents(price, disc)
+        # bounds-guarded gather (see li_partials): negatives would
+        # wrap onto the LAST part's brand, out-of-range would raise
+        ok_rng = (pk >= 0) & (pk < len(bc))
+        codes = np.full(len(pk), -1, np.int64)
+        codes[ok_rng] = bc[pk[ok_rng]]
         m = codes >= 0                # INNER semantics: unknown parts drop
         codes, cents = codes[m], cents[m]
         uniq = np.unique(codes)
@@ -290,11 +294,10 @@ def brand_revenue(sf_dir: str):
             Sum("rev", alias_name="rev_cents"))
 
 
-BRAND_REVENUE_SQL = """
+BRAND_REVENUE_SQL = f"""
 SELECT p.p_brand AS brand,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
-                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
            AS rev_cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p.p_brand
