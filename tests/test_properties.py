@@ -237,3 +237,64 @@ def test_mode_per_node_argmax_min_tiebreak(rows):
                    if c == max(cnt.values()))
             for a, cnt in per.items()}
     assert dict(zip(gn, gl)) == want
+
+
+@given(st.lists(st.integers(-10**9, 10**9), max_size=60),
+       st.lists(st.integers(-10**9, 10**9), max_size=60))
+def test_sorted_lookup_matches_isin(build, probes):
+    import numpy as np
+
+    from jsonld_js_ray.stages.groupkit import sorted_lookup
+
+    bk = np.unique(np.array(build, np.int64))
+    pr = np.array(probes, np.int64)
+    hit, idx = sorted_lookup(bk, pr)
+    assert (hit == np.isin(pr, bk)).all()
+    # where hit, the index really points at the probe's key
+    if hit.any():
+        assert (bk[idx[hit]] == pr[hit]).all()
+
+
+@given(st.lists(st.tuples(
+    st.floats(0.0, 10**5, allow_nan=False),
+    st.floats(0.0, 0.99, allow_nan=False)), min_size=1, max_size=50))
+def test_revenue_cents_matches_duckdb(rows):
+    """The shared money kernel is bit-identical to its SQL mirror on
+    arbitrary price/discount doubles (the hash-exact contract)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from jsonld_js_ray.stages.joins import (
+        rev_cents_sql_expr,
+        revenue_cents,
+    )
+
+    df = pd.DataFrame(rows, columns=["l_extendedprice", "l_discount"])
+    got = revenue_cents(df["l_extendedprice"].to_numpy(),
+                        df["l_discount"].to_numpy())
+    con = duckdb.connect()
+    con.register("l", df)
+    want = con.sql(
+        f"SELECT {rev_cents_sql_expr('l')} AS c FROM l"
+    ).df()["c"].to_numpy(np.int64)
+    assert (got == want).all()
+
+
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200,
+                unique=True))
+def test_bloom_never_false_negative(keys):
+    import numpy as np
+
+    from jsonld_js_ray.stages.joins import (
+        BLOOM_M_BITS,
+        _bloom_positions,
+        _bloom_test,
+    )
+
+    ks = np.array(keys, np.int64)
+    words = np.zeros(BLOOM_M_BITS // 64, np.uint64)
+    pos = _bloom_positions(ks).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    assert _bloom_test(words, ks).all()
