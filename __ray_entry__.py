@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_deltas": _q_user_value_deltas,
         "debounce_events": _q_debounce_events,
         "props_extract": _q_props_extract,
+        "ab_metrics": _q_ab_metrics,
         "user_event_paths": _q_user_event_paths,
         "event_transitions": _q_event_transitions,
         "pricing_summary": _q_pricing_summary,
@@ -391,6 +392,12 @@ def _q_props_extract(sf_dir: str):
     from jsonld_js_ray.stages.props import props_extract
 
     return props_extract(sf_dir)
+
+
+def _q_ab_metrics(sf_dir: str):
+    from jsonld_js_ray.stages.ab import ab_metrics
+
+    return ab_metrics(sf_dir)
 
 
 def _q_kg_clustering(sf_dir: str):
@@ -846,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         VALUE_HISTOGRAM_SQL,
     )
     from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
+    from jsonld_js_ray.stages.ab import AB_METRICS_SQL
     from jsonld_js_ray.stages.props import PROPS_EXTRACT_SQL
     from jsonld_js_ray.stages.tpch import (
         BRAND_REVENUE_SQL,
@@ -1109,6 +1117,9 @@ def oracle_sql() -> dict[str, str]:
         "debounce_events": DEBOUNCE_SQL,
         # JSON payload field extraction (RE2 both sides) + aggregates
         "props_extract": PROPS_EXTRACT_SQL,
+        # A/B experiment readout: md5-assigned variants, exact integer
+        # moments (Σ cents, Σ cents²) per (variant, type) cell
+        "ab_metrics": AB_METRICS_SQL,
         # NTILE window (per-user quartile bucketing, deterministic ties)
         "user_value_ntiles": USER_NTILES_SQL,
         # LAG window (consecutive per-user value deltas, NULL first row)

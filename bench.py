@@ -292,6 +292,11 @@ def run_bench() -> dict:
     props_extract(SF_DIR).count()
     queries["props_extract"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.ab import ab_metrics
+    t0 = time.perf_counter()
+    ab_metrics(SF_DIR).count()
+    queries["ab_metrics"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -336,6 +336,39 @@ def test_brand_revenue_oracle_parity_sf(ray_session, sf_dir):
     assert a["n_items"].sum() == n_all
 
 
+def test_ab_metrics_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "ab_metrics", sf_dir, ("events",))
+    # both variants populated, every event counted exactly once
+    assert set(a["variant"]) == {"A", "B"}
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert a["n_events"].sum() == n_all
+    # Cauchy–Schwarz sanity: n·Σx² >= (Σx)² per cell
+    assert (a["n_events"] * a["sum_sq_cents"]
+            >= a["sum_cents"] ** 2).all()
+
+
+def test_ab_assignment_is_user_stable(ray_session, sf_dir):
+    """Every user lands in exactly one variant (assignment is a pure
+    function of user_id)."""
+    import pandas as pd
+
+    from jsonld_js_ray.stages.ab import AB_THRESHOLD
+    from jsonld_js_ray.stages.text import _md5_unit_interval
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    u = _md5_unit_interval([str(x) for x in ev["user_id"]])
+    v = np.where(u < AB_THRESHOLD, "A", "B")
+    per_user = pd.DataFrame({"u": ev["user_id"], "v": v}) \
+        .groupby("u")["v"].nunique()
+    assert (per_user == 1).all()
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
