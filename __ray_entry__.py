@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _q_kg_clustering,
         "kg_truss_support": _q_kg_truss_support,
         "kg_jaccard_neighbors": _q_kg_jaccard_neighbors,
+        "kg_assortativity": _q_kg_assortativity,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bucketed": _q_join_bucketed,
         "join_bloom_semi": _q_join_bloom_semi,
         "join_salted": _q_join_salted,
+        "join_adaptive": _q_join_adaptive,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
@@ -380,6 +382,29 @@ def _q_join_salted(sf_dir: str):
     )
 
     return salted_skew_join_lineitem_orders(sf_dir)
+
+
+def _q_join_adaptive(sf_dir: str):
+    from jsonld_js_ray.stages.joins import adaptive_join_lineitem_high
+
+    return adaptive_join_lineitem_high(sf_dir)
+
+
+def _q_kg_assortativity(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import assortativity_moments_quads
+
+    return assortativity_moments_quads(
+        build_quads_with_mentions(sf_dir))
+
+
+def _assortativity_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _assortativity_oracle_sql
+
+    return _assortativity_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_debounce_events(sf_dir: str):
@@ -860,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         LOCAL_SUPPLIER_REVENUE_SQL,
     )
     from jsonld_js_ray.stages.joins import (
+        ADAPTIVE_JOIN_SQL,
         ANTI_JOIN_SQL,
         ASOF_JOIN_SQL,
         BLOOM_SEMI_JOIN_SQL,
@@ -947,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss_support": _truss_support_oracle(),
         # neighborhood Jaccard as exact integer common/union counts
         "kg_jaccard_neighbors": _jaccard_neighbors_oracle(),
+        # degree-assortativity moments (m, Σdu·dv, Σdu+dv, Σdu²+dv²)
+        "kg_assortativity": _assortativity_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (
@@ -1113,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         # salted hot-key join (row-salt probe, R-replicated build —
         # identical semantics to the unsalted inner join)
         "join_salted": SALTED_JOIN_SQL,
+        # size-adaptive join (broadcast vs partitioned picked from the
+        # measured build side; both plans oracle-identical)
+        "join_adaptive": ADAPTIVE_JOIN_SQL,
         # per-(user, type) burst debounce (LAG gap filter, 5-min gap)
         "debounce_events": DEBOUNCE_SQL,
         # JSON payload field extraction (RE2 both sides) + aggregates

@@ -297,6 +297,16 @@ def run_bench() -> dict:
     ab_metrics(SF_DIR).count()
     queries["ab_metrics"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.joins import adaptive_join_lineitem_high
+    t0 = time.perf_counter()
+    adaptive_join_lineitem_high(SF_DIR).count()
+    queries["join_adaptive"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.graph import assortativity_moments_quads
+    t0 = time.perf_counter()
+    assortativity_moments_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_assortativity"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -883,6 +883,108 @@ FROM cn JOIN d du ON du.node = cn.u
 """
 
 
+def assortativity_moments_quads(quads):
+    """quad table → ONE row (m, s_uv, s_u, s_u2) of exact integer
+    moments over the undirected distinct IRI–IRI edge set, where for
+    each edge (u, v): s_uv += deg(u)·deg(v), s_u += deg(u)+deg(v),
+    s_u2 += deg(u)²+deg(v)² and m = |edges|. The degree-assortativity
+    (Pearson) coefficient is pure arithmetic on these four integers —
+    r = (4m·s_uv − s_u²) / (2m·s_u2 − s_u²) — left to the reader per
+    the repo contract (float division is never hashed).
+
+    Two exchanges past the edge dedup: endpoint-keyed halves pick up
+    deg(n) = row count in n's bucket (the no-join degree trick), the
+    pair bucket reunites the two halves of each edge, and only
+    per-bucket partial moment rows (4 ints each) reach the final
+    1-row reduce."""
+    from .groupkit import pair_run_starts
+
+    und = _pin(_undirected_edges(quads))
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        end = np.concatenate([np.zeros(len(u), np.int8),
+                              np.ones(len(v), np.int8)])
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "other": pa.array(other, pa.string()),
+            "end": pa.array(end),
+            "bucket": _bucket_of(key),
+        })
+
+    def attach_deg(g) -> pa.Table:
+        keys = g["key"].to_numpy()
+        # deg(n) = number of rows keyed by n (each incident edge
+        # contributes exactly one key-keyed row)
+        uniq, codes, counts = np.unique(keys, return_inverse=True,
+                                        return_counts=True)
+        d = counts[codes].astype(np.int64)
+        end = g["end"].to_numpy()
+        other = g["other"].to_numpy()
+        is_u = end == 0
+        u = np.where(is_u, keys, other)
+        v = np.where(is_u, other, keys)
+        return pa.table({
+            "u": pa.array(u, pa.string()),
+            "v": pa.array(v, pa.string()),
+            "d": pa.array(d),
+            "pbucket": pa.array(_pair_bucket_ids(u, v, PR_BUCKETS)),
+        })
+
+    def moments_in_bucket(g) -> pa.Table:
+        u = np.asarray(g["u"].to_numpy(object), dtype=str)
+        v = np.asarray(g["v"].to_numpy(object), dtype=str)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v, d = u[order], v[order], d[order]
+        starts = pair_run_starts(u, v)
+        # exactly two half rows per edge (one per endpoint)
+        du, dv = d[starts], d[starts + 1]
+        return pa.table({
+            "m": pa.array([np.int64(len(starts))]),
+            "s_uv": pa.array([np.int64((du * dv).sum())]),
+            "s_u": pa.array([np.int64((du + dv).sum())]),
+            "s_u2": pa.array([np.int64((du * du + dv * dv).sum())]),
+        })
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    parts = und.map_batches(both_ends, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(attach_deg,
+                                      batch_format="pandas") \
+        .groupby("pbucket").map_groups(moments_in_bucket,
+                                       batch_format="pandas")
+    # global scalar reduce over ≤ PR_BUCKETS 4-int partial rows
+    agg = parts.aggregate(Sum("m", alias_name="m"),
+                          Sum("s_uv", alias_name="s_uv"),
+                          Sum("s_u", alias_name="s_u"),
+                          Sum("s_u2", alias_name="s_u2"))
+    return rd.from_arrow(pa.table({
+        k: pa.array([int(agg[k] or 0)], pa.int64())
+        for k in ("m", "s_uv", "s_u", "s_u2")}))
+
+
+def _assortativity_oracle_sql(quads_sql: str) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                      greatest(subj, obj_value) AS v
+      FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(du.deg * dv.deg) AS BIGINT) AS s_uv,
+       CAST(sum(du.deg + dv.deg) AS BIGINT) AS s_u,
+       CAST(sum(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS s_u2
+FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
+"""
+
+
 def _clustering_oracle_sql(quads_sql: str) -> str:
     """Triangle corners via the canonical u < v < w 3-way join, each
     credited to all three vertices; degrees from the doubled edge

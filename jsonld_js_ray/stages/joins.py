@@ -1047,3 +1047,138 @@ SELECT o.o_orderstatus AS status,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
 """
+
+
+# --- adaptive join (size-based plan selection) ---
+# The optimizer decision every engine makes per join: if the build
+# side (after filter pushdown) fits a broadcast budget, ship it once
+# via ray.put and join shuffle-free; otherwise fall back to the
+# partitioned hash join. The count that drives the choice runs over
+# the column-pruned, filter-pushed build read — cheap at any corpus
+# size — and BOTH plans produce identical results (the pytest forces
+# the bucketed path and asserts equality), so the plan choice is
+# invisible to the caller and the oracle.
+
+ADAPTIVE_PRIORITY = "2-HIGH"
+ADAPTIVE_BROADCAST_MAX = 5_000_000     # build keys; ~80 MB of int64+tag
+
+
+def adaptive_join_lineitem_high(sf_dir: str,
+                                broadcast_max: int =
+                                ADAPTIVE_BROADCAST_MAX):
+    """lineitem ⋈ σ(orders.priority = HIGH) on orderkey → item count
+    + revenue cents per order status, with the join strategy chosen
+    by the measured build-side size."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .entity_merge import _pin
+    from .groupkit import int_group_sums, sorted_lookup
+
+    build = _pin(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=pads.field("o_orderpriority") == ADAPTIVE_PRIORITY,
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True))
+    n_build = build.count()
+
+    probe = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def status_partial(ok, cents, keys, st):
+        """Shared inner-join + per-status partial kernel (both plans)."""
+        hit, idx = sorted_lookup(keys, ok)
+        sts = st[idx[hit]]
+        cents = cents[hit]
+        uniq, codes = np.unique(sts, return_inverse=True)
+        n = len(uniq)
+        return pa.table({
+            "status": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=n)
+                          .astype(np.int64)),
+            "cents": pa.array(int_group_sums(codes, cents, n)),
+        })
+
+    if n_build <= broadcast_max:
+        # broadcast plan: sorted key + status arrays, shipped once
+        bdf = build.to_pandas()
+        keys = bdf["o_orderkey"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order],
+                       bdf["o_orderstatus"].to_numpy(object)[order]))
+
+        def bc_partial(batch: pa.Table) -> pa.Table:
+            keys, st = ray.get(ref)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = revenue_cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                batch["l_discount"].to_numpy(zero_copy_only=False))
+            return status_partial(ok, cents, keys, st)
+
+        partials = probe.map_batches(bc_partial,
+                                     batch_format="pyarrow",
+                                     batch_size=65536)
+    else:
+        # partitioned plan: tag sides, bucket on orderkey, join in
+        # bucket — the large-build fallback
+        def b_prep(batch: pa.Table) -> pa.Table:
+            ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "key": pa.array(ok),
+                "cents": pa.array(np.zeros(len(ok), np.int64)),
+                "status": batch["o_orderstatus"],
+                "side": pa.array(np.zeros(len(ok), np.int8)),
+            })
+
+        def p_prep(batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = revenue_cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                batch["l_discount"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "key": pa.array(ok),
+                "cents": pa.array(cents),
+                "status": pa.array([""] * len(ok), pa.string()),
+                "side": pa.array(np.ones(len(ok), np.int8)),
+            })
+
+        both = build.map_batches(b_prep, batch_format="pyarrow") \
+            .union(probe.map_batches(p_prep, batch_format="pyarrow")) \
+            .map_batches(_bucketize("key"), batch_format="pyarrow")
+
+        def join_bucket(g) -> pa.Table:
+            is_p = (g["side"] == 1).to_numpy()
+            bk = g["key"].to_numpy(np.int64)[~is_p]
+            st = g["status"].to_numpy()[~is_p]
+            order = np.argsort(bk, kind="stable")
+            return status_partial(
+                g["key"].to_numpy(np.int64)[is_p],
+                g["cents"].to_numpy(np.int64)[is_p],
+                bk[order], st[order])
+
+        partials = both.groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas")
+
+    return partials.groupby("status").aggregate(
+        Sum("n", alias_name="n_items"),
+        Sum("cents", alias_name="rev_cents"))
+
+
+ADAPTIVE_JOIN_SQL = f"""
+SELECT o.o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum({rev_cents_sql_expr('l')}) AS BIGINT)
+           AS rev_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '{ADAPTIVE_PRIORITY}'
+GROUP BY o.o_orderstatus
+"""

@@ -369,6 +369,41 @@ def test_ab_assignment_is_user_stable(ray_session, sf_dir):
     assert (per_user == 1).all()
 
 
+def test_join_adaptive_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "join_adaptive", sf_dir, ("orders", "lineitem"))
+    assert len(a) >= 1 and (a["n_items"] > 0).all()
+
+
+def test_join_adaptive_plans_agree(ray_session, sf_dir):
+    """Forcing the partitioned fallback (broadcast_max=0) must give
+    bit-identical results to the broadcast plan."""
+    import pandas as pd
+
+    from jsonld_js_ray.stages.joins import adaptive_join_lineitem_high
+
+    bc = adaptive_join_lineitem_high(sf_dir).to_pandas() \
+        .sort_values("status").reset_index(drop=True)
+    bk = adaptive_join_lineitem_high(sf_dir, broadcast_max=0) \
+        .to_pandas().sort_values("status").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, bk)
+
+
+def test_kg_assortativity_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_assortativity", sf_dir, ("events",))
+    assert len(a) == 1
+    m, s_uv, s_u, s_u2 = (int(a["m"][0]), int(a["s_uv"][0]),
+                          int(a["s_u"][0]), int(a["s_u2"][0]))
+    assert m > 0
+    # Cauchy–Schwarz over edge endpoint degrees: 2m·s_u2 >= s_u²
+    assert 2 * m * s_u2 >= s_u * s_u
+    # each edge contributes degrees >= 1 on both ends
+    assert s_u >= 2 * m and s_uv >= m
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
