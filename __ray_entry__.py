@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truss_support": _q_kg_truss_support,
         "kg_jaccard_neighbors": _q_kg_jaccard_neighbors,
         "kg_assortativity": _q_kg_assortativity,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -405,6 +406,23 @@ def _assortativity_oracle() -> str:
     from jsonld_js_ray.stages.graph import _assortativity_oracle_sql
 
     return _assortativity_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_kg_neighbor_sample(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import neighbor_sample_quads
+
+    return neighbor_sample_quads(build_quads_with_mentions(sf_dir))
+
+
+def _neighbor_sample_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _neighbor_sample_oracle_sql
+
+    return _neighbor_sample_oracle_sql(
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_debounce_events(sf_dir: str):
@@ -975,6 +993,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_jaccard_neighbors": _jaccard_neighbors_oracle(),
         # degree-assortativity moments (m, Σdu·dv, Σdu+dv, Σdu²+dv²)
         "kg_assortativity": _assortativity_oracle(),
+        # GraphSAGE-style deterministic 2-hop neighbor sample
+        # (md5-rank top-k per node, row_number mirror)
+        "kg_neighbor_sample": _neighbor_sample_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

@@ -307,6 +307,11 @@ def run_bench() -> dict:
     assortativity_moments_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_assortativity"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import neighbor_sample_quads
+    t0 = time.perf_counter()
+    neighbor_sample_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_neighbor_sample"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

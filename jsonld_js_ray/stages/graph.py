@@ -985,6 +985,187 @@ FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
 """
 
 
+# --- deterministic 2-hop neighbor sampling (GraphSAGE-style) ---
+# The GNN-training-data operator: for every seed entity, a bounded
+# fan-out sample of its 1-hop and 2-hop neighborhood. Sampling is the
+# repo's deterministic md5 contract — per node keep the K neighbors
+# with the smallest (md5_hex(neighbor), neighbor) — so the "random"
+# sample is reproducible and EXACTLY mirrored by a row_number() OVER
+# (ORDER BY md5(b), b) oracle. The per-node top-K table is computed
+# ONCE and reused for both hops (hop-2 is a bucketed self-join of the
+# sample against it), bounding every node's contribution at K rows no
+# matter its true degree — the property that makes neighborhood
+# export feasible on power-law graphs at corpus scale.
+
+SAMPLE_K = 4
+
+
+def _md5_hex(values: np.ndarray) -> np.ndarray:
+    """Per-row md5 hexdigest (the deterministic-sampling contract —
+    same per-row md5 the split/sample operators use, bounded by the
+    edge-list read)."""
+    import hashlib
+
+    return np.array([hashlib.md5(str(v).encode()).hexdigest()
+                     for v in values], object)
+
+
+def neighbor_sample_quads(quads, k: int = SAMPLE_K):
+    """quad table → (seed, hop, node): for each mention-entity seed,
+    the deterministic ≤k-per-node sample of its 1- and 2-hop
+    neighborhoods over the undirected distinct IRI–IRI graph
+    (distinct rows; a node reachable at both hops appears at each)."""
+    import ray
+    import ray.data as rd
+
+    from .groupkit import run_positions, run_starts
+
+    # the quad stream feeds TWO consumers (edge dedup + seed scan) —
+    # pin once so the upstream KG pipeline executes once (the
+    # reach/_pr seed kernels fuse instead; here the seed scan is a
+    # trivial pruned pass over the pinned blocks)
+    quads = _pin(quads)
+    und = _pin(_undirected_edges(quads))
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        return pa.table({
+            "a": pa.array(key, pa.string()),
+            "b": pa.array(nb, pa.string()),
+            "h": pa.array(_md5_hex(nb), pa.string()),
+            "bucket": _bucket_of(key),
+        })
+
+    def topk_in_bucket(g) -> pa.Table:
+        a = np.asarray(g["a"].to_numpy(object), dtype=str)
+        b = g["b"].to_numpy(object)
+        h = g["h"].to_numpy(object)
+        order = np.lexsort((b, h, a))
+        a, b = a[order], b[order]
+        starts = run_starts(a)
+        pos = run_positions(a, starts)
+        keep = pos < k
+        return pa.table({
+            "a": pa.array(a[keep], pa.string()),
+            "b": pa.array(b[keep], pa.string()),
+        })
+
+    # the shared per-node top-k neighbor table (≤ k rows per node),
+    # pinned: it feeds hop 1 and the hop-2 self-join
+    T = _pin(und.map_batches(both_ends, batch_format="pyarrow")
+             .groupby("bucket").map_groups(topk_in_bucket,
+                                           batch_format="pandas"))
+
+    # seeds: the mention-entity vocabulary (bounded by construction;
+    # same rule as kg_reach) — broadcast once
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
+        return pa.table({
+            "node": pa.array(
+                np.unique(t["obj_value"].to_numpy(zero_copy_only=False)
+                          .astype(str)), pa.string()),
+        })
+
+    seeds = np.unique(np.concatenate([
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in quads.map_batches(seed_rows, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")] or [np.zeros(0, "U1")]))
+    seeds_ref = ray.put(np.sort(seeds.astype(str)))
+
+    def h1_rows(batch: pa.Table) -> pa.Table:
+        sd = ray.get(seeds_ref)
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                       dtype=str)
+        m = np.isin(a, sd)
+        t = batch.filter(pa.array(m))
+        nb = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seed": t["a"], "node": t["b"],
+            "side": pa.array(np.ones(len(nb), np.int8)),
+            "bucket": _bucket_of(nb),
+        })
+
+    def t_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seed": batch["a"], "node": batch["b"],
+            "side": pa.array(np.zeros(len(a), np.int8)),
+            "bucket": _bucket_of(a),
+        })
+
+    h1 = _pin(T.map_batches(h1_rows, batch_format="pyarrow"))
+
+    def hop2_in_bucket(g) -> pa.Table:
+        import pandas as pd
+
+        left = g[g["side"] == 1][["seed", "node"]]
+        right = g[g["side"] == 0].rename(
+            columns={"seed": "node", "node": "nb2"})[["node", "nb2"]]
+        m = left.merge(right, on="node")
+        df = pd.DataFrame({"seed": m["seed"], "node": m["nb2"]}) \
+            .drop_duplicates()
+        return pa.table({
+            "seed": pa.array(df["seed"], pa.string()),
+            "node": pa.array(df["node"], pa.string()),
+            "hop": pa.array(np.full(len(df), 2, np.int64)),
+        })
+
+    h2 = h1.union(T.map_batches(t_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(hop2_in_bucket,
+                                      batch_format="pandas")
+
+    def h1_out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "seed": batch["seed"], "node": batch["node"],
+            "hop": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    def dedup_out(g) -> pa.Table:
+        df = g[["seed", "hop", "node"]].drop_duplicates()
+        return pa.table({
+            "seed": pa.array(df["seed"], pa.string()),
+            "hop": pa.array(df["hop"].to_numpy(np.int64)),
+            "node": pa.array(df["node"], pa.string()),
+        })
+
+    def out_bucket(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.append_column("obucket", _bucket_of(nodes))
+
+    return h1.map_batches(h1_out, batch_format="pyarrow") \
+        .union(h2) \
+        .map_batches(out_bucket, batch_format="pyarrow") \
+        .groupby("obucket").map_groups(dedup_out,
+                                       batch_format="pandas")
+
+
+def _neighbor_sample_oracle_sql(quads_sql: str,
+                                k: int = SAMPLE_K) -> str:
+    return f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+t AS (SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (
+            PARTITION BY a ORDER BY md5(b), b) AS rn FROM ed)
+      WHERE rn <= {k}),
+s AS (SELECT DISTINCT obj_value AS node FROM q
+      WHERE pred = '{REACH_SEED_PRED}'),
+h1 AS (SELECT s.node AS seed, t.b AS node
+       FROM s JOIN t ON t.a = s.node),
+h2 AS (SELECT DISTINCT h1.seed, t2.b AS node
+       FROM h1 JOIN t t2 ON t2.a = h1.node)
+SELECT seed, CAST(1 AS BIGINT) AS hop, node FROM h1
+UNION ALL
+SELECT seed, CAST(2 AS BIGINT) AS hop, node FROM h2
+"""
+
+
 def _clustering_oracle_sql(quads_sql: str) -> str:
     """Triangle corners via the canonical u < v < w 3-way join, each
     credited to all three vertices; degrees from the doubled edge

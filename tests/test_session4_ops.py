@@ -404,6 +404,36 @@ def test_kg_assortativity_oracle_parity_sf(ray_session, sf_dir):
     assert s_u >= 2 * m and s_uv >= m
 
 
+def test_kg_neighbor_sample_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    from jsonld_js_ray.stages.graph import SAMPLE_K
+
+    a = _parity(E, "kg_neighbor_sample", sf_dir, ("events",))
+    assert set(a["hop"]) <= {1, 2} and 1 in set(a["hop"])
+    # the fan-out bound: every seed has at most K hop-1 neighbors
+    h1 = a[a["hop"] == 1]
+    assert h1.groupby("seed")["node"].count().max() <= SAMPLE_K
+    # hop-2 fan-out bounded by K per hop-1 node → ≤ K² per seed
+    h2 = a[a["hop"] == 2]
+    if len(h2):
+        assert h2.groupby("seed")["node"].count().max() <= SAMPLE_K ** 2
+
+
+def test_kg_neighbor_sample_deterministic(ray_session, sf_dir):
+    """The md5-rank sample is reproducible run-to-run."""
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    q = E.queries()["kg_neighbor_sample"]
+    a = q(sf_dir).to_pandas().sort_values(
+        ["seed", "hop", "node"]).reset_index(drop=True)
+    b = q(sf_dir).to_pandas().sort_values(
+        ["seed", "hop", "node"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
