@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jaccard_neighbors": _q_kg_jaccard_neighbors,
         "kg_assortativity": _q_kg_assortativity,
         "kg_neighbor_sample": _q_kg_neighbor_sample,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_quads_roundtrip": _q_kg_quads_roundtrip,
         "kg_compact_roundtrip": _q_kg_compact_roundtrip,
         "kg_flatten_counts": _q_kg_flatten_counts,
@@ -423,6 +424,22 @@ def _neighbor_sample_oracle() -> str:
 
     return _neighbor_sample_oracle_sql(
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_kg_random_walks(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.graph import random_walks_quads
+
+    return random_walks_quads(build_quads_with_mentions(sf_dir))
+
+
+def _random_walks_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.graph import _random_walks_oracle_sql
+
+    return _random_walks_oracle_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
 def _q_debounce_events(sf_dir: str):
@@ -996,6 +1013,9 @@ def oracle_sql() -> dict[str, str]:
         # GraphSAGE-style deterministic 2-hop neighbor sample
         # (md5-rank top-k per node, row_number mirror)
         "kg_neighbor_sample": _neighbor_sample_oracle(),
+        # DeepWalk-style deterministic walk corpus (step-salted md5
+        # argmin successors, chained-join mirror)
+        "kg_random_walks": _random_walks_oracle(),
         # lossless distributed fromRDF∘toRDF round-trip → same quad table
         "kg_quads_roundtrip": KG_QUADS_ORACLE_SQL,
         "kg_compact_roundtrip": (

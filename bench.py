@@ -312,6 +312,11 @@ def run_bench() -> dict:
     neighbor_sample_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_neighbor_sample"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.graph import random_walks_quads
+    t0 = time.perf_counter()
+    random_walks_quads(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_random_walks"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -1166,6 +1166,158 @@ SELECT seed, CAST(2 AS BIGINT) AS hop, node FROM h2
 """
 
 
+# --- deterministic random-walk corpus (DeepWalk-style) ---
+# The embedding-training counterpart of neighbor sampling: a fixed-
+# length walk from every seed entity. "Randomness" is the md5
+# contract again, salted BY STEP — at step t every node's successor
+# is its neighbor minimizing (md5(t || '|' || nb), nb) — so walks are
+# reproducible, the successor table is computed in ONE edge pass for
+# all steps (edge_rows × L, argmin per (node, t) in the node bucket),
+# and the SQL mirror is a row_number() window plus L chained joins.
+# Walks advance by L bucketed joins against the static successor
+# table; each step moves |seeds| rows — nothing corpus-sized after
+# the successor build.
+
+WALK_LEN = 3
+
+
+def random_walks_quads(quads, walk_len: int = WALK_LEN):
+    """quad table → (seed, step, node): the deterministic walk node
+    at each step 1..walk_len from every mention-entity seed over the
+    undirected distinct IRI–IRI graph (dead ends truncate the
+    walk)."""
+    import hashlib
+
+    import ray
+
+    from .groupkit import run_starts
+
+    quads = _pin(quads)
+    und = _pin(_undirected_edges(quads))
+
+    def salted_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        n = len(key)
+        keys_out, nbs_out, ts_out, hs_out = [], [], [], []
+        for t in range(1, walk_len + 1):
+            keys_out.append(key)
+            nbs_out.append(nb)
+            ts_out.append(np.full(n, t, np.int64))
+            hs_out.append(np.array(
+                [hashlib.md5(f"{t}|{x}".encode()).hexdigest()
+                 for x in nb], object))
+        key_all = np.concatenate(keys_out)
+        return pa.table({
+            "a": pa.array(key_all, pa.string()),
+            "b": pa.array(np.concatenate(nbs_out), pa.string()),
+            "t": pa.array(np.concatenate(ts_out)),
+            "h": pa.array(np.concatenate(hs_out), pa.string()),
+            "bucket": _bucket_of(key_all),
+        })
+
+    def argmin_in_bucket(g) -> pa.Table:
+        a = np.asarray(g["a"].to_numpy(object), dtype=str)
+        t = g["t"].to_numpy(np.int64)
+        b = g["b"].to_numpy(object)
+        h = g["h"].to_numpy(object)
+        order = np.lexsort((b, h, t, a))
+        a, t, b = a[order], t[order], b[order]
+        # first row of each (a, t) run is the salted argmin
+        changed = np.ones(len(a), bool)
+        if len(a) > 1:
+            changed[1:] = (a[1:] != a[:-1]) | (t[1:] != t[:-1])
+        return pa.table({
+            "a": pa.array(a[changed], pa.string()),
+            "t": pa.array(t[changed]),
+            "b": pa.array(b[changed], pa.string()),
+        })
+
+    # the static successor table: ONE row per (node, step)
+    nxt = _pin(und.map_batches(salted_rows, batch_format="pyarrow")
+               .groupby("bucket").map_groups(argmin_in_bucket,
+                                             batch_format="pandas"))
+
+    def seed_scan(batch: pa.Table) -> pa.Table:
+        tq = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
+        return pa.table({
+            "node": pa.array(np.unique(
+                tq["obj_value"].to_numpy(zero_copy_only=False)
+                .astype(str)), pa.string()),
+        })
+
+    seeds = np.unique(np.concatenate([
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in quads.map_batches(seed_scan, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")] or [np.zeros(0, "U1")]))
+    walkers = [(str(s), str(s)) for s in seeds]   # (seed, cur)
+
+    out_rows = []
+    for t in range(1, walk_len + 1):
+        cur_ref = ray.put(
+            np.sort(np.array([c for _, c in walkers], dtype=str)))
+
+        def step_rows(batch: pa.Table, _t=t) -> pa.Table:
+            cur = ray.get(cur_ref)
+            tb = batch.filter(pc.equal(batch["t"], _t))
+            a = np.asarray(tb["a"].to_numpy(zero_copy_only=False),
+                           dtype=str)
+            tb = tb.filter(pa.array(np.isin(a, cur)))
+            return pa.table({"a": tb["a"], "b": tb["b"]})
+
+        # the walker frontier is |seeds|-sized (bounded by the entity
+        # vocabulary), so the step lookup collects a tiny table
+        step = {}
+        for bt in nxt.map_batches(step_rows,
+                                  batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for aa, bb in zip(bt["a"].to_pylist(), bt["b"].to_pylist()):
+                step[aa] = bb
+        walkers = [(s, step[c]) for s, c in walkers if c in step]
+        out_rows.extend((s, t, c) for s, c in walkers)
+
+    return __import__("ray").data.from_arrow(pa.table({
+        "seed": pa.array([r[0] for r in out_rows], pa.string()),
+        "step": pa.array([r[1] for r in out_rows], pa.int64()),
+        "node": pa.array([r[2] for r in out_rows], pa.string()),
+    }))
+
+
+def _random_walks_oracle_sql(quads_sql: str,
+                             walk_len: int = WALK_LEN) -> str:
+    steps = []
+    for t in range(1, walk_len + 1):
+        prev = "s" if t == 1 else f"w{t - 1}"
+        prev_col = "node" if t == 1 else "node"
+        steps.append(f"""
+w{t} AS (SELECT p.seed, n.b AS node
+        FROM (SELECT {'node AS seed, node' if t == 1
+                      else 'seed, node'} FROM {prev}) p
+        JOIN nxt n ON n.a = p.node AND n.t = {t})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT seed, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(1, walk_len + 1))
+    return f"""
+WITH q AS ({quads_sql}),
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS u,
+                       greatest(subj, obj_value) AS v
+       FROM q WHERE obj_kind = 'iri' AND subj <> obj_value),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+st AS (SELECT t FROM range(1, {walk_len + 1}) r(t)),
+nxt AS (SELECT a, t, b FROM (
+          SELECT ed.a, st.t, ed.b, row_number() OVER (
+              PARTITION BY ed.a, st.t
+              ORDER BY md5(concat(CAST(st.t AS VARCHAR), '|', ed.b)),
+                       ed.b) AS rn
+          FROM ed CROSS JOIN st) WHERE rn = 1),
+s AS (SELECT DISTINCT obj_value AS node FROM q
+      WHERE pred = '{REACH_SEED_PRED}'),{",".join(steps)}
+{selects}
+"""
+
+
 def _clustering_oracle_sql(quads_sql: str) -> str:
     """Triangle corners via the canonical u < v < w 3-way join, each
     credited to all three vertices; degrees from the doubled edge

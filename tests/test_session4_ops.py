@@ -434,6 +434,21 @@ def test_kg_neighbor_sample_deterministic(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_kg_random_walks_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    from jsonld_js_ray.stages.graph import WALK_LEN
+
+    a = _parity(E, "kg_random_walks", sf_dir, ("events",))
+    # one node per (seed, step); steps within 1..WALK_LEN; walks only
+    # truncate (a seed present at step t+1 is present at step t)
+    assert not a.duplicated(["seed", "step"]).any()
+    assert a["step"].between(1, WALK_LEN).all()
+    per_seed = a.groupby("seed")["step"].agg(["min", "max", "count"])
+    assert (per_seed["min"] == 1).all()
+    assert (per_seed["count"] == per_seed["max"]).all()
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
