@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reach": _q_kg_reach,
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_property_table": _q_kg_property_table,
+        "kg_property_unpivot": _q_kg_property_unpivot,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_clustering": _q_kg_clustering,
         "kg_truss_support": _q_kg_truss_support,
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bloom_semi": _q_join_bloom_semi,
         "join_salted": _q_join_salted,
         "join_adaptive": _q_join_adaptive,
+        "user_set_ops": _q_user_set_ops,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
@@ -754,6 +756,28 @@ def _property_table_oracle() -> str:
     return property_table_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
 
 
+def _q_kg_property_unpivot(sf_dir: str):
+    from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
+    from jsonld_js_ray.stages.pivot import property_unpivot
+
+    return property_unpivot(build_quads_with_mentions(sf_dir))
+
+
+def _property_unpivot_oracle() -> str:
+    from jsonld_js_ray.pipelines.oracle import (
+        KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
+    )
+    from jsonld_js_ray.stages.pivot import property_unpivot_sql
+
+    return property_unpivot_sql(KG_QUADS_WITH_MENTIONS_ORACLE_SQL)
+
+
+def _q_user_set_ops(sf_dir: str):
+    from jsonld_js_ray.stages.joins import user_set_ops
+
+    return user_set_ops(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     from jsonld_js_ray.stages.joins import shipping_priority
 
@@ -927,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         BROADCAST_JOIN_SQL,
         BUCKETED_JOIN_SQL,
         SALTED_JOIN_SQL,
+        USER_SET_OPS_SQL,
         FULL_OUTER_JOIN_SQL,
         LEFT_JOIN_SQL,
         SHIPPING_PRIORITY_SQL,
@@ -999,6 +1024,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_common_neighbors": _common_neighbors_oracle(),
         # quad pivot -> wide node property table (KG entity export)
         "kg_property_table": _property_table_oracle(),
+        # UNPIVOT/melt back to long triples (the pivot inverse)
+        "kg_property_unpivot": _property_unpivot_oracle(),
         # undirected degree distribution (deg values bounded)
         "kg_degree_hist": _degree_hist_oracle(),
         # per-node local clustering coefficient as exact integer
@@ -1185,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         # size-adaptive join (broadcast vs partitioned picked from the
         # measured build side; both plans oracle-identical)
         "join_adaptive": ADAPTIVE_JOIN_SQL,
+        # INTERSECT / EXCEPT set operators over distinct user sets
+        "user_set_ops": USER_SET_OPS_SQL,
         # per-(user, type) burst debounce (LAG gap filter, 5-min gap)
         "debounce_events": DEBOUNCE_SQL,
         # JSON payload field extraction (RE2 both sides) + aggregates

@@ -317,6 +317,16 @@ def run_bench() -> dict:
     random_walks_quads(build_quads_with_mentions(SF_DIR)).count()
     queries["kg_random_walks"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.pivot import property_unpivot
+    t0 = time.perf_counter()
+    property_unpivot(build_quads_with_mentions(SF_DIR)).count()
+    queries["kg_property_unpivot"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.joins import user_set_ops
+    t0 = time.perf_counter()
+    user_set_ops(SF_DIR).count()
+    queries["user_set_ops"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

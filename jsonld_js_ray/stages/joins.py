@@ -1182,3 +1182,44 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '{ADAPTIVE_PRIORITY}'
 GROUP BY o.o_orderstatus
 """
+
+
+def user_set_ops(sf_dir: str):
+    """(user_id, relation): the INTERSECT / EXCEPT set-operator class
+    over the distinct click-users and purchase-users — 'both' (the
+    intersection), 'click_only', 'purchase_only' (the two set
+    differences). A thin labeling pass over the FULL OUTER join's
+    per-user counts (one read, one user-hash exchange — the set ops
+    fall out of the outer join's key union for free)."""
+    import pyarrow.compute as pc
+
+    counts = full_outer_join_clicks_purchases(sf_dir)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = batch["n_clicks"].to_numpy(zero_copy_only=False)
+        p = batch["n_purchases"].to_numpy(zero_copy_only=False)
+        rel = np.where(c > 0,
+                       np.where(p > 0, "both", "click_only"),
+                       "purchase_only")
+        return pa.table({
+            "user_id": batch["user_id"],
+            "relation": pa.array(rel, pa.string()),
+        })
+
+    return counts.map_batches(label, batch_format="pyarrow")
+
+
+USER_SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase')
+SELECT CAST(user_id AS BIGINT) AS user_id, 'both' AS relation
+FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+UNION ALL
+SELECT CAST(user_id AS BIGINT), 'click_only'
+FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+UNION ALL
+SELECT CAST(user_id AS BIGINT), 'purchase_only'
+FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+"""

@@ -98,3 +98,44 @@ SELECT subj AS node,
 FROM q WHERE pred IN ({in_list})
 GROUP BY subj
 """
+
+
+def property_unpivot(quads, props: dict[str, str] | None = None):
+    """The pivot's inverse (UNPIVOT / melt): the wide node table back
+    to long (node, pred, val) rows, NULL cells dropped — i.e. the
+    min-deduplicated selected-predicate triple set. Pure 1→N flat map
+    over the wide rows (no extra exchange past the pivot's one);
+    round-trip contract: unpivot(pivot(q)) equals q filtered to the
+    selected predicates with min-per-(subj, pred) dedup, which is
+    exactly the SQL mirror."""
+    props = dict(props or TURN_PROPS)
+    wide = property_table(quads, props)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        nodes, preds, vals = [], [], []
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        for name, piri in props.items():
+            col = batch[name]
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            nodes.append(node[valid])
+            preds.append(np.full(int(valid.sum()), piri, object))
+            vals.append(col.to_numpy(zero_copy_only=False)[valid])
+        return pa.table({
+            "node": pa.array(np.concatenate(nodes), pa.string()),
+            "pred": pa.array(np.concatenate(preds), pa.string()),
+            "val": pa.array(np.concatenate(vals), pa.string()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def property_unpivot_sql(quads_sql: str,
+                         props: dict[str, str] | None = None) -> str:
+    props = dict(props or TURN_PROPS)
+    in_list = ", ".join(f"'{p}'" for p in props.values())
+    return f"""
+WITH q AS ({quads_sql})
+SELECT subj AS node, pred, min(obj_value) AS val
+FROM q WHERE pred IN ({in_list})
+GROUP BY subj, pred
+"""

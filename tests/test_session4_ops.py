@@ -449,6 +449,35 @@ def test_kg_random_walks_oracle_parity_sf(ray_session, sf_dir):
     assert (per_seed["count"] == per_seed["max"]).all()
 
 
+def test_kg_property_unpivot_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "kg_property_unpivot", sf_dir, ("events",))
+    assert not a.duplicated(["node", "pred"]).any()
+    assert a["val"].notna().all()          # NULL cells dropped
+
+
+def test_kg_property_unpivot_roundtrips_pivot(ray_session, sf_dir):
+    """Melt(pivot(q)) carries exactly the non-NULL cells of the wide
+    table — the inverse-op contract."""
+    import __ray_entry__ as E
+
+    wide = E.queries()["kg_property_table"](sf_dir).to_pandas()
+    long = E.queries()["kg_property_unpivot"](sf_dir).to_pandas()
+    n_cells = int(wide.drop(columns=["node"]).notna().sum().sum())
+    assert len(long) == n_cells
+
+
+def test_user_set_ops_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "user_set_ops", sf_dir, ("events",))
+    # each user appears in exactly one relation class
+    assert not a.duplicated("user_id").any()
+    assert set(a["relation"]) <= {"both", "click_only",
+                                  "purchase_only"}
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
