@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_salted": _q_join_salted,
         "join_adaptive": _q_join_adaptive,
         "user_set_ops": _q_user_set_ops,
+        "user_favorite_event": _q_user_favorite_event,
+        "kmv_sketch_users": _q_kmv_sketch_users,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
         "join_full_outer": _q_join_full_outer,
@@ -778,6 +780,24 @@ def _q_user_set_ops(sf_dir: str):
     return user_set_ops(sf_dir)
 
 
+def _q_user_favorite_event(sf_dir: str):
+    from jsonld_js_ray.stages.rank import user_favorite_event
+
+    return user_favorite_event(sf_dir)
+
+
+def _q_kmv_sketch_users(sf_dir: str):
+    from jsonld_js_ray.stages.sketches import kmv_sketch_users
+
+    return kmv_sketch_users(sf_dir)
+
+
+def _kmv_oracle() -> str:
+    from jsonld_js_ray.stages.sketches import kmv_sketch_sql
+
+    return kmv_sketch_sql()
+
+
 def _q_shipping_priority(sf_dir: str):
     from jsonld_js_ray.stages.joins import shipping_priority
 
@@ -969,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.rank import (
         DEBOUNCE_SQL,
         EVENT_TRANSITIONS_SQL,
+        USER_FAVORITE_SQL,
         ROBUST_OUTLIERS_SQL,
         USER_QUANTILES_CONT_SQL,
         USER_DELTAS_SQL,
@@ -1214,6 +1235,11 @@ def oracle_sql() -> dict[str, str]:
         "join_adaptive": ADAPTIVE_JOIN_SQL,
         # INTERSECT / EXCEPT set operators over distinct user sets
         "user_set_ops": USER_SET_OPS_SQL,
+        # grouped MODE (argmax count, min-type ties) per user
+        "user_favorite_event": USER_FAVORITE_SQL,
+        # KMV bottom-k distinct sketch — the md5 contract makes the
+        # sketch itself SQL-mirrorable (ORDER BY md5 LIMIT K)
+        "kmv_sketch_users": _kmv_oracle(),
         # per-(user, type) burst debounce (LAG gap filter, 5-min gap)
         "debounce_events": DEBOUNCE_SQL,
         # JSON payload field extraction (RE2 both sides) + aggregates

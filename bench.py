@@ -327,6 +327,16 @@ def run_bench() -> dict:
     user_set_ops(SF_DIR).count()
     queries["user_set_ops"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.rank import user_favorite_event
+    t0 = time.perf_counter()
+    user_favorite_event(SF_DIR).count()
+    queries["user_favorite_event"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.sketches import kmv_sketch_users
+    t0 = time.perf_counter()
+    kmv_sketch_users(SF_DIR).count()
+    queries["kmv_sketch_users"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

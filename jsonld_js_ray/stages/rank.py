@@ -549,3 +549,75 @@ FROM (SELECT event_id, user_id, event_type,
       FROM events)
 WHERE gap IS NULL OR gap > {DEBOUNCE_US}
 """
+
+
+def user_favorite_event(sf_dir: str):
+    """events → (user_id, fav_event, n): each user's MODE event type
+    (most frequent; ties broken by the lexicographically smallest
+    type — the deterministic argmax contract shared with the LPA
+    communities kernel) and its count.
+
+    Per-batch partial (user, type) counts bound the shuffle at
+    distinct pairs per batch; the in-bucket kernel re-reduces the
+    partials and takes one weighted argmax per user (two lexsorts,
+    no per-user Python)."""
+    from .groupkit import int_group_sums, pair_run_starts, run_starts
+
+    ds = _with_bucket(_events(sf_dir, ["user_id", "event_type"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(users.astype(str), "\x1f"),
+                          et.astype(str))
+        uniq, first, codes = np.unique(key, return_index=True,
+                                       return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(users[first]),
+            "event_type": pa.array(et[first], pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64)),
+            "bucket": pa.array(
+                (users[first] % RANK_SHARDS).astype("int32")),
+        })
+
+    def per_shard(g) -> pa.Table:
+        users = g["user_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(object), dtype=str)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((et, users))
+        u, t, c = users[order], et[order], n[order]
+        starts = pair_run_starts(u.astype(str), t)
+        codes = np.repeat(np.arange(len(starts)),
+                          np.diff(np.append(starts, len(u))))
+        sums = int_group_sums(codes, c, len(starts))
+        gu, gt = u[starts], t[starts]
+        # weighted argmax per user: (-count, type) rank, first wins
+        order2 = np.lexsort((gt, -sums, gu))
+        gu, gt, sums = gu[order2], gt[order2], sums[order2]
+        first = run_starts(gu.astype(str))
+        return pa.table({
+            "user_id": pa.array(gu[first]),
+            "fav_event": pa.array(gt[first], pa.string()),
+            "n": pa.array(sums[first]),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(per_shard,
+                                      batch_format="pandas")
+
+
+USER_FAVORITE_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type AS fav_event,
+       n
+FROM (SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type)
+                 AS rn
+      FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""

@@ -275,3 +275,62 @@ def exact_top_tokens(docs, k: int = 20):
     top = totals.sort(["n", "token"],
                       descending=[True, False]).limit(k).to_pandas()
     return list(top["token"]), dict(zip(top["token"], top["n"]))
+
+
+# --- KMV (bottom-k) distinct sketch over users ---
+# The third sketch family (HLL counts, CMS frequencies, KMV here):
+# keep the K smallest hash values of the distinct key set — a
+# MERGEABLE summary (union = merge + re-truncate) whose k-th value
+# estimates the distinct count as (K-1)/h_k. The repo twist: the
+# hash is the deterministic md5 contract, so the SKETCH ITSELF is
+# SQL-mirrorable (ORDER BY md5 LIMIT K) and the driver gate checks it
+# hash-exactly — the estimator arithmetic is reader-side float and
+# never hashed. Per-batch bottom-K partials bound the shuffle at
+# K rows per block; the final merge touches ≤ K × blocks rows.
+
+KMV_K = 64
+
+
+def kmv_sketch_users(sf_dir: str, k: int = KMV_K):
+    """events → (rank, h): the K lexicographically-smallest md5 hex
+    digests of the distinct user_id set, ranked 1..K."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..rayutil import strip_meta as _strip_meta
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False))
+        hs = np.sort(np.array(
+            [hashlib.md5(str(u).encode()).hexdigest()
+             for u in users], object))[:k]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    # ≤ K rows per block reach the driver; cross-block duplicates of
+    # the same user hash collapse in the final unique
+    parts = np.concatenate([
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in events.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")] or [np.zeros(0, object)])
+    bottom = np.unique(parts.astype(str))[:k]
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(bottom) + 1,
+                                   dtype=np.int64)),
+        "h": pa.array(bottom, pa.string()),
+    }))
+
+
+def kmv_sketch_sql(k: int = KMV_K) -> str:
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, h
+FROM (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+ORDER BY h LIMIT {k}
+"""

@@ -478,6 +478,55 @@ def test_user_set_ops_oracle_parity_sf(ray_session, sf_dir):
                                   "purchase_only"}
 
 
+def test_user_favorite_event_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "user_favorite_event", sf_dir, ("events",))
+    # exactly one favorite per user, covering every user
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert len(a) == n_users
+    assert not a.duplicated("user_id").any()
+    assert (a["n"] >= 1).all()
+
+
+def test_kmv_sketch_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    from jsonld_js_ray.stages.sketches import KMV_K
+
+    a = _parity(E, "kmv_sketch_users", sf_dir, ("events",))
+    assert len(a) <= KMV_K
+    # hashes strictly ascending by rank (the bottom-k invariant)
+    by_rank = a.sort_values("rank")["h"].tolist()
+    assert by_rank == sorted(by_rank)
+    assert len(set(by_rank)) == len(by_rank)
+
+
+def test_kmv_estimator_is_sane(ray_session, sf_dir):
+    """(K−1)/h_K estimates the distinct-user count within a loose
+    KMV error band (the reader-side arithmetic the sketch enables)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = E.queries()["kmv_sketch_users"](sf_dir).to_pandas() \
+        .sort_values("rank")
+    k = len(a)
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf_dir}/events.parquet'").fetchone()[0]
+    if k < n_users:        # sketch saturated → estimator applies
+        u_k = int(a["h"].iloc[-1][:8], 16) / float(1 << 32)
+        est = (k - 1) / u_k
+        assert 0.4 * n_users < est < 2.5 * n_users
+    else:                  # small corpus: sketch IS the exact set
+        assert k == n_users
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
