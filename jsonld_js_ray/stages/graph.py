@@ -1000,6 +1000,27 @@ FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
 SAMPLE_K = 4
 
 
+def _seed_vocab(quads) -> np.ndarray:
+    """Distinct mention-entity IRIs (REACH_SEED_PRED objects) from a
+    PINNED quad stream — the bounded seed vocabulary shared by the
+    neighbor-sampling and walk exports. Collected on the driver BY
+    DESIGN: the result is bounded by the entity vocabulary, not the
+    corpus."""
+    def seed_scan(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
+        return pa.table({
+            "node": pa.array(np.unique(
+                t["obj_value"].to_numpy(zero_copy_only=False)
+                .astype(str)), pa.string()),
+        })
+
+    return np.unique(np.concatenate([
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in quads.map_batches(seed_scan, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")] or [np.zeros(0, "U1")])
+    ).astype(str)
+
+
 def _md5_hex(values: np.ndarray) -> np.ndarray:
     """Per-row md5 hexdigest (the deterministic-sampling contract —
     same per-row md5 the split/sample operators use, bounded by the
@@ -1016,7 +1037,6 @@ def neighbor_sample_quads(quads, k: int = SAMPLE_K):
     neighborhoods over the undirected distinct IRI–IRI graph
     (distinct rows; a node reachable at both hops appears at each)."""
     import ray
-    import ray.data as rd
 
     from .groupkit import run_positions, run_starts
 
@@ -1061,19 +1081,7 @@ def neighbor_sample_quads(quads, k: int = SAMPLE_K):
 
     # seeds: the mention-entity vocabulary (bounded by construction;
     # same rule as kg_reach) — broadcast once
-    def seed_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
-        return pa.table({
-            "node": pa.array(
-                np.unique(t["obj_value"].to_numpy(zero_copy_only=False)
-                          .astype(str)), pa.string()),
-        })
-
-    seeds = np.unique(np.concatenate([
-        b["node"].to_numpy(zero_copy_only=False)
-        for b in quads.map_batches(seed_rows, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")] or [np.zeros(0, "U1")]))
-    seeds_ref = ray.put(np.sort(seeds.astype(str)))
+    seeds_ref = ray.put(np.sort(_seed_vocab(quads)))
 
     def h1_rows(batch: pa.Table) -> pa.Table:
         sd = ray.get(seeds_ref)
@@ -1190,8 +1198,6 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
 
     import ray
 
-    from .groupkit import run_starts
-
     quads = _pin(quads)
     und = _pin(_undirected_edges(quads))
 
@@ -1219,6 +1225,8 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
         })
 
     def argmin_in_bucket(g) -> pa.Table:
+        from .groupkit import pair_run_starts
+
         a = np.asarray(g["a"].to_numpy(object), dtype=str)
         t = g["t"].to_numpy(np.int64)
         b = g["b"].to_numpy(object)
@@ -1226,13 +1234,11 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
         order = np.lexsort((b, h, t, a))
         a, t, b = a[order], t[order], b[order]
         # first row of each (a, t) run is the salted argmin
-        changed = np.ones(len(a), bool)
-        if len(a) > 1:
-            changed[1:] = (a[1:] != a[:-1]) | (t[1:] != t[:-1])
+        starts = pair_run_starts(a, t)
         return pa.table({
-            "a": pa.array(a[changed], pa.string()),
-            "t": pa.array(t[changed]),
-            "b": pa.array(b[changed], pa.string()),
+            "a": pa.array(a[starts], pa.string()),
+            "t": pa.array(t[starts]),
+            "b": pa.array(b[starts], pa.string()),
         })
 
     # the static successor table: ONE row per (node, step)
@@ -1240,19 +1246,8 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
                .groupby("bucket").map_groups(argmin_in_bucket,
                                              batch_format="pandas"))
 
-    def seed_scan(batch: pa.Table) -> pa.Table:
-        tq = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
-        return pa.table({
-            "node": pa.array(np.unique(
-                tq["obj_value"].to_numpy(zero_copy_only=False)
-                .astype(str)), pa.string()),
-        })
-
-    seeds = np.unique(np.concatenate([
-        b["node"].to_numpy(zero_copy_only=False)
-        for b in quads.map_batches(seed_scan, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")] or [np.zeros(0, "U1")]))
-    walkers = [(str(s), str(s)) for s in seeds]   # (seed, cur)
+    walkers = [(str(s), str(s))
+               for s in _seed_vocab(quads)]      # (seed, cur)
 
     out_rows = []
     for t in range(1, walk_len + 1):
@@ -1290,7 +1285,6 @@ def _random_walks_oracle_sql(quads_sql: str,
     steps = []
     for t in range(1, walk_len + 1):
         prev = "s" if t == 1 else f"w{t - 1}"
-        prev_col = "node" if t == 1 else "node"
         steps.append(f"""
 w{t} AS (SELECT p.seed, n.b AS node
         FROM (SELECT {'node AS seed, node' if t == 1

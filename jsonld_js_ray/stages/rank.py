@@ -563,7 +563,9 @@ def user_favorite_event(sf_dir: str):
     no per-user Python)."""
     from .groupkit import int_group_sums, pair_run_starts, run_starts
 
-    ds = _with_bucket(_events(sf_dir, ["user_id", "event_type"]))
+    # no _with_bucket wrapper: partial() computes its own shard key
+    # from the partial rows (cheaper than bucketing the raw events)
+    ds = _events(sf_dir, ["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         users = batch["user_id"].to_numpy(zero_copy_only=False) \
