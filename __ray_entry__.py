@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_adaptive": _q_join_adaptive,
         "user_set_ops": _q_user_set_ops,
         "user_favorite_event": _q_user_favorite_event,
+        "event_type_pivot": _q_event_type_pivot,
         "kmv_sketch_users": _q_kmv_sketch_users,
         "join_anti": _q_join_anti,
         "join_left": _q_join_left,
@@ -786,6 +787,18 @@ def _q_user_favorite_event(sf_dir: str):
     return user_favorite_event(sf_dir)
 
 
+def _q_event_type_pivot(sf_dir: str):
+    from jsonld_js_ray.stages.pivot import event_type_pivot
+
+    return event_type_pivot(sf_dir)
+
+
+def _event_type_pivot_oracle() -> str:
+    from jsonld_js_ray.stages.pivot import event_type_pivot_sql
+
+    return event_type_pivot_sql()
+
+
 def _q_kmv_sketch_users(sf_dir: str):
     from jsonld_js_ray.stages.sketches import kmv_sketch_users
 
@@ -1237,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "user_set_ops": USER_SET_OPS_SQL,
         # grouped MODE (argmax count, min-type ties) per user
         "user_favorite_event": USER_FAVORITE_SQL,
+        # relational PIVOT / FILTER-clause counts per user × type
+        "event_type_pivot": _event_type_pivot_oracle(),
         # KMV bottom-k distinct sketch — the md5 contract makes the
         # sketch itself SQL-mirrorable (ORDER BY md5 LIMIT K)
         "kmv_sketch_users": _kmv_oracle(),

@@ -337,6 +337,11 @@ def run_bench() -> dict:
     kmv_sketch_users(SF_DIR).count()
     queries["kmv_sketch_users"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.pivot import event_type_pivot
+    t0 = time.perf_counter()
+    event_type_pivot(SF_DIR).count()
+    queries["event_type_pivot"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -527,6 +527,20 @@ def test_kmv_estimator_is_sane(ray_session, sf_dir):
         assert k == n_users
 
 
+def test_event_type_pivot_oracle_parity_sf(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "event_type_pivot", sf_dir, ("events",))
+    n_all = duckdb.sql(f"SELECT count(*) FROM "
+                       f"'{sf_dir}/events.parquet'").fetchone()[0]
+    # every event lands in exactly one type column
+    count_cols = [c for c in a.columns if c.startswith("n_")]
+    assert a[count_cols].to_numpy().sum() == n_all
+    assert not a.duplicated("user_id").any()
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
