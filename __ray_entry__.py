@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users_hll": _q_window_distinct_users_hll,
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
+        "window_top_events": _q_window_top_events,
+        "embed_quantize": _q_embed_quantize,
     }
 
 
@@ -687,6 +689,19 @@ def _q_window_session(sf_dir: str):
     return session_window(_events(sf_dir, ["ts", "user_id"]))
 
 
+def _q_window_top_events(sf_dir: str):
+    from jsonld_js_ray.stages.windows import window_top_events
+
+    return window_top_events(
+        _events(sf_dir, ["ts", "event_type"]))
+
+
+def _q_embed_quantize(sf_dir: str):
+    from jsonld_js_ray.stages.cluster import embed_quantize
+
+    return embed_quantize(sf_dir)
+
+
 def _pagerank_oracle() -> str:
     from jsonld_js_ray.pipelines.oracle import (
         KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
@@ -939,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.linker import MENTIONS_SQL
     from jsonld_js_ray.stages.cluster import (
+        EMBED_QUANTIZE_SQL,
         KMEANS_ASSIGN_SQL,
         PQ_ENCODE_SQL,
         SEMDEDUP_SQL,
@@ -1020,7 +1036,10 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.funnel import FUNNEL_WINDOWED_SQL
     from jsonld_js_ray.stages.sketches import WINDOW_DISTINCT_USERS_SQL
     from jsonld_js_ray.stages.windows import (
-        SESSION_WINDOW_SQL, SLIDING_WINDOW_SQL, TUMBLING_WINDOW_SQL,
+        SESSION_WINDOW_SQL,
+        SLIDING_WINDOW_SQL,
+        TUMBLING_WINDOW_SQL,
+        WINDOW_TOP_EVENTS_SQL,
     )
 
     from jsonld_js_ray.stages.entity_merge import (
@@ -1198,6 +1217,11 @@ def oracle_sql() -> dict[str, str]:
         "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
         "window_sliding": SLIDING_WINDOW_SQL,
         "window_session": SESSION_WINDOW_SQL,
+        # windowed rank: top-n event types per tumbling window
+        "window_top_events": WINDOW_TOP_EVENTS_SQL,
+        # symmetric int8 embedding quantization (3 IEEE doubles both
+        # sides; max-abs scale is order-free → hash-exact)
+        "embed_quantize": EMBED_QUANTIZE_SQL,
         "dedup_embedding": EMBEDDING_DEDUP_SQL,
         "join_broadcast": BROADCAST_JOIN_SQL,
         "join_bucketed": BUCKETED_JOIN_SQL,

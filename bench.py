@@ -342,6 +342,17 @@ def run_bench() -> dict:
     event_type_pivot(SF_DIR).count()
     queries["event_type_pivot"] = round(time.perf_counter() - t0, 3)
 
+    import __ray_entry__ as _e
+    from jsonld_js_ray.stages.windows import window_top_events
+    t0 = time.perf_counter()
+    window_top_events(_e._events(SF_DIR, ["ts", "event_type"])).count()
+    queries["window_top_events"] = round(time.perf_counter() - t0, 3)
+
+    from jsonld_js_ray.stages.cluster import embed_quantize
+    t0 = time.perf_counter()
+    embed_quantize(SF_DIR).count()
+    queries["embed_quantize"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -391,3 +391,68 @@ code{i} AS (
 
 
 PQ_ENCODE_SQL = _pq_sql()
+
+
+def embed_quantize(sf_dir: str):
+    """embeddings → (vec_id, dim, q): symmetric int8 quantization of
+    every embedding coordinate — q = floor(x·127/max_abs + 0.5) with
+    one corpus-wide max_abs scale — the compression pass an
+    embedding-export pipeline runs before serving. Long format (one
+    row per coordinate) keeps the contract hash-comparable.
+
+    Exactness: max() is order-free (unlike sums), and the quantizer
+    is three IEEE-754 double ops evaluated identically by numpy and
+    DuckDB, so the mirror is hash-exact with no epsilon. Two passes:
+    a scalar max-abs reduce (per-batch partials → driver float), then
+    one streaming quantize pass."""
+    import ray.data as rd
+
+    from ..rayutil import strip_meta as _strip_meta
+
+    def _read():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).map_batches(_strip_meta, batch_format="pyarrow",
+                      zero_copy_batch=True)
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        flat = np.abs(np.asarray(
+            batch["embedding"].to_pylist(), np.float64))
+        return pa.table({"m": pa.array([float(flat.max())
+                                        if flat.size else 0.0])})
+
+    ma = max((float(b["m"][i].as_py())
+              for b in _read().map_batches(
+                  batch_max, batch_format="pyarrow").iter_batches(
+                  batch_format="pyarrow")
+              for i in range(b.num_rows)), default=0.0)
+    if ma == 0.0:
+        ma = 1.0                     # degenerate all-zero corpus
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n, d = vecs.shape if vecs.ndim == 2 else (0, 0)
+        q = np.floor(vecs * 127.0 / ma + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1,
+                                              dtype=np.int64), n)),
+            "q": pa.array(q.ravel()),
+        })
+
+    return _read().map_batches(quantize, batch_format="pyarrow",
+                               batch_size=4096)
+
+
+EMBED_QUANTIZE_SQL = """
+WITH ma AS (SELECT max(abs(CAST(v AS DOUBLE))) AS m FROM (
+    SELECT unnest(embedding) AS v FROM embeddings))
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS dim,
+       CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 127.0
+                  / ma.m + 0.5) AS BIGINT) AS q
+FROM embeddings e CROSS JOIN ma
+"""

@@ -171,3 +171,83 @@ SELECT user_id, session_idx,
        CAST(max(ts_us) AS BIGINT) AS end_us
 FROM sessions GROUP BY user_id, session_idx
 """
+
+
+WINDOW_TOP_WIDTH_S = 21600         # 6-hour windows
+WINDOW_TOP_N = 3
+_WT_SHARDS = 64
+
+
+def window_top_events(events, width_s: int = WINDOW_TOP_WIDTH_S,
+                      n: int = WINDOW_TOP_N):
+    """events → (window_id, rank, event_type, n_events): the top-``n``
+    event types per tumbling window (rank 1 = most frequent; ties by
+    type asc — the windowed-rank combo of the tumbling aggregate and
+    the row_number window). Per-batch (window, type) partials, a
+    coarse window-hash shard, then vectorized per-window ranking
+    (lexsort + run positions) inside each shard."""
+    from .sketches import _hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        window = (ts_us // (width_s * 1_000_000)).astype(np.int64)
+        uet, ecodes = np.unique(et, return_inverse=True)
+        comb = window * np.int64(len(uet) if len(uet) else 1) + ecodes
+        uniq, first, codes = np.unique(comb, return_index=True,
+                                       return_inverse=True)
+        w = window[first]
+        return pa.table({
+            "window_id": pa.array(w),
+            "event_type": pa.array(et[first], pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64)),
+            "bucket": pa.array((_hash64(w) % np.uint64(_WT_SHARDS))
+                               .astype(np.int32)),
+        })
+
+    def per_shard(g, _n=n) -> pa.Table:
+        from .groupkit import int_group_sums, pair_run_starts, \
+            run_positions, run_starts
+
+        w = g["window_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(object), dtype=str)
+        c = g["n"].to_numpy(np.int64)
+        order = np.lexsort((et, w))
+        w, et, c = w[order], et[order], c[order]
+        starts = pair_run_starts(w.astype(str), et)
+        codes = np.repeat(np.arange(len(starts)),
+                          np.diff(np.append(starts, len(w))))
+        sums = int_group_sums(codes, c, len(starts))
+        gw, gt = w[starts], et[starts]
+        order2 = np.lexsort((gt, -sums, gw))
+        gw, gt, sums = gw[order2], gt[order2], sums[order2]
+        rank = run_positions(gw) + 1
+        keep = rank <= _n
+        return pa.table({
+            "window_id": pa.array(gw[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "event_type": pa.array(gt[keep], pa.string()),
+            "n_events": pa.array(sums[keep]),
+        })
+
+    return events.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(per_shard,
+                                      batch_format="pandas")
+
+
+WINDOW_TOP_EVENTS_SQL = f"""
+SELECT window_id, CAST(rank AS BIGINT) AS rank, event_type, n_events
+FROM (SELECT window_id, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY window_id
+                                ORDER BY count(*) DESC, event_type)
+                 AS rank
+      FROM (SELECT CAST(floor(epoch(ts) / {WINDOW_TOP_WIDTH_S})
+                        AS BIGINT) AS window_id, event_type
+            FROM events)
+      GROUP BY window_id, event_type)
+WHERE rank <= {WINDOW_TOP_N}
+"""

@@ -541,6 +541,30 @@ def test_event_type_pivot_oracle_parity_sf(ray_session, sf_dir):
     assert not a.duplicated("user_id").any()
 
 
+def test_window_top_events_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    from jsonld_js_ray.stages.windows import WINDOW_TOP_N
+
+    a = _parity(E, "window_top_events", sf_dir, ("events",))
+    # ranks dense from 1, at most N per window, counts nonincreasing
+    per_w = a.groupby("window_id")
+    assert (per_w["rank"].min() == 1).all()
+    assert (per_w["rank"].count() <= WINDOW_TOP_N).all()
+    by = a.sort_values(["window_id", "rank"])
+    same_w = by["window_id"].diff() == 0
+    assert (by["n_events"].diff()[same_w] <= 0).all()
+
+
+def test_embed_quantize_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "embed_quantize", sf_dir, ("embeddings",))
+    # int8 range by construction, and the max-abs coordinate hits ±127
+    assert a["q"].between(-127, 127).all()
+    assert a["q"].abs().max() == 127
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
