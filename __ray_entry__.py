@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_deltas": _q_user_value_deltas,
         "debounce_events": _q_debounce_events,
         "props_extract": _q_props_extract,
+        "value_k_correlation": _q_value_k_correlation,
         "ab_metrics": _q_ab_metrics,
         "user_event_paths": _q_user_event_paths,
         "event_transitions": _q_event_transitions,
@@ -465,6 +466,12 @@ def _q_ab_metrics(sf_dir: str):
     from jsonld_js_ray.stages.ab import ab_metrics
 
     return ab_metrics(sf_dir)
+
+
+def _q_value_k_correlation(sf_dir: str):
+    from jsonld_js_ray.stages.props import value_k_correlation
+
+    return value_k_correlation(sf_dir)
 
 
 def _q_kg_clustering(sf_dir: str):
@@ -987,7 +994,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
     from jsonld_js_ray.stages.ab import AB_METRICS_SQL
-    from jsonld_js_ray.stages.props import PROPS_EXTRACT_SQL
+    from jsonld_js_ray.stages.props import (
+        PROPS_EXTRACT_SQL,
+        VALUE_K_CORRELATION_SQL,
+    )
     from jsonld_js_ray.stages.tpch import (
         BRAND_REVENUE_SQL,
         LOCAL_SUPPLIER_REVENUE_SQL,
@@ -1283,6 +1293,8 @@ def oracle_sql() -> dict[str, str]:
         "debounce_events": DEBOUNCE_SQL,
         # JSON payload field extraction (RE2 both sides) + aggregates
         "props_extract": PROPS_EXTRACT_SQL,
+        # exact integer cross-moments (Pearson r is reader-side)
+        "value_k_correlation": VALUE_K_CORRELATION_SQL,
         # A/B experiment readout: md5-assigned variants, exact integer
         # moments (Σ cents, Σ cents²) per (variant, type) cell
         "ab_metrics": AB_METRICS_SQL,

@@ -353,6 +353,11 @@ def run_bench() -> dict:
     embed_quantize(SF_DIR).count()
     queries["embed_quantize"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.props import value_k_correlation
+    t0 = time.perf_counter()
+    value_k_correlation(SF_DIR).count()
+    queries["value_k_correlation"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -86,3 +86,91 @@ FROM (SELECT event_type,
       WHERE regexp_extract(props, '{_K_PATTERN_SQL}', 1) <> '')
 GROUP BY event_type
 """
+
+
+def value_k_correlation(sf_dir: str):
+    """events → (event_type, n, s_x, s_y, s_xy, s_x2, s_y2): the
+    exact integer cross-moments between the monetary value (cents,
+    x) and the JSON payload field k (y) per event type — Pearson r,
+    covariance, and both variances are pure arithmetic on these
+    seven integers, left to the reader (float moment sums are
+    order-nondeterministic and could never be oracle-hashed; integer
+    sums are exact at any parallelism). Rows lacking a parseable k
+    or a non-NULL value drop on both sides.
+
+    Shape: one read, per-batch partials over the tiny type key —
+    the same cell-moments pattern as ab_metrics, extended to
+    cross-moments. Product sums carry the ab-style loud int64
+    headroom guard."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .groupkit import int_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "props"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    bound = (1 << 62) // (1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
+        ks = pc.struct_field(ext, "k")
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
+            & ~np.isnan(vals)
+        t = batch.filter(pa.array(valid))
+        y = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], pattern=_K_PATTERN), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        x = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        for arr in (x * x, x * y, y * y):
+            if np.abs(arr).sum(dtype=np.uint64) > np.uint64(bound):
+                raise OverflowError(
+                    "value_k_correlation: moment sum exceeds the "
+                    "int64 headroom bound; rescale the inputs")
+        uniq, codes = np.unique(et, return_inverse=True)
+        n = len(uniq)
+        return pa.table({
+            "event_type": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=n)
+                          .astype(np.int64)),
+            "s_x": pa.array(int_group_sums(codes, x, n)),
+            "s_y": pa.array(int_group_sums(codes, y, n)),
+            "s_xy": pa.array(int_group_sums(codes, x * y, n)),
+            "s_x2": pa.array(int_group_sums(codes, x * x, n)),
+            "s_y2": pa.array(int_group_sums(codes, y * y, n)),
+        })
+
+    return events.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_x", alias_name="s_x"),
+            Sum("s_y", alias_name="s_y"),
+            Sum("s_xy", alias_name="s_xy"),
+            Sum("s_x2", alias_name="s_x2"),
+            Sum("s_y2", alias_name="s_y2"))
+
+
+VALUE_K_CORRELATION_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS s_x,
+       CAST(sum(y) AS BIGINT) AS s_y,
+       CAST(sum(x * y) AS BIGINT) AS s_xy,
+       CAST(sum(x * x) AS BIGINT) AS s_x2,
+       CAST(sum(y * y) AS BIGINT) AS s_y2
+FROM (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(regexp_extract(props, '{_K_PATTERN_SQL}', 1)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL
+        AND regexp_extract(props, '{_K_PATTERN_SQL}', 1) <> '')
+GROUP BY event_type
+"""

@@ -565,6 +565,23 @@ def test_embed_quantize_oracle_parity_sf(ray_session, sf_dir):
     assert a["q"].abs().max() == 127
 
 
+def test_value_k_correlation_oracle_parity_sf(ray_session, sf_dir):
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    a = _parity(E, "value_k_correlation", sf_dir, ("events",))
+    # the reader-side Pearson r derived from the exact moments is a
+    # valid correlation for every cell
+    n = a["n"].to_numpy(float)
+    cov = n * a["s_xy"] - a["s_x"] * a["s_y"]
+    vx = n * a["s_x2"] - a["s_x"] ** 2
+    vy = n * a["s_y2"] - a["s_y"] ** 2
+    assert (vx >= 0).all() and (vy >= 0).all()
+    r = cov / np.sqrt(vx * vy)
+    assert np.abs(r).max() <= 1.0 + 1e-12
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
