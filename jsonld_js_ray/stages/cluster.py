@@ -417,10 +417,9 @@ def embed_quantize(sf_dir: str):
                       zero_copy_batch=True)
 
     def batch_max(batch: pa.Table) -> pa.Table:
-        flat = np.abs(np.asarray(
-            batch["embedding"].to_pylist(), np.float64))
-        return pa.table({"m": pa.array([float(flat.max())
-                                        if flat.size else 0.0])})
+        _, vecs = _batch_matrix(batch)
+        return pa.table({"m": pa.array([float(np.abs(vecs).max())
+                                        if vecs.size else 0.0])})
 
     ma = max((float(b["m"][i].as_py())
               for b in _read().map_batches(
@@ -431,10 +430,8 @@ def embed_quantize(sf_dir: str):
         ma = 1.0                     # degenerate all-zero corpus
 
     def quantize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        n, d = vecs.shape if vecs.ndim == 2 else (0, 0)
+        ids, vecs = _batch_matrix(batch)
+        n, d = vecs.shape
         q = np.floor(vecs * 127.0 / ma + 0.5).astype(np.int64)
         return pa.table({
             "vec_id": pa.array(np.repeat(ids, d)),
@@ -448,8 +445,10 @@ def embed_quantize(sf_dir: str):
 
 
 EMBED_QUANTIZE_SQL = """
-WITH ma AS (SELECT max(abs(CAST(v AS DOUBLE))) AS m FROM (
-    SELECT unnest(embedding) AS v FROM embeddings))
+WITH ma AS (SELECT CASE WHEN m0 IS NULL OR m0 = 0 THEN 1.0
+                   ELSE m0 END AS m FROM (
+    SELECT max(abs(CAST(v AS DOUBLE))) AS m0 FROM (
+        SELECT unnest(embedding) AS v FROM embeddings)))
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
        CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS dim,
        CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 127.0

@@ -105,6 +105,7 @@ def value_k_correlation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from .ab import _SQ_BATCH_BOUND
     from .groupkit import int_group_sums
 
     events = rd.read_parquet(
@@ -113,23 +114,36 @@ def value_k_correlation(sf_dir: str):
     ).map_batches(_strip_meta, batch_format="pyarrow",
                   zero_copy_batch=True)
 
-    bound = (1 << 62) // (1 << 20)
-
     def partial(batch: pa.Table) -> pa.Table:
         ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
         ks = pc.struct_field(ext, "k")
         vals = batch["value"].to_numpy(zero_copy_only=False)
         valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
             & ~np.isnan(vals)
-        t = batch.filter(pa.array(valid))
-        y = pc.cast(pc.struct_field(
-            pc.extract_regex(t["props"], pattern=_K_PATTERN), "k"),
-            pa.int64()).to_numpy(zero_copy_only=False)
+        mask = pa.array(valid)
+        # ONE extraction pass, filtered — never re-run the regex
+        y = pc.cast(ks.filter(mask), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch.filter(mask)
         x = np.floor(t["value"].to_numpy(zero_copy_only=False)
                      * 100 + 0.5).astype(np.int64)
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        for arr in (x * x, x * y, y * y):
-            if np.abs(arr).sum(dtype=np.uint64) > np.uint64(bound):
+        # guard BEFORE multiplying: |value| <= 2^31 on both factors
+        # means every product fits int64 exactly — a post-hoc check
+        # on the products would be evaded by per-element wrap (e.g.
+        # y = 2^32 gives y*y == 0 mod 2^64)
+        lim = np.int64(1) << np.int64(31)
+        if len(x) and (np.abs(x).max() > lim or np.abs(y).max() > lim):
+            raise OverflowError(
+                "value_k_correlation: input magnitude exceeds 2^31; "
+                "products would overflow int64 — rescale the inputs")
+        xx, xy, yy = x * x, x * y, y * y
+        # the bound check sums |products| in float64 (cannot wrap;
+        # exactness is irrelevant for an order-of-magnitude guard —
+        # a uint64 sum would itself wrap on signed products)
+        for arr in (xx, xy, yy):
+            if np.abs(arr).astype(np.float64).sum() \
+                    > float(_SQ_BATCH_BOUND):
                 raise OverflowError(
                     "value_k_correlation: moment sum exceeds the "
                     "int64 headroom bound; rescale the inputs")
@@ -141,9 +155,9 @@ def value_k_correlation(sf_dir: str):
                           .astype(np.int64)),
             "s_x": pa.array(int_group_sums(codes, x, n)),
             "s_y": pa.array(int_group_sums(codes, y, n)),
-            "s_xy": pa.array(int_group_sums(codes, x * y, n)),
-            "s_x2": pa.array(int_group_sums(codes, x * x, n)),
-            "s_y2": pa.array(int_group_sums(codes, y * y, n)),
+            "s_xy": pa.array(int_group_sums(codes, xy, n)),
+            "s_x2": pa.array(int_group_sums(codes, xx, n)),
+            "s_y2": pa.array(int_group_sums(codes, yy, n)),
         })
 
     return events.map_batches(partial, batch_format="pyarrow",
@@ -170,7 +184,7 @@ FROM (SELECT event_type,
              CAST(regexp_extract(props, '{_K_PATTERN_SQL}', 1)
                   AS BIGINT) AS y
       FROM events
-      WHERE value IS NOT NULL
+      WHERE value IS NOT NULL AND NOT isnan(value)
         AND regexp_extract(props, '{_K_PATTERN_SQL}', 1) <> '')
 GROUP BY event_type
 """

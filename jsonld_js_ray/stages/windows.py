@@ -209,14 +209,14 @@ def window_top_events(events, width_s: int = WINDOW_TOP_WIDTH_S,
 
     def per_shard(g, _n=n) -> pa.Table:
         from .groupkit import int_group_sums, pair_run_starts, \
-            run_positions, run_starts
+            run_positions
 
         w = g["window_id"].to_numpy(np.int64)
         et = np.asarray(g["event_type"].to_numpy(object), dtype=str)
         c = g["n"].to_numpy(np.int64)
         order = np.lexsort((et, w))
         w, et, c = w[order], et[order], c[order]
-        starts = pair_run_starts(w.astype(str), et)
+        starts = pair_run_starts(w, et)
         codes = np.repeat(np.arange(len(starts)),
                           np.diff(np.append(starts, len(w))))
         sums = int_group_sums(codes, c, len(starts))

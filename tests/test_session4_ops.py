@@ -578,8 +578,10 @@ def test_value_k_correlation_oracle_parity_sf(ray_session, sf_dir):
     vx = n * a["s_x2"] - a["s_x"] ** 2
     vy = n * a["s_y2"] - a["s_y"] ** 2
     assert (vx >= 0).all() and (vy >= 0).all()
-    r = cov / np.sqrt(vx * vy)
-    assert np.abs(r).max() <= 1.0 + 1e-12
+    nz = (vx > 0) & (vy > 0)          # degenerate cells have no r
+    if nz.any():
+        r = cov[nz] / np.sqrt(vx[nz] * vy[nz])
+        assert np.abs(r).max() <= 1.0 + 1e-12
 
 
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
