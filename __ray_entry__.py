@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "range_partition_bounds": _q_range_partition_bounds,
         "global_sort": _q_global_sort,
+        "skyline_events": _q_skyline_events,
         "robust_outliers": _q_robust_outliers,
         "rollup_events": _q_rollup_events,
         "cube_events": _q_cube_events,
@@ -352,6 +353,12 @@ def _q_global_sort(sf_dir: str):
     from jsonld_js_ray.stages.histo import global_sort_events
 
     return global_sort_events(sf_dir)
+
+
+def _q_skyline_events(sf_dir: str):
+    from jsonld_js_ray.stages.histo import skyline_events
+
+    return skyline_events(sf_dir)
 
 
 def _q_robust_outliers(sf_dir: str):
@@ -990,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_js_ray.stages.histo import (
         GLOBAL_SORT_SQL,
         RANGE_BOUNDS_SQL,
+        SKYLINE_SQL,
         VALUE_HISTOGRAM_SQL,
     )
     from jsonld_js_ray.stages.cohort import COHORT_RETENTION_SQL
@@ -1264,6 +1272,9 @@ def oracle_sql() -> dict[str, str]:
         # full TeraSort: range-partitioned global total order with
         # exact row_number ranks (sample → route once → local sort)
         "global_sort": GLOBAL_SORT_SQL,
+        # 2-D skyline / Pareto maxima (dominance anti-self-join
+        # mirror; distributed via the skyline-of-skylines algebra)
+        "skyline_events": SKYLINE_SQL,
         # per-user median/MAD anomaly flag (quantile_disc + IEEE ops)
         "robust_outliers": ROBUST_OUTLIERS_SQL,
         # GROUP BY ROLLUP cascade (all grouping-set prefixes, one read)

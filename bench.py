@@ -358,6 +358,11 @@ def run_bench() -> dict:
     value_k_correlation(SF_DIR).count()
     queries["value_k_correlation"] = round(time.perf_counter() - t0, 3)
 
+    from jsonld_js_ray.stages.histo import skyline_events
+    t0 = time.perf_counter()
+    skyline_events(SF_DIR).count()
+    queries["skyline_events"] = round(time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.stages.tpch import (
         brand_revenue,
         local_supplier_revenue,

@@ -262,3 +262,107 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM events
 WHERE value IS NOT NULL
 """
+
+
+# --- skyline (Pareto frontier) over (value, payload k) ---
+# The dominance-query operator class (no SQL aggregate computes it;
+# the mirror is a NOT EXISTS anti-self-join): an event survives iff
+# no other event is >= in BOTH dimensions and > in at least one.
+# Distribution exploits skyline algebra: skyline(A ∪ B) =
+# skyline(skyline(A) ∪ skyline(B)), so each batch reduces to its
+# LOCAL frontier (expected O(log² n) points on independent dims) and
+# one final pass merges the tiny locals — the corpus is never
+# shuffled, only frontiers move.
+
+def skyline_events(sf_dir: str):
+    """events → (event_id, x, y): the maxima frontier where
+    x = exact value cents and y = the JSON payload field k (rows
+    missing either dimension drop; duplicate coordinate points all
+    survive — equal points don't strictly dominate each other)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..rayutil import strip_meta as _strip_meta
+    from .groupkit import run_lengths, run_starts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "value", "props"],
+    ).map_batches(_strip_meta, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def frontier(ids, x, y):
+        """Vectorized 2-D maxima: sort desc (x, y); a point is
+        dominated iff the best y among STRICTLY larger x is >= its y,
+        or a same-x point has strictly larger y."""
+        order = np.lexsort((-y, -x))
+        ids, x, y = ids[order], x[order], y[order]
+        starts = run_starts(x)           # runs of equal x, y desc
+        lens = run_lengths(x, starts)
+        run_max_y = y[starts]
+        # best y among strictly-larger x = exclusive cummax over runs
+        prev_best = np.full(len(starts), np.iinfo(np.int64).min,
+                            np.int64)
+        if len(starts) > 1:
+            prev_best[1:] = np.maximum.accumulate(run_max_y)[:-1]
+        dom_strict = y <= np.repeat(prev_best, lens)
+        dom_same_x = y < np.repeat(run_max_y, lens)
+        keep = ~(dom_strict | dom_same_x)
+        return ids[keep], x[keep], y[keep]
+
+    from .props import _K_PATTERN
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
+        ks = pc.struct_field(ext, "k")
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
+            & ~np.isnan(vals)
+        mask = pa.array(valid)
+        y = pc.cast(ks.filter(mask), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch.filter(mask)
+        x = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fi, fx, fy = frontier(ids, x, y)
+        return pa.table({
+            "event_id": pa.array(fi),
+            "x": pa.array(fx),
+            "y": pa.array(fy),
+            "g": pa.array(np.zeros(len(fi), np.int32)),
+        })
+
+    def merge_frontiers(g) -> pa.Table:
+        fi, fx, fy = frontier(g["event_id"].to_numpy(np.int64),
+                              g["x"].to_numpy(np.int64),
+                              g["y"].to_numpy(np.int64))
+        return pa.table({
+            "event_id": pa.array(fi),
+            "x": pa.array(fx),
+            "y": pa.array(fy),
+        })
+
+    return events.map_batches(local_frontier, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("g").map_groups(merge_frontiers,
+                                 batch_format="pandas")
+
+
+SKYLINE_SQL = """
+WITH pts AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+              AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> '')
+SELECT p.event_id, p.x, p.y
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y
+    AND (q.x > p.x OR q.y > p.y))
+"""

@@ -584,6 +584,40 @@ def test_value_k_correlation_oracle_parity_sf(ray_session, sf_dir):
         assert np.abs(r).max() <= 1.0 + 1e-12
 
 
+def test_skyline_oracle_parity_sf(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = _parity(E, "skyline_events", sf_dir, ("events",))
+    # frontier points are pairwise non-dominated
+    x = a["x"].to_numpy()
+    y = a["y"].to_numpy()
+    for i in range(len(a)):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        assert not dom.any()
+
+
+def test_skyline_semantics(ray_session, tmp_path):
+    """Hand-built frontier: (5,1), (3,3), (1,5) survive; (2,2) is
+    dominated by (3,3); duplicate maxima both survive (no strict
+    dominance between equals)."""
+    import pandas as pd
+
+    from jsonld_js_ray.stages.histo import skyline_events
+
+    pts = [(1, 5.0, 1), (2, 3.0, 3), (3, 1.0, 5), (4, 2.0, 2),
+           (5, 3.0, 3)]
+    ev = pd.DataFrame({
+        "event_id": [p[0] for p in pts],
+        "value": [p[1] / 100 for p in pts],   # cents == p[1]... scaled
+        "props": ['{"k": %d}' % p[2] for p in pts],
+    })
+    ev["value"] = [p[1] for p in pts]
+    d = str(tmp_path)
+    ev.to_parquet(f"{d}/events.parquet")
+    out = skyline_events(d).to_pandas()
+    assert sorted(out["event_id"]) == [1, 2, 3, 5]
+
+
 def test_kg_clustering_consistent_with_triangle_stats(ray_session,
                                                       sf_dir):
     """Σ per-node credits = 3 × the independently-computed global
