@@ -608,10 +608,9 @@ def test_skyline_semantics(ray_session, tmp_path):
            (5, 3.0, 3)]
     ev = pd.DataFrame({
         "event_id": [p[0] for p in pts],
-        "value": [p[1] / 100 for p in pts],   # cents == p[1]... scaled
+        "value": [p[1] for p in pts],
         "props": ['{"k": %d}' % p[2] for p in pts],
     })
-    ev["value"] = [p[1] for p in pts]
     d = str(tmp_path)
     ev.to_parquet(f"{d}/events.parquet")
     out = skyline_events(d).to_pandas()
