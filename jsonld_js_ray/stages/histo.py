@@ -274,6 +274,29 @@ WHERE value IS NOT NULL
 # one final pass merges the tiny locals — the corpus is never
 # shuffled, only frontiers move.
 
+def _frontier_2d(ids, x, y):
+    """Vectorized 2-D maxima kernel (shared by both skyline passes;
+    module-level so the property tests can drive it directly): sort
+    desc (x, y); a point is dominated iff the best y among STRICTLY
+    larger x is >= its y, or a same-x point has strictly larger y."""
+    from .groupkit import run_lengths, run_starts
+
+    order = np.lexsort((-y, -x))
+    ids, x, y = ids[order], x[order], y[order]
+    starts = run_starts(x)               # runs of equal x, y desc
+    lens = run_lengths(x, starts)
+    run_max_y = y[starts]
+    # best y among strictly-larger x = exclusive cummax over runs
+    prev_best = np.full(len(starts), np.iinfo(np.int64).min,
+                        np.int64)
+    if len(starts) > 1:
+        prev_best[1:] = np.maximum.accumulate(run_max_y)[:-1]
+    dom_strict = y <= np.repeat(prev_best, lens)
+    dom_same_x = y < np.repeat(run_max_y, lens)
+    keep = ~(dom_strict | dom_same_x)
+    return ids[keep], x[keep], y[keep]
+
+
 def skyline_events(sf_dir: str):
     """events → (event_id, x, y): the maxima frontier where
     x = exact value cents and y = the JSON payload field k (rows
@@ -283,7 +306,6 @@ def skyline_events(sf_dir: str):
     import ray.data as rd
 
     from ..rayutil import strip_meta as _strip_meta
-    from .groupkit import run_lengths, run_starts
 
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -291,24 +313,7 @@ def skyline_events(sf_dir: str):
     ).map_batches(_strip_meta, batch_format="pyarrow",
                   zero_copy_batch=True)
 
-    def frontier(ids, x, y):
-        """Vectorized 2-D maxima: sort desc (x, y); a point is
-        dominated iff the best y among STRICTLY larger x is >= its y,
-        or a same-x point has strictly larger y."""
-        order = np.lexsort((-y, -x))
-        ids, x, y = ids[order], x[order], y[order]
-        starts = run_starts(x)           # runs of equal x, y desc
-        lens = run_lengths(x, starts)
-        run_max_y = y[starts]
-        # best y among strictly-larger x = exclusive cummax over runs
-        prev_best = np.full(len(starts), np.iinfo(np.int64).min,
-                            np.int64)
-        if len(starts) > 1:
-            prev_best[1:] = np.maximum.accumulate(run_max_y)[:-1]
-        dom_strict = y <= np.repeat(prev_best, lens)
-        dom_same_x = y < np.repeat(run_max_y, lens)
-        keep = ~(dom_strict | dom_same_x)
-        return ids[keep], x[keep], y[keep]
+    frontier = _frontier_2d
 
     from .props import _K_PATTERN
 

@@ -298,3 +298,26 @@ def test_bloom_never_false_negative(keys):
     np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                      np.uint64(1) << (pos & np.uint64(63)))
     assert _bloom_test(words, ks).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=60))
+def test_skyline_frontier_matches_bruteforce(pts):
+    import numpy as np
+
+    from jsonld_js_ray.stages.histo import _frontier_2d
+
+    x = np.array([p[0] for p in pts], np.int64)
+    y = np.array([p[1] for p in pts], np.int64)
+    ids = np.arange(len(pts), dtype=np.int64)
+    fi, _, _ = _frontier_2d(ids, x, y)
+    # brute-force dominance reference
+    want = set()
+    for i in range(len(pts)):
+        dominated = any(
+            (x[j] >= x[i] and y[j] >= y[i])
+            and (x[j] > x[i] or y[j] > y[i])
+            for j in range(len(pts)))
+        if not dominated:
+            want.add(i)
+    assert set(fi.tolist()) == want
