@@ -255,6 +255,7 @@ def test_sorted_lookup_matches_isin(build, probes):
         assert (bk[idx[hit]] == pr[hit]).all()
 
 
+@settings(deadline=None)   # first DuckDB connect can exceed 200 ms
 @given(st.lists(st.tuples(
     st.floats(0.0, 10**5, allow_nan=False),
     st.floats(0.0, 0.99, allow_nan=False)), min_size=1, max_size=50))
@@ -321,3 +322,84 @@ def test_skyline_frontier_matches_bruteforce(pts):
         if not dominated:
             want.add(i)
     assert set(fi.tolist()) == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3),
+                          st.integers(1, 5)),
+                min_size=1, max_size=60))
+def test_weighted_mode_argmax_matches_reference(rows):
+    """user_favorite_event's in-shard kernel: weighted mode with
+    min-type ties over pre-aggregated (user, type, count) partials
+    (possibly repeated — partials from different batches)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from jsonld_js_ray.stages.rank import user_favorite_event  # noqa: F401
+    # drive the kernel through a synthetic shard frame
+    from jsonld_js_ray.stages.groupkit import (
+        int_group_sums, pair_run_starts, run_starts,
+    )
+
+    users = np.array([r[0] for r in rows], np.int64)
+    et = np.array([f"t{r[1]}" for r in rows], object)
+    n = np.array([r[2] for r in rows], np.int64)
+    # reference: total counts, argmax with min-type ties
+    df = pd.DataFrame({"u": users, "t": et, "n": n})
+    tot = df.groupby(["u", "t"])["n"].sum().reset_index()
+    want = {}
+    for u, g in tot.groupby("u"):
+        m = g["n"].max()
+        want[u] = (sorted(g[g["n"] == m]["t"])[0], m)
+    # kernel (same steps as rank.user_favorite_event.per_shard)
+    et_s = np.asarray(et, dtype=str)
+    order = np.lexsort((et_s, users))
+    u, t, c = users[order], et_s[order], n[order]
+    starts = pair_run_starts(u.astype(str), t)
+    codes = np.repeat(np.arange(len(starts)),
+                      np.diff(np.append(starts, len(u))))
+    sums = int_group_sums(codes, c, len(starts))
+    gu, gt = u[starts], t[starts]
+    order2 = np.lexsort((gt, -sums, gu))
+    gu, gt, sums = gu[order2], gt[order2], sums[order2]
+    first = run_starts(gu.astype(str))
+    got = {int(a): (b, int(s)) for a, b, s in
+           zip(gu[first], gt[first], sums[first])}
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1),
+                          st.integers(0, 1000)),
+                min_size=1, max_size=40, unique_by=lambda r: r[2]))
+def test_debounce_matches_lag_reference(rows):
+    """debounce keep-mask vs a scalar LAG reference over random
+    (user, type, ts-seconds) streams with a 300 s gap."""
+    import numpy as np
+
+    from jsonld_js_ray.stages.groupkit import run_starts
+
+    users = np.array([r[0] for r in rows], np.int64)
+    tcode = np.array([r[1] for r in rows], np.int64)
+    ts = np.array([r[2] for r in rows], np.int64) * 1_000_000
+    eids = np.arange(len(rows), dtype=np.int64)
+    gap_us = 300 * 1_000_000
+    # kernel steps (rank.debounce_events.per_shard)
+    order = np.lexsort((eids, ts, tcode, users))
+    u, t, e, tc = users[order], ts[order], eids[order], tcode[order]
+    key = u * 2 + tc
+    gap = np.empty(len(t), np.int64)
+    gap[1:] = t[1:] - t[:-1]
+    starts = run_starts(key)
+    keep = gap > gap_us
+    keep[starts] = True
+    got = set(e[keep].tolist())
+    # scalar reference
+    want = set()
+    last = {}
+    for i in sorted(range(len(rows)),
+                    key=lambda i: (users[i], tcode[i], ts[i], i)):
+        k = (users[i], tcode[i])
+        if k not in last or ts[i] - last[k] > gap_us:
+            want.add(i)
+        last[k] = ts[i]
+    assert got == want
