@@ -281,7 +281,9 @@ def _frontier_2d(ids, x, y):
     larger x is >= its y, or a same-x point has strictly larger y."""
     from .groupkit import run_lengths, run_starts
 
-    order = np.lexsort((-y, -x))
+    # ascending lexsort REVERSED — int64 negation would wrap at
+    # INT64_MIN and missort extreme keys
+    order = np.lexsort((y, x))[::-1]
     ids, x, y = ids[order], x[order], y[order]
     starts = run_starts(x)               # runs of equal x, y desc
     lens = run_lengths(x, starts)
@@ -315,20 +317,13 @@ def skyline_events(sf_dir: str):
 
     frontier = _frontier_2d
 
-    from .props import _K_PATTERN
+    from .props import _extract_value_k
 
     def local_frontier(batch: pa.Table) -> pa.Table:
-        ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
-        ks = pc.struct_field(ext, "k")
-        vals = batch["value"].to_numpy(zero_copy_only=False)
-        valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
-            & ~np.isnan(vals)
-        mask = pa.array(valid)
-        y = pc.cast(ks.filter(mask), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        t = batch.filter(mask)
-        x = np.floor(t["value"].to_numpy(zero_copy_only=False)
-                     * 100 + 0.5).astype(np.int64)
+        # the shared guarded pair-extraction kernel (props.py) —
+        # identical row filter and cast-wrap guard as the
+        # correlation operator, one RE2 pass
+        t, x, y = _extract_value_k(batch)
         ids = t["event_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         fi, fx, fy = frontier(ids, x, y)

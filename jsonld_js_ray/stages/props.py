@@ -27,6 +27,34 @@ from ..rayutil import strip_meta as _strip_meta
 _K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
 _K_PATTERN_SQL = r'"k":\s*(-?\d+)'
 
+# any |value| beyond this would wrap when floor(v*100+0.5) casts to
+# int64 (DuckDB raises on the same cast — the engine must too, not
+# silently wrap)
+_CENTS_CAST_LIMIT = 9.2e16
+
+
+def _extract_value_k(batch: pa.Table):
+    """The shared (value, k) pair-extraction kernel: ONE RE2 pass,
+    rows dropped when k is unparseable or value is NULL/NaN (the
+    SQL-mirror filter on both consumers), exact cents and int64 k
+    with a LOUD cast-wrap guard. Returns (filtered_table, x, y)."""
+    ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
+    ks = pc.struct_field(ext, "k")
+    vals = batch["value"].to_numpy(zero_copy_only=False)
+    valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
+        & ~np.isnan(vals)
+    mask = pa.array(valid)
+    y = pc.cast(ks.filter(mask), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    fv = vals[valid]
+    if len(fv) and np.abs(fv).max() > _CENTS_CAST_LIMIT:
+        raise OverflowError(
+            "value exceeds the exact-cents int64 cast range "
+            "(DuckDB raises on the same cast; refusing to wrap)")
+    t = batch.filter(mask)
+    x = np.floor(fv * 100 + 0.5).astype(np.int64)
+    return t, x, y
+
 
 def props_extract(sf_dir: str):
     """events → (event_type, n, sum_k, min_k, max_k): exact integer
@@ -115,25 +143,16 @@ def value_k_correlation(sf_dir: str):
                   zero_copy_batch=True)
 
     def partial(batch: pa.Table) -> pa.Table:
-        ext = pc.extract_regex(batch["props"], pattern=_K_PATTERN)
-        ks = pc.struct_field(ext, "k")
-        vals = batch["value"].to_numpy(zero_copy_only=False)
-        valid = pc.is_valid(ks).to_numpy(zero_copy_only=False) \
-            & ~np.isnan(vals)
-        mask = pa.array(valid)
-        # ONE extraction pass, filtered — never re-run the regex
-        y = pc.cast(ks.filter(mask), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        t = batch.filter(mask)
-        x = np.floor(t["value"].to_numpy(zero_copy_only=False)
-                     * 100 + 0.5).astype(np.int64)
+        t, x, y = _extract_value_k(batch)
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        # guard BEFORE multiplying: |value| <= 2^31 on both factors
+        # guard BEFORE multiplying: both factors in [-2^31, 2^31]
         # means every product fits int64 exactly — a post-hoc check
         # on the products would be evaded by per-element wrap (e.g.
-        # y = 2^32 gives y*y == 0 mod 2^64)
+        # y = 2^32 gives y*y == 0 mod 2^64). RANGE test, not abs():
+        # np.abs(INT64_MIN) wraps negative and would slip through.
         lim = np.int64(1) << np.int64(31)
-        if len(x) and (np.abs(x).max() > lim or np.abs(y).max() > lim):
+        if len(x) and (x.max() > lim or x.min() < -lim
+                       or y.max() > lim or y.min() < -lim):
             raise OverflowError(
                 "value_k_correlation: input magnitude exceeds 2^31; "
                 "products would overflow int64 — rescale the inputs")

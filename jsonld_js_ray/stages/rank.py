@@ -519,15 +519,8 @@ def debounce_events(sf_dir: str, gap_us: int = DEBOUNCE_US):
         # factorize event_type so the run key is one int pair
         etypes, tcodes = np.unique(g["event_type"].to_numpy(object),
                                    return_inverse=True)
-        order = np.lexsort((eids, ts, tcodes, users))
-        u, t, e, tc = users[order], ts[order], eids[order], \
-            tcodes[order]
-        key = u * np.int64(max(len(etypes), 1)) + tc
-        gap = np.empty(len(t), np.int64)
-        gap[1:] = t[1:] - t[:-1]
-        starts = _rs(key)
-        keep = gap > gap_us
-        keep[starts] = True              # first-in-run always kept
+        u, e, tc, keep = _debounce_keep(users, ts, eids, tcodes,
+                                        len(etypes), gap_us)
         return pa.table({
             "event_id": pa.array(e[keep], pa.int64()),
             "user_id": pa.array(u[keep], pa.int64()),
@@ -536,6 +529,25 @@ def debounce_events(sf_dir: str, gap_us: int = DEBOUNCE_US):
 
     return ds.groupby("bucket").map_groups(per_shard,
                                            batch_format="pandas")
+
+
+def _debounce_keep(users, ts_us, eids, tcodes, n_types, gap_us):
+    """The debounce shard kernel, module-level so the property tests
+    drive the REAL code: sort by (user, type, ts, id), keep rows that
+    start a (user, type) run or follow a gap > gap_us. Returns the
+    sorted (users, eids, tcodes) arrays plus the keep mask."""
+    from .groupkit import run_starts as _rs
+
+    order = np.lexsort((eids, ts_us, tcodes, users))
+    u, t, e, tc = users[order], ts_us[order], eids[order], \
+        tcodes[order]
+    key = u * np.int64(max(n_types, 1)) + tc
+    gap = np.empty(len(t), np.int64)
+    gap[1:] = t[1:] - t[:-1]
+    starts = _rs(key)
+    keep = gap > gap_us
+    keep[starts] = True                  # first-in-run always kept
+    return u, e, tc, keep
 
 
 DEBOUNCE_SQL = f"""
@@ -585,30 +597,44 @@ def user_favorite_event(sf_dir: str):
         })
 
     def per_shard(g) -> pa.Table:
-        users = g["user_id"].to_numpy(np.int64)
-        et = np.asarray(g["event_type"].to_numpy(object), dtype=str)
-        n = g["n"].to_numpy(np.int64)
-        order = np.lexsort((et, users))
-        u, t, c = users[order], et[order], n[order]
-        starts = pair_run_starts(u.astype(str), t)
-        codes = np.repeat(np.arange(len(starts)),
-                          np.diff(np.append(starts, len(u))))
-        sums = int_group_sums(codes, c, len(starts))
-        gu, gt = u[starts], t[starts]
-        # weighted argmax per user: (-count, type) rank, first wins
-        order2 = np.lexsort((gt, -sums, gu))
-        gu, gt, sums = gu[order2], gt[order2], sums[order2]
-        first = run_starts(gu.astype(str))
+        gu, gt, sums = _weighted_mode_argmax(
+            g["user_id"].to_numpy(np.int64),
+            np.asarray(g["event_type"].to_numpy(object), dtype=str),
+            g["n"].to_numpy(np.int64))
         return pa.table({
-            "user_id": pa.array(gu[first]),
-            "fav_event": pa.array(gt[first], pa.string()),
-            "n": pa.array(sums[first]),
+            "user_id": pa.array(gu),
+            "fav_event": pa.array(gt, pa.string()),
+            "n": pa.array(sums),
         })
 
     return ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=65536) \
         .groupby("bucket").map_groups(per_shard,
                                       batch_format="pandas")
+
+
+def _weighted_mode_argmax(users, et, n):
+    """The favorite-event shard kernel, module-level so the property
+    tests drive the REAL code: re-reduce (user, type, count) partials
+    (possibly repeated across batches), then per user take the max
+    total count with min-type ties. Returns (user, type, count)
+    arrays, one row per user."""
+    from .groupkit import int_group_sums, pair_run_starts, run_starts
+
+    order = np.lexsort((et, users))
+    u, t, c = users[order], et[order], n[order]
+    starts = pair_run_starts(u.astype(str), t)
+    codes = np.repeat(np.arange(len(starts)),
+                      np.diff(np.append(starts, len(u))))
+    sums = int_group_sums(codes, c, len(starts))
+    gu, gt = u[starts], t[starts]
+    # weighted argmax per user: (count desc, type asc), first wins —
+    # ascending lexsort on (-sums) is safe: counts are positive and
+    # far from the int64 wrap boundary
+    order2 = np.lexsort((gt, -sums, gu))
+    gu, gt, sums = gu[order2], gt[order2], sums[order2]
+    first = run_starts(gu.astype(str))
+    return gu[first], gt[first], sums[first]
 
 
 USER_FAVORITE_SQL = """

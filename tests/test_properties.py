@@ -333,16 +333,11 @@ def test_weighted_mode_argmax_matches_reference(rows):
     (possibly repeated — partials from different batches)."""
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
 
-    from jsonld_js_ray.stages.rank import user_favorite_event  # noqa: F401
-    # drive the kernel through a synthetic shard frame
-    from jsonld_js_ray.stages.groupkit import (
-        int_group_sums, pair_run_starts, run_starts,
-    )
+    from jsonld_js_ray.stages.rank import _weighted_mode_argmax
 
     users = np.array([r[0] for r in rows], np.int64)
-    et = np.array([f"t{r[1]}" for r in rows], object)
+    et = np.asarray([f"t{r[1]}" for r in rows], dtype=str)
     n = np.array([r[2] for r in rows], np.int64)
     # reference: total counts, argmax with min-type ties
     df = pd.DataFrame({"u": users, "t": et, "n": n})
@@ -351,20 +346,8 @@ def test_weighted_mode_argmax_matches_reference(rows):
     for u, g in tot.groupby("u"):
         m = g["n"].max()
         want[u] = (sorted(g[g["n"] == m]["t"])[0], m)
-    # kernel (same steps as rank.user_favorite_event.per_shard)
-    et_s = np.asarray(et, dtype=str)
-    order = np.lexsort((et_s, users))
-    u, t, c = users[order], et_s[order], n[order]
-    starts = pair_run_starts(u.astype(str), t)
-    codes = np.repeat(np.arange(len(starts)),
-                      np.diff(np.append(starts, len(u))))
-    sums = int_group_sums(codes, c, len(starts))
-    gu, gt = u[starts], t[starts]
-    order2 = np.lexsort((gt, -sums, gu))
-    gu, gt, sums = gu[order2], gt[order2], sums[order2]
-    first = run_starts(gu.astype(str))
-    got = {int(a): (b, int(s)) for a, b, s in
-           zip(gu[first], gt[first], sums[first])}
+    gu, gt, sums = _weighted_mode_argmax(users, et, n)
+    got = {int(a): (b, int(s)) for a, b, s in zip(gu, gt, sums)}
     assert got == want
 
 
@@ -376,22 +359,14 @@ def test_debounce_matches_lag_reference(rows):
     (user, type, ts-seconds) streams with a 300 s gap."""
     import numpy as np
 
-    from jsonld_js_ray.stages.groupkit import run_starts
+    from jsonld_js_ray.stages.rank import _debounce_keep
 
     users = np.array([r[0] for r in rows], np.int64)
     tcode = np.array([r[1] for r in rows], np.int64)
     ts = np.array([r[2] for r in rows], np.int64) * 1_000_000
     eids = np.arange(len(rows), dtype=np.int64)
     gap_us = 300 * 1_000_000
-    # kernel steps (rank.debounce_events.per_shard)
-    order = np.lexsort((eids, ts, tcode, users))
-    u, t, e, tc = users[order], ts[order], eids[order], tcode[order]
-    key = u * 2 + tc
-    gap = np.empty(len(t), np.int64)
-    gap[1:] = t[1:] - t[:-1]
-    starts = run_starts(key)
-    keep = gap > gap_us
-    keep[starts] = True
+    _, e, _, keep = _debounce_keep(users, ts, eids, tcode, 2, gap_us)
     got = set(e[keep].tolist())
     # scalar reference
     want = set()
