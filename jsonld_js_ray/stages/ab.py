@@ -48,41 +48,72 @@ def ab_metrics(sf_dir: str, threshold: float = AB_THRESHOLD):
                   zero_copy_batch=True)
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .props import _CENTS_CAST_LIMIT
+        from .rollup import _dec, _enc
+
         users = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         # the repo's deterministic-assignment contract: per-row md5
         # of the stringified key (shared with split/sample oracles)
         u = _md5_unit_interval([str(x) for x in users])
         variant = np.where(u < threshold, "A", "B")
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
         vals = batch["value"].to_numpy(zero_copy_only=False)
+        finite = ~np.isnan(vals)
+        # guard the float→int64 cents cast itself (DuckDB raises on
+        # the same cast — the engine must fail loudly, never wrap)
+        if finite.any() and np.abs(vals[finite]).max() > _CENTS_CAST_LIMIT:
+            raise OverflowError(
+                "ab_metrics: value exceeds the exact-cents int64 cast "
+                "range (DuckDB raises on the same cast)")
         cents = np.floor(vals * 100 + 0.5)
         cents = np.where(np.isnan(cents), 0, cents).astype(np.int64)
+        # per-element bound BEFORE squaring: cents² of anything past
+        # 2^31 wraps int64 silently, evading the batch-sum check below
+        if len(cents) and np.abs(cents).max() > (1 << 31):
+            raise OverflowError(
+                "ab_metrics: |cents| exceeds 2^31; cents^2 would wrap "
+                "int64 — rescale the value column")
         sq = cents * cents
         if sq.sum(dtype=np.uint64) > np.uint64(_SQ_BATCH_BOUND):
             raise OverflowError(
                 "ab_metrics: batch sum of cents^2 exceeds the int64 "
                 "headroom bound; rescale the value column")
+        # NULL-safe type key (rollup._enc): a NULL event_type groups
+        # as SQL NULL, never as the literal string 'None'; the fused
+        # key stays ENCODED through the groupby (Ray groupby/sort on a
+        # NULL key is undefined) and is decoded after the aggregate
         key = np.char.add(np.char.add(variant, "\x1f"),
-                          et.astype(str))
+                          _enc(batch["event_type"]))
         uniq, codes = np.unique(key, return_inverse=True)
         n = len(uniq)
-        parts = np.char.partition(uniq, "\x1f")
         return pa.table({
-            "variant": pa.array(parts[:, 0], pa.string()),
-            "event_type": pa.array(parts[:, 2], pa.string()),
+            "k": pa.array(uniq, pa.string()),
             "n": pa.array(np.bincount(codes, minlength=n)
                           .astype(np.int64)),
             "cents": pa.array(int_group_sums(codes, cents, n)),
             "sq": pa.array(int_group_sums(codes, sq, n)),
         })
 
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .rollup import _dec
+        parts = pc.split_pattern(batch["k"], pattern="\x1f")
+        return pa.table({
+            "variant": pc.list_element(parts, 0),
+            "event_type": _dec(pc.list_element(parts, 1)),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_cents": batch["sum_cents"].cast(pa.int64()),
+            "sum_sq_cents": batch["sum_sq_cents"].cast(pa.int64()),
+        })
+
     return events.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536) \
-        .groupby(["variant", "event_type"]).aggregate(
+        .groupby("k").aggregate(
             Sum("n", alias_name="n_events"),
             Sum("cents", alias_name="sum_cents"),
-            Sum("sq", alias_name="sum_sq_cents"))
+            Sum("sq", alias_name="sum_sq_cents")) \
+        .map_batches(decode, batch_format="pyarrow")
 
 
 _AB_MD5_UNIT_SQL = (

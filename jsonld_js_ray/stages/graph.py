@@ -166,6 +166,14 @@ def _pr_round(state, last: bool):
                 "pagerank invariant broken: message targets a node "
                 "with no state row in its bucket")
         insum = _int_group_sums(idx, m_val, len(s_nodes))
+        # a node's incoming sum approaches total graph mass
+        # (≈ N·PR_SCALE): guard the 85× damping multiply as loudly as
+        # the score×weight product below — at 100TB node counts it is
+        # the first int64 product to wrap
+        if len(insum) and int(insum.max()) > (2 ** 63 - 1) // 85:
+            raise OverflowError(
+                "pagerank: damped incoming sum exceeds the integer "
+                "contract bound; rescale PR_SCALE")
         score = PR_BASE + (85 * insum) // 100
         if last:
             return pa.table({

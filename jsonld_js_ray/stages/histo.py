@@ -52,7 +52,7 @@ VALUE_HISTOGRAM_SQL = f"""
 SELECT CAST(floor(value / {HISTO_WIDTH}) AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND NOT isnan(value)
 GROUP BY 1
 """
 
@@ -260,7 +260,7 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
             ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
                      event_id) AS BIGINT) AS rank
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND NOT isnan(value)
 """
 
 

@@ -20,6 +20,30 @@ from .groupkit import (
 )
 
 RANK_SHARDS = 64
+
+
+def _enc_nulls_last(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """NULL-safe key encoding whose LEXICOGRAPHIC order matches
+    DuckDB's default `ORDER BY col` (values ascending, NULLS LAST):
+    'v' + value, bare 'w' for NULL. rollup._enc can't be reused here —
+    its 'n' prefix sorts BEFORE 'v', i.e. NULLS FIRST, which flips the
+    mode tie-break for a user whose NULL-typed count ties a value."""
+    import pyarrow.compute as pc
+    vals = col.to_numpy(zero_copy_only=False)
+    isnull = pc.is_null(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+        else col).to_numpy(zero_copy_only=False)
+    filled = np.where(isnull, "", vals).astype(str)
+    return np.where(isnull, "w", np.char.add("v", filled))
+
+
+def _dec_nulls_last(enc: np.ndarray) -> pa.Array:
+    """Inverse of _enc_nulls_last: strip the 'v' prefix, 'w' → NULL."""
+    import pyarrow.compute as pc
+    arr = pa.array(np.asarray(enc, dtype=str), pa.string())
+    return pc.if_else(pc.equal(arr, "w"),
+                      pa.scalar(None, pa.string()),
+                      pc.utf8_slice_codeunits(arr, 1))
 QUANTILES = (0.5, 0.95)
 TOP_N = 2
 
@@ -582,9 +606,13 @@ def user_favorite_event(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         users = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(users.astype(str), "\x1f"),
-                          et.astype(str))
+        # NULLS-LAST encoding (not rollup._enc, which is NULLS-first
+        # by its 'n' < 'v' prefixes): the mode tie-break below sorts
+        # encoded types ascending, and DuckDB's default null order in
+        # `ORDER BY event_type` is NULLS LAST — 'w' > 'v'+anything
+        # keeps a genuine NULL type losing every tie, exactly as SQL
+        et = _enc_nulls_last(batch["event_type"])
+        key = np.char.add(np.char.add(users.astype(str), "\x1f"), et)
         uniq, first, codes = np.unique(key, return_index=True,
                                        return_inverse=True)
         return pa.table({
@@ -603,7 +631,7 @@ def user_favorite_event(sf_dir: str):
             g["n"].to_numpy(np.int64))
         return pa.table({
             "user_id": pa.array(gu),
-            "fav_event": pa.array(gt, pa.string()),
+            "fav_event": _dec_nulls_last(gt),
             "n": pa.array(sums),
         })
 
