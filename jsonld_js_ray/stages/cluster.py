@@ -49,12 +49,11 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table):
+    from ..rayutil import embedding_batch as _embedding_batch
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if not len(ids):               # np.stack([]) raises
+    if not len(ids):
         return ids, np.zeros((0, 0))
-    vecs = np.stack([np.asarray(v, dtype=np.float64)
-                     for v in batch["embedding"].to_pylist()])
-    return ids, vecs
+    return _embedding_batch(batch)
 
 
 def _lowest_k_matrix(embeddings, k: int, who: str) -> np.ndarray:

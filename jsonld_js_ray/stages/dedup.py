@@ -749,10 +749,8 @@ def embedding_dedup(embeddings, threshold: float = 0.95,
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def explode(batch: pa.Table) -> pa.Table:
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()],
-                           dtype=np.int64)
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        from ..rayutil import embedding_batch as _embedding_batch
+        vec_ids, vecs = _embedding_batch(batch)
         dim = vecs.shape[1]
         if dim not in planes_by_dim:
             planes_by_dim[dim] = _hyperplanes(dim, tables, bits)

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..rayutil import embedding_batch as _embedding_batch
+
 DEFAULT_K = 10
 N_QUERIES = 5          # query set = vec_id < N_QUERIES (deterministic)
 LSH_TABLES = 12
@@ -63,9 +65,7 @@ class BruteTopK:
             self._cache = ray.get(self.ref)
         q_ids, q_mat = self._cache
 
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        vec_ids, vecs = _embedding_batch(batch)
         vecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = q_mat @ vecs.T                          # (Q, b)
@@ -194,9 +194,7 @@ def knn_lsh(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
                    _bits=bits, _k=k) -> pa.Table:
         import ray as _ray
         qi, qm, pl, pr = _ray.get(ref)
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        vec_ids, vecs = _embedding_batch(batch)
         nvecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sigs = lsh_signatures(nvecs, pl, _tables, _bits)  # (n, tables)
@@ -295,9 +293,7 @@ def knn_ivf(embeddings, k: int = DEFAULT_K, n_queries: int = N_QUERIES,
     def candidates(batch: pa.Table, *, _k=k) -> pa.Table:
         import ray as _ray
         qi, qm, cents, cells = _ray.get(ref)
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        vec_ids, vecs = _embedding_batch(batch)
         nvecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(nvecs @ cents.T, axis=1)  # (n,)
@@ -387,13 +383,13 @@ class PQTopK:
             self._cache = ray.get(self.ref)
         books, q_ids, q_mat, luts = self._cache
 
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
         if not len(vec_ids):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        _, vecs = _embedding_batch(batch)
         vecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         s, kk, dsub = books.shape
@@ -489,13 +485,13 @@ class IVFPQTopK:
             self._cache = ray.get(self.ref)
         cents, books, q_ids, q_mat, q_cells, luts = self._cache
 
-        vec_ids = np.array([int(x) for x in batch["vec_id"].to_pylist()])
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
         if not len(vec_ids):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        _, vecs = _embedding_batch(batch)
         vecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(vecs @ cents.T, axis=1)       # (n,)
