@@ -190,10 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_merged_node_props": _q_kg_merged_node_props,
         # training-data ops
         "dedup_exact": td.q_dedup_exact,
-        "dedup_minhash": td.q_dedup_minhash,
-        "dedup_simhash": td.q_dedup_simhash,
+        "dedup_minhash": td.q_dedup_minhash_checked,
+        "dedup_simhash": td.q_dedup_simhash_checked,
         "dedup_embedding": td.q_dedup_embedding,
-        "dedup_ngram": td.q_dedup_ngram,
+        "dedup_ngram": td.q_dedup_ngram_checked,
         # planted-duplicate corpora (construction-based oracles for the
         # otherwise non-SQL-expressible LSH/sketch variants)
         "dedup_minhash_planted": td.q_dedup_minhash_planted,
@@ -961,7 +961,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from jsonld_js_ray.stages.dedup import (
         DEDUP_EXACT_SQL,
+        DEDUP_MINHASH_EXACT_SQL,
+        DEDUP_NGRAM_EXACT_SQL,
         DEDUP_PLANTED_SQL,
+        SIMHASH_DEDUP_SQL,
         EMBEDDING_PLANTED_SQL,
         FINGERPRINT_CLASSES_PLANTED_SQL,
         SIMHASH_PLANTED_SQL,
@@ -1145,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, CAST(count(*) + 1 AS BIGINT) AS n_nodes "
             "FROM transcripts GROUP BY conv_id"),
         "dedup_exact": DEDUP_EXACT_SQL,
+        # RAW dedup rows: exact ground-truth SQL (word/char Jaccard
+        # closure; simhash recomputed bit-exactly in SQL via the
+        # md5-derived token hash), valid under the in-run exactness
+        # certificates of the *_checked wrappers (knn_lsh pattern)
+        "dedup_minhash": DEDUP_MINHASH_EXACT_SQL,
+        "dedup_ngram": DEDUP_NGRAM_EXACT_SQL,
+        "dedup_simhash": SIMHASH_DEDUP_SQL,
         "dedup_minhash_planted": DEDUP_PLANTED_SQL,
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "dedup_ngram_planted": DEDUP_PLANTED_SQL,
@@ -1337,9 +1347,6 @@ def oracle_sql() -> dict[str, str]:
         #     the exact top-k twin in pytest),
         #   fingerprint (engine-specific winnowing hex; its equality
         #     classes ARE oracled via fingerprint_classes_planted),
-        #   dedup_minhash / dedup_simhash / dedup_ngram on the RAW
-        #     corpus (real near-dup structure isn't SQL-expressible;
-        #     the planted variants above oracle the same code paths),
         #   multimodal_features / multimodal_audio (real BMP/WAV
         #     container decode — not SQL-expressible; codecs are
         #     cross-checked against stdlib wave + golden BMP bytes

@@ -549,7 +549,102 @@ def _bucket_pairs(g, strict: bool = False):
                       "b": pd.Series(dtype="int64")})
 
 
-def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None,
+# registered thresholds — shared between the function defaults and the
+# exact SQL oracles below so they can never drift apart
+MINHASH_THRESHOLD = 0.7
+NGRAM_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+# simhash in-bucket verification is signature-only, so its member
+# bound is memory-driven (chunked popcount), far above the text caps
+SIMHASH_MAX_BUCKET_MEMBERS = 65536
+_SIMHASH_POP_CHUNK = 512
+
+# shared SQL tail: undirected transitive closure over a (tiny,
+# dup-density-bounded) edge set + min-id labeling — the exact mirror of
+# the engine's union-find (_UnionFind / cluster_pairs_distributed both
+# produce min-reachable-id labels)
+_CLOSURE_SQL_TAIL = """
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+r(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, u.b FROM r JOIN und u ON u.a = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id,
+       CAST(min(m) AS BIGINT) AS cluster_id,
+       n = min(m) AS keep
+FROM r GROUP BY n
+"""
+
+# exact oracle for the RAW minhash row: ground-truth word-3-shingle
+# Jaccard >= MINHASH_THRESHOLD pairs (the quantity MinHash/LSH
+# candidate generation approximates; verification is exact either way),
+# then the same closure labeling. Valid whenever LSH candidate recall
+# is 1.0 on the corpus — certified IN-RUN by the registered checked
+# wrapper (training_data._dedup_checked), knn_lsh-style. O(n^2)-join
+# SQL is fine: oracles only ever run at the sf0.01 gate (500 docs).
+DEDUP_MINHASH_EXACT_SQL = rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              ELSE array_to_string(w, ' ') END AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS g(i)
+  WHERE len(w) >= 1
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {MINHASH_THRESHOLD}
+),
+{_CLOSURE_SQL_TAIL}
+"""
+
+# exact oracle for the RAW ngram row: char-3-gram Jaccard >=
+# NGRAM_THRESHOLD ground truth (same closure; same in-run certificate)
+DEDUP_NGRAM_EXACT_SQL = rf"""
+WITH RECURSIVE
+lowered AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(t) >= 3 THEN substr(t, i, 3) ELSE t END AS s
+  FROM lowered,
+       unnest(generate_series(1, greatest(length(t) - 2, 1))) AS g(i)
+  WHERE length(t) >= 1
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_THRESHOLD}
+),
+{_CLOSURE_SQL_TAIL}
+"""
+
+
+def minhash_lsh_dedup(docs, threshold: float = MINHASH_THRESHOLD,
+                      labeler=None,
                       strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep) via MinHash/LSH.
 
@@ -587,10 +682,38 @@ def minhash_lsh_dedup(docs, threshold: float = 0.7, labeler=None,
 
 # --- SimHash ---
 
+# token → uint64 memo for the md5 token hash below: the corpus
+# vocabulary repeats across every document, so per-actor the hash runs
+# once per DISTINCT token (bounded cache, vocab-sized by design)
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+_MD5_TOKEN_CACHE_MAX = 4_000_000
+
+
+def md5_token_u64(tokens: list) -> np.ndarray:
+    """uint64 token hashes = first 16 md5 hex chars (big-endian first 8
+    digest bytes) — chosen over siphash because DuckDB computes the
+    IDENTICAL value via CAST(concat('0x', substr(md5(tok), 1, 16)) AS
+    UBIGINT), which is what makes SIMHASH_DEDUP_SQL an exact oracle."""
+    import hashlib
+
+    out = np.empty(len(tokens), np.uint64)
+    c = _MD5_TOKEN_CACHE
+    for i, t in enumerate(tokens):
+        v = c.get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            if len(c) < _MD5_TOKEN_CACHE_MAX:
+                c[t] = v
+        out[i] = v
+    return out
+
+
 def simhash64(text: str) -> int:
-    """Vectorized 64-bit SimHash: siphash token hashes (one
-    hash_shingle_array pass, weighted by token count), bit votes via
-    np.unpackbits — no per-token Python hashing."""
+    """64-bit SimHash: md5 token hashes (SQL-mirrorable — see
+    md5_token_u64), weighted by token count, bit votes via
+    np.unpackbits. Bit b of the result is 1 iff the weighted vote for
+    bit b of the token hashes is strictly positive."""
     from collections import Counter
 
     counts = Counter(text.lower().split())
@@ -599,7 +722,7 @@ def simhash64(text: str) -> int:
     toks = list(counts.keys())
     weights = np.fromiter(counts.values(), dtype=np.int64,
                           count=len(toks))
-    h = hash_shingle_array(toks)
+    h = md5_token_u64(toks)
     bits = np.unpackbits(
         h.view(np.uint8).reshape(-1, 8), axis=1,
         bitorder="little").astype(np.int64)          # (n, 64)
@@ -643,27 +766,90 @@ def _bucket_pairs_hamming(g, max_hamming: int, strict: bool = False):
                           "b": pd.Series(dtype="int64")})
     if m < 2:
         return empty
-    # bound the m² verification matrix the same way _bucket_pairs bounds
-    # pair explosions — warned or raised (strict), never silent
-    max_members = int(np.sqrt(2 * MAX_PAIRS_PER_BUCKET)) + 1
-    if m > max_members:
+    # SimHash verification is signature-only (uint64 popcount, no
+    # texts), so hot buckets are CHUNKED — each pass materializes a
+    # (chunk × m) matrix, never m² — instead of being truncated like
+    # the text-Jaccard buckets. Emitted pair volume stays dup-density
+    # bounded (only Hamming <= max_hamming pairs leave). The member
+    # cap only guards against a degenerate corpus where one band value
+    # swallows it (e.g. all-identical signatures).
+    if m > SIMHASH_MAX_BUCKET_MEMBERS:
         _cap_event(
-            f"SimHash band bucket with {m} docs exceeds the pair cap "
-            f"(MAX_PAIRS_PER_BUCKET={MAX_PAIRS_PER_BUCKET}); verifying "
-            f"only the first {max_members} members — consider wider "
+            f"SimHash band bucket with {m} docs exceeds "
+            f"SIMHASH_MAX_BUCKET_MEMBERS={SIMHASH_MAX_BUCKET_MEMBERS}; "
+            f"verifying only the first cap members — consider wider "
             f"bands or a higher cap", strict)
-        ids, sigs = ids[:max_members], sigs[:max_members]
-        m = max_members
-    xor = (sigs[:, None] ^ sigs[None, :])
-    pop = np.unpackbits(xor.view(np.uint8).reshape(m, m, 8),
-                        axis=2).sum(axis=2)
-    a_idx, b_idx = np.nonzero(np.triu(pop <= max_hamming, k=1))
+        ids, sigs = ids[:SIMHASH_MAX_BUCKET_MEMBERS], \
+            sigs[:SIMHASH_MAX_BUCKET_MEMBERS]
+        m = SIMHASH_MAX_BUCKET_MEMBERS
+    out_a, out_b = [], []
+    for i0 in range(0, m, _SIMHASH_POP_CHUNK):
+        x = sigs[i0:i0 + _SIMHASH_POP_CHUNK]
+        xor = x[:, None] ^ sigs[None, :]
+        pop = np.unpackbits(
+            xor.view(np.uint8).reshape(len(x), m, 8),
+            axis=2).sum(axis=2)
+        ii, jj = np.nonzero(pop <= max_hamming)
+        keep_ij = (i0 + ii) < jj            # strict upper triangle
+        out_a.append(ids[i0 + ii[keep_ij]])
+        out_b.append(ids[jj[keep_ij]])
+    a_idx = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
     if len(a_idx) == 0:
         return empty
-    return pd.DataFrame({"a": ids[a_idx], "b": ids[b_idx]})
+    return pd.DataFrame({"a": a_idx, "b": np.concatenate(out_b)})
 
 
-def simhash_dedup(docs, max_hamming: int = 3,
+# exact oracle for the RAW simhash row — possible because simhash64's
+# token hash is md5-derived (md5_token_u64), so DuckDB reproduces every
+# signature bit-exactly: tokens = '\S+' of lower(text), h = first 16
+# md5 hex chars as UBIGINT, bit b votes +count/-count by (h >> b) & 1,
+# signature = Σ 2^b over strictly-positive votes, near-dup =
+# bit_count(xor(sig_a, sig_b)) <= SIMHASH_MAX_HAMMING, then the shared
+# closure labeling. The engine's 4×16-bit banding is pigeonhole-COMPLETE
+# for Hamming <= 3 (a pair differing in <= 3 bits has an identical
+# band), so candidate recall is 1.0 by construction — the registered
+# checked wrapper still certifies the end result in-run and runs with
+# strict_caps=True so a bucket cap can never silently truncate.
+SIMHASH_DEDUP_SQL = rf"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS w
+  FROM documents,
+       unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+           AS u(t)
+  GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h, w
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM th, unnest(generate_series(0, 63)) AS g(b)
+  GROUP BY 1, 2
+),
+rawsig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b
+                  ELSE CAST(0 AS UBIGINT) END) AS sh
+  FROM votes GROUP BY 1
+),
+sigs AS (
+  SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS UBIGINT) AS sh
+  FROM documents d LEFT JOIN rawsig s USING (doc_id)
+),
+edges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sh, y.sh)) <= {SIMHASH_MAX_HAMMING}
+),
+{_CLOSURE_SQL_TAIL}
+"""
+
+
+def simhash_dedup(docs, max_hamming: int = SIMHASH_MAX_HAMMING,
                   strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep) via SimHash banding.
 
@@ -867,7 +1053,7 @@ class CharGramMinHashStage:
         return _band_rows(doc_ids, sigs, 177, bands=CHAR_BANDS)
 
 
-def ngram_jaccard_dedup(docs, threshold: float = 0.8,
+def ngram_jaccard_dedup(docs, threshold: float = NGRAM_THRESHOLD,
                         strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep): near-dup = character
     3-gram Jaccard ≥ threshold, candidates via char-gram MinHash bands,
