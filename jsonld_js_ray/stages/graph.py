@@ -1195,6 +1195,10 @@ SELECT seed, CAST(2 AS BIGINT) AS hop, node FROM h2
 # the successor build.
 
 WALK_LEN = 3
+# frontier size up to which the walk step prefilters the successor
+# scan with a broadcast key set (ids only); larger frontiers take the
+# full keyed shuffle join
+WALK_BROADCAST_MAX_FRONTIER = 65536
 
 
 def random_walks_quads(quads, walk_len: int = WALK_LEN):
@@ -1203,8 +1207,6 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
     undirected distinct IRI–IRI graph (dead ends truncate the
     walk)."""
     import hashlib
-
-    import ray
 
     quads = _pin(quads)
     und = _pin(_undirected_edges(quads))
@@ -1249,43 +1251,137 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
             "b": pa.array(b[starts], pa.string()),
         })
 
-    # the static successor table: ONE row per (node, step)
+    # the static successor table: ONE row per (node, step).
+    # Coalesced to few blocks: every walk round re-scans it, and the
+    # per-round join's fixed cost is task dispatch over block count,
+    # not row volume (measured: 64+64 blocks ≈ 4s/round on tiny rows)
     nxt = _pin(und.map_batches(salted_rows, batch_format="pyarrow")
                .groupby("bucket").map_groups(argmin_in_bucket,
-                                             batch_format="pandas"))
+                                             batch_format="pandas")
+               .repartition(8))
 
-    walkers = [(str(s), str(s))
-               for s in _seed_vocab(quads)]      # (seed, cur)
+    # walker state NEVER lives on the driver: the frontier is a
+    # (seed, cur) Dataset and each step is one bucketed hash join of
+    # the frontier against that step's slice of the successor table —
+    # frontier rows and successor rows meet in the bucket(cur) group,
+    # where a vectorized searchsorted advances every walker at once.
+    # Dead ends drop out of the join; _pin cuts the per-step lineage
+    # (iterative-union replanning, see entity_merge._pin).
+    def seed_frontier(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], REACH_SEED_PRED))
+        nodes = np.unique(
+            t["obj_value"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.table({
+            "seed": pa.array(nodes, pa.string()),
+            "node": pa.array(nodes, pa.string()),
+            "bucket": _bucket_of(pa.array(nodes, pa.string())),
+        })
 
-    out_rows = []
-    for t in range(1, walk_len + 1):
-        cur_ref = ray.put(
-            np.sort(np.array([c for _, c in walkers], dtype=str)))
+    def dedupe_seeds(g) -> pa.Table:
+        s = np.unique(np.asarray(g["seed"].to_numpy(object),
+                                 dtype=str))
+        return pa.table({
+            "seed": pa.array(s, pa.string()),
+            "node": pa.array(s, pa.string()),
+        })
 
-        def step_rows(batch: pa.Table, _t=t) -> pa.Table:
-            cur = ray.get(cur_ref)
-            tb = batch.filter(pc.equal(batch["t"], _t))
+    frontier = _pin(quads.map_batches(seed_frontier,
+                                      batch_format="pyarrow")
+                    .groupby("bucket").map_groups(
+                        dedupe_seeds, batch_format="pandas")
+                    .repartition(2))
+
+    _F, _S = np.int8(0), np.int8(1)     # row kinds in the join group
+
+    def frontier_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["node"],
+            "val": batch["seed"],
+            "k": pa.array(np.full(batch.num_rows, _F)),
+            "bucket": _bucket_of(batch["node"]),
+        })
+
+    def succ_rows(batch: pa.Table, *, _t: int, _keys_ref=None
+                  ) -> pa.Table:
+        import ray as _ray
+        tb = batch.filter(pc.equal(batch["t"], _t))
+        if _keys_ref is not None:
+            # broadcast semi-join prefilter: only successors of
+            # CURRENT frontier nodes enter the shuffle, so the join
+            # moves O(|frontier|) rows instead of O(|nodes|)
+            keys = _ray.get(_keys_ref)
             a = np.asarray(tb["a"].to_numpy(zero_copy_only=False),
                            dtype=str)
-            tb = tb.filter(pa.array(np.isin(a, cur)))
-            return pa.table({"a": tb["a"], "b": tb["b"]})
+            tb = tb.filter(pa.array(np.isin(a, keys)))
+        return pa.table({
+            "key": tb["a"],
+            "val": tb["b"],
+            "k": pa.array(np.full(tb.num_rows, _S)),
+            "bucket": _bucket_of(tb["a"]),
+        })
 
-        # the walker frontier is |seeds|-sized (bounded by the entity
-        # vocabulary), so the step lookup collects a tiny table
-        step = {}
-        for bt in nxt.map_batches(step_rows,
-                                  batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
-            for aa, bb in zip(bt["a"].to_pylist(), bt["b"].to_pylist()):
-                step[aa] = bb
-        walkers = [(s, step[c]) for s, c in walkers if c in step]
-        out_rows.extend((s, t, c) for s, c in walkers)
+    def advance_in_bucket(g) -> pa.Table:
+        k = g["k"].to_numpy(np.int8)
+        key = np.asarray(g["key"].to_numpy(object), dtype=str)
+        val = np.asarray(g["val"].to_numpy(object), dtype=str)
+        is_s = k == _S
+        sk, sv = key[is_s], val[is_s]
+        fk, fs = key[~is_s], val[~is_s]
+        empty = pa.table({"seed": pa.array([], pa.string()),
+                          "node": pa.array([], pa.string())})
+        if not len(sk) or not len(fk):
+            return empty
+        order = np.argsort(sk)
+        sk, sv = sk[order], sv[order]
+        idx = np.searchsorted(sk, fk)
+        idx_c = np.minimum(idx, len(sk) - 1)
+        found = (idx < len(sk)) & (sk[idx_c] == fk)
+        if not found.any():
+            return empty
+        return pa.table({
+            "seed": pa.array(fs[found], pa.string()),
+            "node": pa.array(sv[idx_c[found]], pa.string()),
+        })
 
-    return __import__("ray").data.from_arrow(pa.table({
-        "seed": pa.array([r[0] for r in out_rows], pa.string()),
-        "step": pa.array([r[1] for r in out_rows], pa.int64()),
-        "node": pa.array([r[2] for r in out_rows], pa.string()),
-    }))
+    import functools
+
+    import ray
+
+    steps = []
+    for t in range(1, walk_len + 1):
+        # adaptive (the joins.py join_adaptive philosophy): a small
+        # frontier ships its KEY SET once via ray.put and prefilters
+        # the successor scan (ids only — never the walker state, which
+        # stays a Dataset end to end); a vocab-scale frontier falls
+        # back to the full keyed shuffle join
+        keys_ref = None
+        if frontier.count() <= WALK_BROADCAST_MAX_FRONTIER:
+            keys = np.unique(np.concatenate([
+                np.asarray(b["node"].to_numpy(zero_copy_only=False),
+                           dtype=str)
+                for b in frontier.select_columns(["node"])
+                .iter_batches(batch_format="pyarrow")]
+                or [np.zeros(0, "U1")]))
+            keys_ref = ray.put(keys)
+        fr = frontier.map_batches(frontier_rows,
+                                  batch_format="pyarrow")
+        sr = nxt.map_batches(
+            functools.partial(succ_rows, _t=t, _keys_ref=keys_ref),
+            batch_format="pyarrow")
+        frontier = _pin(fr.union(sr).groupby("bucket").map_groups(
+            advance_in_bucket, batch_format="pandas")
+            .repartition(2))
+        steps.append(frontier.map_batches(
+            lambda b, _t=t: pa.table({
+                "seed": b["seed"],
+                "step": pa.array(np.full(b.num_rows, _t, np.int64)),
+                "node": b["node"],
+            }), batch_format="pyarrow"))
+
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out
 
 
 def _random_walks_oracle_sql(quads_sql: str,
