@@ -3,11 +3,14 @@
 Default: run the headline pipelines on $GRAFT_SF_DIR (default sf0.1) with
 ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
 
---scaling: run the headline pipeline in two fresh subprocesses at
-num_cpus=$GRAFT_SCALING_LO (default 4) and num_cpus=$GRAFT_SCALING_HI
-(default 16 = 4x LO) on the same replicated input and report both
-throughputs plus scaling efficiency = T(LO)/T(HI)/(HI/LO) — the sandbox
-stand-in for the N vs 4N cluster-size rule; see BASELINE.md.
+--scaling: run the headline pipeline in fresh subprocesses at TWO
+cpu pairs on the same replicated input — the criterion pair
+$GRAFT_SCALING_LO→$GRAFT_SCALING_HI (default 4→16, the linear region)
+and a second $GRAFT_SCALING_LO2→$GRAFT_SCALING_HI2 (default 8→32,
+which crosses the single-box memory-bandwidth ceiling) — and report
+throughputs plus scaling efficiency = T(LO)/T(HI)/(HI/LO) per pair;
+the sandbox stand-in for the N vs 4N cluster-size rule; see
+BASELINE.md.
 
 Headline timing: after a warm-up pass (Ray worker processes + package
 import + operator compilation — startup, not throughput), kg_quads is
@@ -120,15 +123,30 @@ def run_bench() -> dict:
     queries["kg_full_write"] = round(time.perf_counter() - t0, 3)
     extras["kg_full_quads"] = full_metrics["quads"]
 
-    # KG analytics over the quad stream (round-3 additions)
+    # KG analytics over the quad stream. The with-mentions quad table
+    # and the triangle family's oriented-edge tables are PINNED ONCE
+    # and shared across the whole family (VERDICT r3 #6) — the
+    # one-time artifact build is timed separately below, so per-query
+    # walls measure the operator, not a repeated input derivation.
+    # gc.collect() drops refs to the earlier full-write datasets so
+    # the wedge family doesn't inherit a hot object store (r3 #8).
+    import gc
+
+    gc.collect()
+    import __ray_entry__ as _entry
+
+    t0 = time.perf_counter()
+    quads_m, und_m, directed_m = _entry._shared_graph_artifacts(SF_DIR)
+    extras["kg_graph_artifacts_build"] = round(
+        time.perf_counter() - t0, 3)
+
     from jsonld_js_ray.pipelines.kg import conv_entity_mentions
     from jsonld_js_ray.stages.graph import pagerank_quads
 
     t0 = time.perf_counter()
-    pagerank_quads(build_quads_with_mentions(SF_DIR)).count()
+    pagerank_quads(quads_m).count()
     queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
 
-    import __ray_entry__ as _entry
     t0 = time.perf_counter()
     _entry.queries()["kg_pagerank_weighted"](SF_DIR).count()
     queries["kg_pagerank_weighted"] = round(time.perf_counter() - t0, 3)
@@ -143,39 +161,39 @@ def run_bench() -> dict:
         triangle_stats,
     )
     t0 = time.perf_counter()
-    triangle_stats(build_quads_with_mentions(SF_DIR))
+    triangle_stats(quads_m, und=und_m, directed=directed_m)
     queries["kg_triangles"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    components_quads(build_quads_with_mentions(SF_DIR)).count()
+    components_quads(quads_m).count()
     queries["kg_components"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import communities_quads
     t0 = time.perf_counter()
-    communities_quads(build_quads_with_mentions(SF_DIR)).count()
+    communities_quads(quads_m).count()
     queries["kg_communities"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    degree_histogram(build_quads_with_mentions(SF_DIR)).count()
+    degree_histogram(quads_m).count()
     queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import kcore_quads
     t0 = time.perf_counter()
-    kcore_quads(build_quads_with_mentions(SF_DIR)).count()
+    kcore_quads(quads_m).count()
     queries["kg_kcore"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import common_neighbors, reach_quads
     t0 = time.perf_counter()
-    reach_quads(build_quads_with_mentions(SF_DIR)).count()
+    reach_quads(quads_m).count()
     queries["kg_reach"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    common_neighbors(build_quads_with_mentions(SF_DIR)).count()
+    common_neighbors(quads_m).count()
     queries["kg_common_neighbors"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.pivot import property_table
     t0 = time.perf_counter()
-    property_table(build_quads_with_mentions(SF_DIR)).count()
+    property_table(quads_m).count()
     queries["kg_property_table"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import full_outer_join_clicks_purchases
@@ -185,7 +203,7 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.stages.graph import resource_allocation
     t0 = time.perf_counter()
-    resource_allocation(build_quads_with_mentions(SF_DIR)).count()
+    resource_allocation(quads_m).count()
     queries["kg_resource_allocation"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import shipping_priority
@@ -257,7 +275,7 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.stages.graph import clustering_quads
     t0 = time.perf_counter()
-    clustering_quads(build_quads_with_mentions(SF_DIR)).count()
+    clustering_quads(quads_m, und=und_m, directed=directed_m).count()
     queries["kg_clustering"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.histo import global_sort_events
@@ -270,11 +288,11 @@ def run_bench() -> dict:
         truss_support_quads,
     )
     t0 = time.perf_counter()
-    truss_support_quads(build_quads_with_mentions(SF_DIR)).count()
+    truss_support_quads(quads_m, und=und_m, directed=directed_m).count()
     queries["kg_truss_support"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    jaccard_neighbors(build_quads_with_mentions(SF_DIR)).count()
+    jaccard_neighbors(quads_m).count()
     queries["kg_jaccard_neighbors"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import salted_skew_join_lineitem_orders
@@ -304,22 +322,22 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.stages.graph import assortativity_moments_quads
     t0 = time.perf_counter()
-    assortativity_moments_quads(build_quads_with_mentions(SF_DIR)).count()
+    assortativity_moments_quads(quads_m).count()
     queries["kg_assortativity"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import neighbor_sample_quads
     t0 = time.perf_counter()
-    neighbor_sample_quads(build_quads_with_mentions(SF_DIR)).count()
+    neighbor_sample_quads(quads_m).count()
     queries["kg_neighbor_sample"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import random_walks_quads
     t0 = time.perf_counter()
-    random_walks_quads(build_quads_with_mentions(SF_DIR)).count()
+    random_walks_quads(quads_m).count()
     queries["kg_random_walks"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.pivot import property_unpivot
     t0 = time.perf_counter()
-    property_unpivot(build_quads_with_mentions(SF_DIR)).count()
+    property_unpivot(quads_m).count()
     queries["kg_property_unpivot"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import user_set_ops
@@ -421,6 +439,8 @@ def run_bench() -> dict:
 SCALING_COPIES = int(os.environ.get("GRAFT_SCALING_COPIES", "32"))
 SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "4"))
 SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+SCALING_LO2 = int(os.environ.get("GRAFT_SCALING_LO2", "8"))
+SCALING_HI2 = int(os.environ.get("GRAFT_SCALING_HI2", "32"))
 
 
 def _build_scaling_input() -> str:
@@ -476,20 +496,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_n, hi_n = SCALING_LO, SCALING_HI
-    lo = run(lo_n)
-    hi = run(hi_n)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    def pair(lo_n: int, hi_n: int) -> dict:
+        lo, hi = run(lo_n), run(hi_n)
+        t_lo, t_hi = lo["value"], hi["value"]
+        return {
+            "num_cpus_lo": lo_n, "num_cpus_hi": hi_n,
+            "sec_lo": t_lo, "sec_hi": t_hi,
+            "triples_per_sec_lo": lo.get("triples_per_sec"),
+            "triples_per_sec_hi": hi.get("triples_per_sec"),
+            "scaling_efficiency": round((t_lo / t_hi) / (hi_n / lo_n),
+                                        3),
+        }
+
+    # primary criterion pair (N vs 4N in the linear region) plus a
+    # second 8→32 datapoint so the record carries the full curve: on
+    # ONE box the 16→32 half of the upper pair runs into the
+    # single-node memory-bandwidth ceiling (measured r2: 16→32 gains
+    # only ~1.13×), which a real multi-node cluster does not share —
+    # every node brings its own memory channels
+    primary = pair(SCALING_LO, SCALING_HI)
+    second = pair(SCALING_LO2, SCALING_HI2)
     return {
         "metric": "scaling efficiency kg_quads",
         "sf": SF_DIR,
-        "num_cpus_lo": lo_n, "num_cpus_hi": hi_n,
-        "sec_lo": t_lo, "sec_hi": t_hi,
-        "triples_per_sec_lo": lo.get("triples_per_sec"),
-        "triples_per_sec_hi": hi.get("triples_per_sec"),
-        "scaling_efficiency": round(eff, 3),
-        "value": round(eff, 3),
+        **primary,
+        "pairs": [primary, second],
+        "bandwidth_note": (
+            "4->16 is the linear region the cluster-size criterion "
+            "measures; the 8->32 pair crosses the single-box memory-"
+            "bandwidth ceiling above ~16 cpus (16->32 gains ~1.13x on "
+            "this node), which multi-node clusters do not share"),
+        "scaling_efficiency": primary["scaling_efficiency"],
+        "value": primary["scaling_efficiency"],
         "unit": "efficiency",
     }
 

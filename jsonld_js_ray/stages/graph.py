@@ -464,15 +464,21 @@ def _wedges(directed, with_center: bool = False):
                                                  batch_format="pandas")
 
 
-def triangle_stats(quads):
+def triangle_stats(quads, und=None, directed=None):
     """quad table → 1-row pyarrow.Table (n_nodes, n_edges,
     n_triangles) over the undirected distinct IRI–IRI graph.
 
     Wedges close against the oriented edge set in a final bucketed
     hash join keyed by the fused (x, y) pair hash; only per-bucket
-    match counts (scalars) leave the workers."""
-    und = _pin(_undirected_edges(quads))
-    directed = _pin(_oriented_edges(und))
+    match counts (scalars) leave the workers.
+
+    ``und``/``directed`` accept the PINNED edge artifacts so one
+    derivation serves the whole triangle family (triangles,
+    clustering, truss) within a bench/driver session — each used to
+    re-derive its own (VERDICT r3 #6)."""
+    und = und if und is not None else _pin(_undirected_edges(quads))
+    directed = directed if directed is not None \
+        else _pin(_oriented_edges(und))
 
     def pair_bucket(x, y) -> pa.Array:
         return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
@@ -532,7 +538,7 @@ SELECT
 """
 
 
-def clustering_quads(quads):
+def clustering_quads(quads, und=None, directed=None):
     """quad table → (node, n_tri, n_wedges) for every node with
     degree ≥ 2 over the undirected distinct IRI–IRI graph: the local
     clustering coefficient n_tri / n_wedges kept as its EXACT integer
@@ -546,9 +552,10 @@ def clustering_quads(quads):
     pair rows), which meet the per-node degrees from _tri_degrees in
     one final node-bucketed exchange. Each triangle closes exactly
     once (its min-rank vertex pivots both oriented edges), so corner
-    credits are exact."""
-    und = _pin(_undirected_edges(quads))
-    directed = _pin(_oriented_edges(und))
+    credits are exact. ``und``/``directed``: see triangle_stats."""
+    und = und if und is not None else _pin(_undirected_edges(quads))
+    directed = directed if directed is not None \
+        else _pin(_oriented_edges(und))
 
     def pair_bucket(x, y) -> pa.Array:
         return pa.array(_pair_bucket_ids(x, y, TRI_BUCKETS))
@@ -642,7 +649,7 @@ def clustering_quads(quads):
         .groupby("nbucket").map_groups(finish, batch_format="pandas")
 
 
-def truss_support_quads(quads):
+def truss_support_quads(quads, und=None, directed=None):
     """quad table → (u, v, support) for EVERY distinct undirected
     IRI–IRI edge (u < v): the number of triangles the edge sits in —
     the k-truss decomposition's base quantity (an edge survives the
@@ -652,11 +659,13 @@ def truss_support_quads(quads):
     each triangle closes exactly once, crediting its THREE edges in
     canonical (u < v) string order; per-bucket partial pair counts
     meet the full edge list (support-0 rows preserved) in one final
-    pair-bucketed exchange."""
+    pair-bucketed exchange. ``und``/``directed``: see
+    triangle_stats."""
     from .groupkit import pair_run_starts
 
-    und = _pin(_undirected_edges(quads))
-    directed = _pin(_oriented_edges(und))
+    und = und if und is not None else _pin(_undirected_edges(quads))
+    directed = directed if directed is not None \
+        else _pin(_oriented_edges(und))
 
     def wedge_rows(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
