@@ -3,7 +3,7 @@
 The reference drives its conformance testing through manifest files
 (``mf:Manifest`` documents with a ``sequence`` of typed test entries)
 walked by ``tests/test-common.js`` — ``addManifest``
-(test-common.js:324-389), ``addTest`` (test-common.js:398-...), the
+(test-common.js:324-389), ``addTest`` (test-common.js:398-640), the
 ``TEST_TYPES`` dispatch table (test-common.js:28-255) and the
 compare helpers (test-common.js:747-830). This module reimplements
 that mechanism in Python so the OFFICIAL suites (json-ld-api, framing,
@@ -17,13 +17,20 @@ any IRI prefixes its tests dereference (the standard offline technique
 for these suites — the official runners do the same via a local
 server; cf. the reference's ``tests/remote-context-server.js``).
 
-Skip classes are carried over from the reference verbatim (the
-``skip.specVersion`` / ``skip.idRegex`` / ``skip.processingMode``
-entries of TEST_TYPES) so pass/skip counts are comparable: skipped
-classes are HTML extraction (no HTML parser by design), the
-1.0-errata ``specVersion: json-ld-1.0`` rows, the rdfDirection
-``compound-literal`` rows, and the same FIXME id lists the reference
-skips (test-common.js:28-255).
+Skip classes are LITERAL copies of the reference's TEST_TYPES skip
+entries (``skip.specVersion`` and ``skip.idRegex``,
+test-common.js:28-255): HTML extraction (no HTML parser by design),
+the 1.0-errata ``specVersion: json-ld-1.0`` rows on exactly the test
+types that declare them, the rdfDirection ``compound-literal`` rows,
+and the same FIXME id lists. The reference's generic
+``skip.processingMode`` mechanism is implemented too
+(test-common.js:506-522), though no current TEST_TYPES entry declares
+one — SKIP_PROCESSING_MODES stays empty until the reference adds one.
+
+Per-test robustness: a malformed entry, a missing fixture file or an
+unreadable sub-manifest is recorded in the report (fail or skip with
+reason) instead of aborting the walk — the reference's runner likewise
+converts missing files into reported outcomes.
 """
 
 from __future__ import annotations
@@ -35,41 +42,93 @@ from typing import Any, Callable
 
 from .core.errors import JsonLdError
 
-# --- the reference's skip lists (test-common.js:28-255), verbatim ---
-
-_HTML_RE = [r"html-manifest#t[cefr]\d+$", r"html-manifest#tex01$",
-            r"expand-manifest#thc0[1-5]$",
-            r"remote-doc-manifest#t0013$"]
+# --- the reference's skip lists (test-common.js:28-255), literal ----
 
 SKIP_ID_REGEX: dict[str, list[str]] = {
-    "jld:CompactTest": [r"html-manifest#tc00[1-4]$"],
-    "jld:ExpandTest": [r"expand-manifest#tc037$",
-                       r"expand-manifest#tc038$",
-                       r"expand-manifest#ter54$", *_HTML_RE],
-    "jld:FlattenTest": [r"html-manifest#tf00[1-4]$"],
+    "jld:CompactTest": [
+        r"html-manifest#tc001$", r"html-manifest#tc002$",
+        r"html-manifest#tc003$", r"html-manifest#tc004$",
+    ],
+    "jld:ExpandTest": [
+        r"expand-manifest#tc037$", r"expand-manifest#tc038$",
+        r"expand-manifest#ter54$",
+        r"html-manifest#te001$", r"html-manifest#te002$",
+        r"html-manifest#te003$", r"html-manifest#te004$",
+        r"html-manifest#te005$", r"html-manifest#te006$",
+        r"html-manifest#te007$", r"html-manifest#te010$",
+        r"html-manifest#te011$", r"html-manifest#te012$",
+        r"html-manifest#te013$", r"html-manifest#te014$",
+        r"html-manifest#te015$", r"html-manifest#te016$",
+        r"html-manifest#te017$", r"html-manifest#te018$",
+        r"html-manifest#te019$", r"html-manifest#te020$",
+        r"html-manifest#te021$", r"html-manifest#te022$",
+        r"html-manifest#tex01$",
+        r"expand-manifest#thc01$", r"expand-manifest#thc02$",
+        r"expand-manifest#thc03$", r"expand-manifest#thc04$",
+        r"expand-manifest#thc05$",
+        r"remote-doc-manifest#t0013$",
+    ],
+    "jld:FlattenTest": [
+        r"html-manifest#tf001$", r"html-manifest#tf002$",
+        r"html-manifest#tf003$", r"html-manifest#tf004$",
+    ],
     "jld:FrameTest": [],
-    "jld:FromRDFTest": [r"fromRdf-manifest#tdi11$",
-                        r"fromRdf-manifest#tdi12$"],
+    "jld:FromRDFTest": [
+        r"fromRdf-manifest#tdi11$", r"fromRdf-manifest#tdi12$",
+    ],
     "jld:NormalizeTest": [],
-    "jld:ToRDFTest": [r"toRdf-manifest#tc037$", r"toRdf-manifest#tc038$",
-                      r"toRdf-manifest#ter54$", r"toRdf-manifest#tli12$",
-                      r"toRdf-manifest#tli14$", r"toRdf-manifest#twf05$",
-                      r"html-manifest#tr0\d+$",
-                      r"toRdf-manifest#te075$", r"toRdf-manifest#te111$",
-                      r"toRdf-manifest#te112$", r"toRdf-manifest#tdi11$",
-                      r"toRdf-manifest#tdi12$"],
+    "jld:ToRDFTest": [
+        r"toRdf-manifest#tc037$", r"toRdf-manifest#tc038$",
+        r"toRdf-manifest#ter54$", r"toRdf-manifest#tli12$",
+        r"toRdf-manifest#tli14$",
+        r"toRdf-manifest#twf05$",
+        r"html-manifest#tr001$", r"html-manifest#tr002$",
+        r"html-manifest#tr003$", r"html-manifest#tr004$",
+        r"html-manifest#tr005$", r"html-manifest#tr006$",
+        r"html-manifest#tr007$", r"html-manifest#tr010$",
+        r"html-manifest#tr011$", r"html-manifest#tr012$",
+        r"html-manifest#tr013$", r"html-manifest#tr014$",
+        r"html-manifest#tr015$", r"html-manifest#tr016$",
+        r"html-manifest#tr017$", r"html-manifest#tr018$",
+        r"html-manifest#tr019$", r"html-manifest#tr020$",
+        r"html-manifest#tr021$", r"html-manifest#tr022$",
+        r"toRdf-manifest#te075$", r"toRdf-manifest#te111$",
+        r"toRdf-manifest#te112$",
+        r"toRdf-manifest#tdi11$", r"toRdf-manifest#tdi12$",
+    ],
     "rdfn:Urgna2012EvalTest": [],
     "rdfn:Urdna2015EvalTest": [],
 }
 
-# behavior changed for a 1.1 processor (JSON-LD 1.0 errata) — the
-# reference skips every test pinned to specVersion json-ld-1.0
-SKIP_SPEC_VERSIONS = {"json-ld-1.0"}
+# 1.0-errata rows are skipped ONLY on the test types whose TEST_TYPES
+# entry declares skip.specVersion (test-common.js: Compact/Expand/
+# Flatten/Frame/FromRDF/ToRDF — NormalizeTest and the rdfn: types
+# declare none and run such rows)
+SKIP_SPEC_VERSIONS: dict[str, set] = {
+    t: {"json-ld-1.0"} for t in (
+        "jld:CompactTest", "jld:ExpandTest", "jld:FlattenTest",
+        "jld:FrameTest", "jld:FromRDFTest", "jld:ToRDFTest")
+}
+
+# generic mechanism mirrored from test-common.js:506-522; currently no
+# reference TEST_TYPES entry declares a processingMode skip
+SKIP_PROCESSING_MODES: dict[str, set] = {}
 
 _TEST_FNS = ("jld:CompactTest", "jld:ExpandTest", "jld:FlattenTest",
              "jld:FrameTest", "jld:FromRDFTest", "jld:NormalizeTest",
              "jld:ToRDFTest", "rdfn:Urgna2012EvalTest",
              "rdfn:Urdna2015EvalTest")
+
+
+class ConformanceFailure(AssertionError):
+    """Comparison failure — explicit raise, never a bare assert (bare
+    asserts vanish under ``python -O``, which would turn the whole
+    gate into a no-op)."""
+
+
+def _check(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ConformanceFailure(msg)
 
 
 class OfflineLoader:
@@ -122,17 +181,32 @@ def run_manifest(manifest_path: str, base_iri: str | None = None,
                  skip_ids: list[str] | None = None,
                  report: dict | None = None) -> dict:
     """Walk one manifest file (recursing into sub-manifests via
-    ``sequence`` / ``entries`` / ``include``) and run every typed test
-    through the engine's public API. Returns a report dict:
-    {"pass": n, "fail": n, "skip": n, "failures": [...],
-    "skips": [...], "suites": [titles...]}."""
-    import jsonld_js_ray as jl
-
+    ``sequence`` / ``entries`` / ``include``, file-referenced or
+    inline) and run every typed test through the engine's public API.
+    Returns a report dict: {"pass": n, "fail": n, "skip": n,
+    "failures": [...], "skips": [...], "suites": [titles...]}."""
     if report is None:
         report = {"pass": 0, "fail": 0, "skip": 0,
                   "failures": [], "skips": [], "suites": []}
     dirname = os.path.dirname(os.path.abspath(manifest_path))
-    manifest = _read_json(dirname, os.path.basename(manifest_path))
+    try:
+        manifest = _read_json(dirname, os.path.basename(manifest_path))
+    except (OSError, ValueError) as e:
+        report["skip"] += 1
+        report["skips"].append((manifest_path,
+                                f"unreadable manifest: {e!r}"))
+        return report
+    _walk_manifest(manifest, manifest_path, dirname, base_iri,
+                   extra_mounts, skip_ids or [], report)
+    return report
+
+
+def _walk_manifest(manifest: dict, manifest_path: str, dirname: str,
+                   base_iri: str | None,
+                   extra_mounts: dict[str, str] | None,
+                   skip_ids: list[str], report: dict) -> None:
+    import jsonld_js_ray as jl
+
     base = base_iri or manifest.get("baseIri") or (
         "file://" + dirname + "/")
     report["suites"].append(manifest.get("name")
@@ -153,7 +227,13 @@ def run_manifest(manifest_path: str, base_iri: str | None = None,
             if not entry.endswith((".jsonld", ".json")):
                 continue        # .js imports: runner-specific, skipped
             sub = os.path.join(dirname, entry)
-            sub_doc = _read_json(dirname, entry)
+            try:
+                sub_doc = _read_json(dirname, entry)
+            except (OSError, ValueError) as e:
+                report["skip"] += 1
+                report["skips"].append((sub,
+                                        f"unreadable entry: {e!r}"))
+                continue
             if "mf:Manifest" in _types(sub_doc) or (
                     "sequence" in sub_doc or "entries" in sub_doc):
                 run_manifest(sub, base_iri=base_iri,
@@ -161,12 +241,26 @@ def run_manifest(manifest_path: str, base_iri: str | None = None,
                              skip_ids=skip_ids, report=report)
                 continue
             entry = sub_doc
-        if "mf:Manifest" in _types(entry):
-            # inline sub-manifest (rare)
+        if not isinstance(entry, dict):
+            report["skip"] += 1
+            report["skips"].append((str(entry)[:80],
+                                    "non-object manifest entry"))
             continue
-        _run_test(jl, entry, base, man_name, dirname, loader, report,
-                  skip_ids or [])
-    return report
+        if "mf:Manifest" in _types(entry) or (
+                "input" not in entry and "action" not in entry and
+                ("sequence" in entry or "entries" in entry)):
+            # inline sub-manifest: walk it in place (same directory)
+            _walk_manifest(entry, manifest_path, dirname, base_iri,
+                           extra_mounts, skip_ids, report)
+            continue
+        try:
+            _run_test(jl, entry, base, man_name, dirname, loader,
+                      report, skip_ids)
+        except Exception as e:      # noqa: BLE001 — walk must survive
+            report["fail"] += 1
+            report["failures"].append(
+                (str(entry.get("@id") or entry.get("id")
+                     or entry)[:120], f"runner error: {e!r}"[:300]))
 
 
 def _skip_reason(test: dict, test_id: str, ttype: str) -> str | None:
@@ -175,10 +269,14 @@ def _skip_reason(test: dict, test_id: str, ttype: str) -> str | None:
     for pat in SKIP_ID_REGEX.get(ttype, []):
         if re.search(pat, test_id):
             return f"reference skip list ({pat})"
-    opts = test.get("option") or {}
+    opts = test.get("option")
+    opts = opts if isinstance(opts, dict) else {}
     for sv in _values(opts, "specVersion"):
-        if sv in SKIP_SPEC_VERSIONS:
+        if sv in SKIP_SPEC_VERSIONS.get(ttype, ()):
             return f"specVersion {sv} (1.0-errata class)"
+    for pm in _values(opts, "processingMode"):
+        if pm in SKIP_PROCESSING_MODES.get(ttype, ()):
+            return f"processingMode {pm}"
     return None
 
 
@@ -204,20 +302,30 @@ def _run_test(jl, test: dict, base: str, man_name: str, dirname: str,
         report["skip"] += 1
         report["skips"].append((name, reason))
         return
+    input_name = test.get("input") or test.get("action")
+    if not isinstance(input_name, str):
+        report["fail"] += 1
+        report["failures"].append((name, "test entry has no "
+                                   "input/action"))
+        return
 
     # options: copy test.option minus the loader-protocol keys
     # (createTestOptions, test-common.js:713-737)
     options: dict = {"documentLoader": loader}
-    for k, v in (test.get("option") or {}).items():
+    raw_opts = test.get("option")
+    raw_opts = raw_opts if isinstance(raw_opts, dict) else {}
+    for k, v in raw_opts.items():
         if k not in ("contentType", "httpLink", "httpStatus",
                      "redirectTo"):
             options[k] = v
     if isinstance(options.get("expandContext"), str):
-        # test-common.js:487-490 absolutizes it against the manifest
-        # base and lets the loader fetch it; offline we read the file
+        # test-common.js:501-504 absolutizes it against the manifest
+        # base and lets the loader fetch it; offline we resolve the
+        # RELATIVE PATH against the manifest directory (directory
+        # components preserved — basename-only would read the wrong
+        # same-named file)
         options["expandContext"] = _read_json(
-            dirname, options["expandContext"].split("/")[-1])
-    input_name = test.get("input") or test.get("action")
+            dirname, os.path.normpath(options["expandContext"]))
     input_url = base + input_name
     if "base" not in options:
         options["base"] = input_url
@@ -264,8 +372,8 @@ def _run_test(jl, test: dict, base: str, man_name: str, dirname: str,
             expect = test.get("expectErrorCode") or test.get("expect")
             got = getattr(err, "code", None) if err is not None \
                 else None
-            assert err is not None, "no error raised"
-            assert got == expect, f"error code {got!r} != {expect!r}"
+            _check(err is not None, "no error raised")
+            _check(got == expect, f"error code {got!r} != {expect!r}")
         elif ("jld:PositiveEvaluationTest" in ttypes
               or ttype.startswith("rdfn:")):
             if err is not None:
@@ -281,21 +389,24 @@ def _run_test(jl, test: dict, base: str, man_name: str, dirname: str,
                               "format": "application/n-quads"}
                 got_c = jl.canonize(result, canon_opts)
                 exp_c = jl.canonize(expect, canon_opts)
-                assert got_c == exp_c, "canonized N-Quads differ"
-            elif ttype in ("jld:NormalizeTest", "rdfn:Urgna2012EvalTest",
+                _check(got_c == exp_c, "canonized N-Quads differ")
+            elif ttype in ("jld:NormalizeTest",
+                           "rdfn:Urgna2012EvalTest",
                            "rdfn:Urdna2015EvalTest"):
                 expect = _read_text(dirname, expect_name)
-                assert result == expect, "N-Quads differ"
+                _check(result == expect, "N-Quads differ")
             else:
                 expect = _read_json(dirname, expect_name)
-                assert result == expect, (
+                _check(result == expect, (
                     f"JSON differs:\n got {json.dumps(result)[:400]}\n"
-                    f" exp {json.dumps(expect)[:400]}")
+                    f" exp {json.dumps(expect)[:400]}"))
         elif "jld:PositiveSyntaxTest" in ttypes:
-            if err is not None:
-                raise err
+            # 'no checks' (test-common.js:564-566): the reference
+            # passes PositiveSyntaxTest rows even when the call threw
+            pass
         else:
-            raise AssertionError(f"unknown evaluation type {ttypes}")
+            raise ConformanceFailure(
+                f"unknown evaluation type {ttypes}")
         report["pass"] += 1
     except Exception as e:          # noqa: BLE001 — recorded
         report["fail"] += 1

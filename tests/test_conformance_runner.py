@@ -49,11 +49,46 @@ def test_w3c_shaped_fixture_suite():
         extra_mounts={"https://mounted.test/":
                       os.path.join(here, "mounted") + os.sep})
     assert rep["fail"] == 0, rep["failures"]
-    # 11 evaluated (incl. one negative, one mounted-remote, one
-    # expandContext), 1 skipped by the 1.0-errata class
-    assert rep["pass"] == 11
+    # 15 evaluated (incl. one negative error code, one mounted-remote
+    # context, one expandContext option, both rdfn: canonization
+    # types, one no-checks PositiveSyntaxTest, and one entry inside an
+    # INLINE sub-manifest), 1 skipped by the 1.0-errata class
+    assert rep["pass"] == 15
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
+    assert "inline sub-manifest" in rep["suites"]
+
+
+def test_malformed_entries_reported_not_fatal(tmp_path):
+    """A missing fixture file, a missing input key and an unreadable
+    sub-manifest are RECORDED (fail/skip with reason) — the walk must
+    never abort and lose the rest of the report."""
+    import json
+
+    (tmp_path / "manifest.jsonld").write_text(json.dumps({
+        "@type": "mf:Manifest", "name": "broken bits",
+        "baseIri": "https://broken.test/",
+        "sequence": [
+            "missing-sub-manifest.jsonld",
+            {"@id": "#t1", "@type": ["jld:PositiveEvaluationTest",
+                                     "jld:ExpandTest"],
+             "name": "no input key"},
+            {"@id": "#t2", "@type": ["jld:PositiveEvaluationTest",
+                                     "jld:ExpandTest"],
+             "input": "does-not-exist.jsonld",
+             "expect": "also-missing.jsonld"},
+            {"@id": "#t3", "@type": ["jld:PositiveEvaluationTest",
+                                     "jld:ExpandTest"],
+             "input": "ok-in.jsonld", "expect": "ok-out.jsonld"},
+        ]}))
+    (tmp_path / "ok-in.jsonld").write_text(
+        '{"@context": {"t": "http://x/t"}, "t": "v"}')
+    (tmp_path / "ok-out.jsonld").write_text(
+        '[{"http://x/t": [{"@value": "v"}]}]')
+    rep = run_manifest(str(tmp_path / "manifest.jsonld"))
+    assert rep["pass"] == 1           # the healthy test still ran
+    assert rep["fail"] == 2           # no-input + missing files
+    assert rep["skip"] == 1           # unreadable sub-manifest
 
 
 OFFICIAL = os.environ.get("GRAFT_W3C_SUITES_DIR")
