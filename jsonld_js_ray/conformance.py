@@ -196,6 +196,13 @@ def run_manifest(manifest_path: str, base_iri: str | None = None,
         report["skips"].append((manifest_path,
                                 f"unreadable manifest: {e!r}"))
         return report
+    if not isinstance(manifest, dict):
+        # a JSON array/scalar root is not a manifest — record, don't
+        # abort the walk (the module's record-instead-of-abort contract)
+        report["skip"] += 1
+        report["skips"].append((manifest_path,
+                                "manifest root is not a JSON object"))
+        return report
     _walk_manifest(manifest, manifest_path, dirname, base_iri,
                    extra_mounts, skip_ids or [], report)
     return report
@@ -233,6 +240,11 @@ def _walk_manifest(manifest: dict, manifest_path: str, dirname: str,
                 report["skip"] += 1
                 report["skips"].append((sub,
                                         f"unreadable entry: {e!r}"))
+                continue
+            if not isinstance(sub_doc, dict):
+                report["skip"] += 1
+                report["skips"].append(
+                    (sub, "entry root is not a JSON object"))
                 continue
             if "mf:Manifest" in _types(sub_doc) or (
                     "sequence" in sub_doc or "entries" in sub_doc):

@@ -511,7 +511,7 @@ def q_dedup_simhash_checked(sf_dir: str):
     import ray.data as rd
 
     from ..stages.dedup import (SIMHASH_MAX_HAMMING, SimHashStage,
-                                simhash_dedup)
+                                hamming_pairs, simhash_dedup)
 
     docs = _docs(sf_dir)
     certified = docs.count() <= SIMHASH_CHECK_MAX_DOCS
@@ -523,20 +523,13 @@ def q_dedup_simhash_checked(sf_dir: str):
         sig_tbl = sig_tbl.sort_values("doc_id")
         ids = sig_tbl["doc_id"].to_numpy().astype(np.int64)
         sigs = sig_tbl["simhash"].to_numpy().astype(np.uint64)
-        n = len(ids)
-        pa_, pb_ = [], []
-        for i0 in range(0, n, 1024):
-            x = sigs[i0:i0 + 1024]
-            xor = x[:, None] ^ sigs[None, :]
-            pop = np.unpackbits(
-                xor.view(np.uint8).reshape(len(x), n, 8),
-                axis=2).sum(axis=2)
-            ii, jj = np.nonzero(pop <= SIMHASH_MAX_HAMMING)
-            m = (i0 + ii) < jj          # strict upper triangle
-            pa_.append(ids[i0 + ii[m]])
-            pb_.append(ids[jj[m]])
-        exp = _expected_labels(ids, np.concatenate(pa_ or [[]]),
-                               np.concatenate(pb_ or [[]]))
+        # the shared connectivity-exact kernel (dedup.hamming_pairs):
+        # the closure over its edge set equals the closure over the
+        # full all-pairs Hamming edge set, which is what
+        # _expected_labels computes
+        pa_, pb_ = hamming_pairs(ids, sigs, SIMHASH_MAX_HAMMING,
+                                 strict=True)
+        exp = _expected_labels(ids, pa_, pb_)
         _assert_labels_match(got, exp, "dedup_simhash")
     return rd.from_pandas(got)
 

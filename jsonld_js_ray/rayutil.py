@@ -31,7 +31,9 @@ def list_col_matrix(col: pa.ChunkedArray | pa.Array,
             "contract requires dense fixed-length rows")
     if pa.types.is_fixed_size_list(arr.type):
         d = arr.type.list_size
-        flat = arr.values
+        # .flatten(), not .values: .values ignores a slice's
+        # offset/length, and Ray serves zero-copy sliced batches.
+        flat = arr.flatten()
     else:
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         d = int(lens[0])

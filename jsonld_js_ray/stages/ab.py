@@ -98,7 +98,11 @@ def ab_metrics(sf_dir: str, threshold: float = AB_THRESHOLD):
         import pyarrow.compute as pc
 
         from .rollup import _dec
-        parts = pc.split_pattern(batch["k"], pattern="\x1f")
+        # max_splits=1: split only at the FIRST separator — an
+        # event_type value may itself contain \x1f, which must stay in
+        # the decoded value (partition semantics, not split semantics)
+        parts = pc.split_pattern(batch["k"], pattern="\x1f",
+                                 max_splits=1)
         return pa.table({
             "variant": pc.list_element(parts, 0),
             "event_type": _dec(pc.list_element(parts, 1)),

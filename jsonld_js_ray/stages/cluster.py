@@ -50,9 +50,8 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 def _batch_matrix(batch: pa.Table):
     from ..rayutil import embedding_batch as _embedding_batch
-    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if not len(ids):
-        return ids, np.zeros((0, 0))
+    if not len(batch):
+        return np.zeros(0, np.int64), np.zeros((0, 0))
     return _embedding_batch(batch)
 
 

@@ -25,9 +25,25 @@ drop — no silent truncation.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
+
+# RE2-'\S+'-exact tokenizer. The SQL oracles tokenize with DuckDB's
+# regexp_extract_all(..., '\S+'), and RE2's \s is ASCII-only
+# ([\t\n\f\r ]) — str.split() would ALSO split on \x0b and Unicode
+# whitespace (NBSP, NEL, ideographic space), so a document containing
+# any of those would give the engine different tokens than the oracle
+# (and the in-run certificates, which run the engine tokenizer on both
+# sides, could not catch it). Every dedup path with a regexp-based SQL
+# mirror tokenizes through this helper.
+_RE2_NONSPACE = re.compile(r"[^\t\n\f\r ]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    return _RE2_NONSPACE.findall(text)
+
 
 NUM_PERMS = 64
 BANDS = 16
@@ -80,7 +96,7 @@ FROM documents GROUP BY md5(text)
 # --- MinHash + LSH ---
 
 def word_shingles(text: str, k: int = 3) -> set[str]:
-    toks = text.lower().split()
+    toks = ws_tokens(text.lower())
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
@@ -557,7 +573,69 @@ SIMHASH_MAX_HAMMING = 3
 # simhash in-bucket verification is signature-only, so its member
 # bound is memory-driven (chunked popcount), far above the text caps
 SIMHASH_MAX_BUCKET_MEMBERS = 65536
-_SIMHASH_POP_CHUNK = 512
+# byte budget per pairwise-XOR pass (the dominant transient); chunk
+# rows adapt to the bucket's distinct-signature count so peak memory
+# is constant regardless of bucket size
+_SIMHASH_PASS_BYTES = 1 << 26
+# 256-entry popcount LUT: pop(uint64) = LUT[byte view].sum(axis=-1).
+# np.unpackbits would expand the XOR matrix ×64 (2.1 GB at the member
+# cap); the LUT pass peaks at the byte view's own size.
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1).astype(np.uint8)
+
+
+def hamming_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int,
+                  strict: bool = False):
+    """All (a, b) doc-id pairs, a < b, with popcount(sig_a ^ sig_b) ≤
+    max_hamming — CONNECTIVITY-exact, not pair-list-exact: rows sharing
+    an identical signature are linked to their group's min-id
+    representative by star edges (Hamming 0), and the pairwise scan
+    runs over DISTINCT signatures only, emitting representative pairs.
+    The transitive closure (the only thing the union-find/labeling
+    consumers read) is identical to the full all-pairs edge set, while
+    a bucket of m exact duplicates costs O(m) instead of O(m²) — both
+    in popcount work and in emitted pair volume.
+
+    Requires ``ids`` sorted ascending and unique. Returns two int64
+    arrays. The shared kernel for the in-bucket verifier AND the
+    certificate referee (pipelines.training_data), so a popcount fix
+    lands in both or neither."""
+    m = len(ids)
+    if m < 2:
+        z = np.zeros(0, np.int64)
+        return z, z
+    usig, first_idx, inv = np.unique(
+        sigs, return_index=True, return_inverse=True)
+    reps = ids[first_idx]        # ids ascending → first occurrence = min
+    star = ids != reps[inv]
+    out_a = [reps[inv][star].astype(np.int64)]
+    out_b = [ids[star].astype(np.int64)]
+    u = len(usig)
+    if u > SIMHASH_MAX_BUCKET_MEMBERS:
+        _cap_event(
+            f"SimHash bucket with {u} DISTINCT signatures exceeds "
+            f"SIMHASH_MAX_BUCKET_MEMBERS={SIMHASH_MAX_BUCKET_MEMBERS}; "
+            f"cross-signature scan truncated to the cap (star edges "
+            f"kept) — consider wider bands or a higher cap", strict)
+        usig, reps = usig[:SIMHASH_MAX_BUCKET_MEMBERS], \
+            reps[:SIMHASH_MAX_BUCKET_MEMBERS]
+        u = SIMHASH_MAX_BUCKET_MEMBERS
+    if u >= 2:
+        chunk = max(1, _SIMHASH_PASS_BYTES // (u * 8))
+        for i0 in range(0, u, chunk):
+            x = usig[i0:i0 + chunk]
+            xor = x[:, None] ^ usig[None, :]
+            pop = _POPCOUNT8[xor.view(np.uint8).reshape(
+                len(x), u, 8)].sum(axis=2, dtype=np.uint16)
+            ii, jj = np.nonzero(pop <= max_hamming)
+            keep_ij = (i0 + ii) < jj        # strict upper triangle
+            ra = reps[i0 + ii[keep_ij]]
+            rb = reps[jj[keep_ij]]
+            # usig is signature-ordered, not id-ordered — normalize
+            out_a.append(np.minimum(ra, rb).astype(np.int64))
+            out_b.append(np.maximum(ra, rb).astype(np.int64))
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 # shared SQL tail: undirected transitive closure over a (tiny,
 # dup-density-bounded) edge set + min-id labeling — the exact mirror of
@@ -716,7 +794,7 @@ def simhash64(text: str) -> int:
     bit b of the token hashes is strictly positive."""
     from collections import Counter
 
-    counts = Counter(text.lower().split())
+    counts = Counter(ws_tokens(text.lower()))
     if not counts:
         return 0
     toks = list(counts.keys())
@@ -752,7 +830,8 @@ def _bucket_pairs_hamming(g, max_hamming: int, strict: bool = False):
 
     Both signatures are group rows, so verification happens here — the
     driver never sees a doc→signature map, only the (dup-density-bounded)
-    verified pair list. Vectorized: pairwise XOR + unpackbits popcount."""
+    verified pair list. All the work is in the shared ``hamming_pairs``
+    kernel (unique-signature reduction + LUT popcount)."""
     import pandas as pd
 
     ids = g["doc_id"].to_numpy().astype(np.int64)
@@ -761,42 +840,11 @@ def _bucket_pairs_hamming(g, max_hamming: int, strict: bool = False):
     ids, sigs = ids[order], sigs[order]
     keep = np.concatenate([[True], ids[1:] != ids[:-1]])
     ids, sigs = ids[keep], sigs[keep]
-    m = len(ids)
-    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                          "b": pd.Series(dtype="int64")})
-    if m < 2:
-        return empty
-    # SimHash verification is signature-only (uint64 popcount, no
-    # texts), so hot buckets are CHUNKED — each pass materializes a
-    # (chunk × m) matrix, never m² — instead of being truncated like
-    # the text-Jaccard buckets. Emitted pair volume stays dup-density
-    # bounded (only Hamming <= max_hamming pairs leave). The member
-    # cap only guards against a degenerate corpus where one band value
-    # swallows it (e.g. all-identical signatures).
-    if m > SIMHASH_MAX_BUCKET_MEMBERS:
-        _cap_event(
-            f"SimHash band bucket with {m} docs exceeds "
-            f"SIMHASH_MAX_BUCKET_MEMBERS={SIMHASH_MAX_BUCKET_MEMBERS}; "
-            f"verifying only the first cap members — consider wider "
-            f"bands or a higher cap", strict)
-        ids, sigs = ids[:SIMHASH_MAX_BUCKET_MEMBERS], \
-            sigs[:SIMHASH_MAX_BUCKET_MEMBERS]
-        m = SIMHASH_MAX_BUCKET_MEMBERS
-    out_a, out_b = [], []
-    for i0 in range(0, m, _SIMHASH_POP_CHUNK):
-        x = sigs[i0:i0 + _SIMHASH_POP_CHUNK]
-        xor = x[:, None] ^ sigs[None, :]
-        pop = np.unpackbits(
-            xor.view(np.uint8).reshape(len(x), m, 8),
-            axis=2).sum(axis=2)
-        ii, jj = np.nonzero(pop <= max_hamming)
-        keep_ij = (i0 + ii) < jj            # strict upper triangle
-        out_a.append(ids[i0 + ii[keep_ij]])
-        out_b.append(ids[jj[keep_ij]])
-    a_idx = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
-    if len(a_idx) == 0:
-        return empty
-    return pd.DataFrame({"a": a_idx, "b": np.concatenate(out_b)})
+    a, b = hamming_pairs(ids, sigs, max_hamming, strict=strict)
+    if len(a) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": a, "b": b})
 
 
 # exact oracle for the RAW simhash row — possible because simhash64's
@@ -1148,7 +1196,7 @@ def planted_documents(docs, include_suffix: bool = True):
         for i, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             i = int(i)
-            n_tokens = len((t or "").split())
+            n_tokens = len(ws_tokens(t or ""))
             if n_tokens == 0:
                 # empty/whitespace docs have empty shingle sets (no
                 # Jaccard merge possible), SimHash 0 and equal

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..rayutil import strip_meta as _strip_meta
 
 _SEP = "\x1f"
+_ESC = "\x1e"
 
 
 def _cents(vals: np.ndarray) -> np.ndarray:
@@ -36,23 +37,34 @@ def _cents(vals: np.ndarray) -> np.ndarray:
 
 
 def _enc(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """NULL-safe key encoding: 'v' + value, or bare 'n' for NULL —
-    collision-free by the prefix, so a genuine NULL group (SQL groups
-    NULLs together) round-trips exactly and can never collide with a
-    value that stringifies to 'None'. EVERY keyed partial aggregate in
-    this module must use this one encoder (and ``_dec``) so the NULL
-    convention can't silently diverge between operators."""
+    """NULL-safe, SEPARATOR-safe key encoding: 'v' + escaped value, or
+    bare 'n' for NULL — collision-free by the prefix, so a genuine NULL
+    group (SQL groups NULLs together) round-trips exactly and can never
+    collide with a value that stringifies to 'None'. Values are escaped
+    (\\x1e → \\x1e0, \\x1f → \\x1e1) so an encoded field NEVER contains
+    the fused-key separator: decoding a multi-field key by splitting on
+    \\x1f is exact even when a raw value contains \\x1f. (In the
+    encoded text \\x1e is always followed by exactly one code char, so
+    the two decode replaces cannot misfire.) EVERY keyed partial
+    aggregate in this module must use this one encoder (and ``_dec``)
+    so the convention can't silently diverge between operators."""
     vals = col.to_numpy(zero_copy_only=False)
     isnull = pc.is_null(
         col.combine_chunks() if isinstance(col, pa.ChunkedArray)
         else col).to_numpy(zero_copy_only=False)
     filled = np.where(isnull, "", vals).astype(str)
+    filled = np.char.replace(filled, _ESC, _ESC + "0")
+    filled = np.char.replace(filled, _SEP, _ESC + "1")
     return np.where(isnull, "n", np.char.add("v", filled))
 
 
 def _dec(enc: pa.Array) -> pa.Array:
-    """Inverse of _enc: strip the 'v' prefix, 'n' → NULL."""
+    """Inverse of _enc: strip the 'v' prefix, unescape, 'n' → NULL."""
     vals = pc.utf8_slice_codeunits(enc, 1)
+    vals = pc.replace_substring(vals, pattern=_ESC + "1",
+                                replacement=_SEP)
+    vals = pc.replace_substring(vals, pattern=_ESC + "0",
+                                replacement=_ESC)
     return pc.if_else(pc.equal(enc, "n"),
                       pa.scalar(None, pa.string()), vals)
 

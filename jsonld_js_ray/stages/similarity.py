@@ -383,13 +383,11 @@ class PQTopK:
             self._cache = ray.get(self.ref)
         books, q_ids, q_mat, luts = self._cache
 
-        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64, copy=False)
-        if not len(vec_ids):
+        if not len(batch):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        _, vecs = _embedding_batch(batch)
+        vec_ids, vecs = _embedding_batch(batch)
         vecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         s, kk, dsub = books.shape
@@ -485,13 +483,11 @@ class IVFPQTopK:
             self._cache = ray.get(self.ref)
         cents, books, q_ids, q_mat, q_cells, luts = self._cache
 
-        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64, copy=False)
-        if not len(vec_ids):
+        if not len(batch):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        _, vecs = _embedding_batch(batch)
+        vec_ids, vecs = _embedding_batch(batch)
         vecs = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(vecs @ cents.T, axis=1)       # (n,)

@@ -54,6 +54,15 @@ def test_sliced_array_respects_offset():
     np.testing.assert_array_equal(list_col_matrix(col), _ref(rows[1:3]))
 
 
+def test_sliced_fixed_size_list_respects_offset():
+    # .values on a sliced FixedSizeListArray returns ALL child values
+    # (offset-blind); the kernel must use .flatten(). Ray serves
+    # zero-copy sliced batches, so this is a real production shape.
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    col = pa.array(rows, pa.list_(pa.float64(), 2)).slice(1, 2)
+    np.testing.assert_array_equal(list_col_matrix(col), _ref(rows[1:3]))
+
+
 def test_null_row_raises():
     col = pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))
     with pytest.raises(ValueError, match="NULL"):
