@@ -399,6 +399,17 @@ def q_dedup_ngram(sf_dir: str):
 # (e.g. bench at sf0.1) the raw pipeline runs uncertified, as before.
 
 DEDUP_CHECK_MAX_DOCS = 2048      # all-pairs text-Jaccard referee bound
+
+
+def _doc_row_count(sf_dir: str) -> int:
+    """O(1) row count from parquet footer metadata — the certify-gate
+    check must not cost a full Dataset read (docs.count() executes the
+    read+strip pipeline: ~0.5 s of pure overhead per checked query at
+    bench scale, where the certificate then doesn't even run)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
 # the simhash referee is signature-only (8B/doc) and could certify far
 # larger corpora, but above gate scale the pipeline is already exact
 # BY CONSTRUCTION (pigeonhole-complete banding + chunked, uncapped
@@ -476,7 +487,7 @@ def q_dedup_minhash_checked(sf_dir: str):
     # strict caps only in the certified regime: at gate scale a cap
     # truncation must RAISE (it would invalidate the oracle); above
     # the bound the pipeline keeps its documented warn-and-truncate
-    certified = docs.count() <= DEDUP_CHECK_MAX_DOCS
+    certified = _doc_row_count(sf_dir) <= DEDUP_CHECK_MAX_DOCS
     got = minhash_lsh_dedup(docs, strict_caps=certified).to_pandas()
     if certified:
         exp = _jaccard_referee_labels(
@@ -493,7 +504,7 @@ def q_dedup_ngram_checked(sf_dir: str):
     from ..stages.dedup import NGRAM_THRESHOLD, ngram_jaccard_dedup
 
     docs = _docs(sf_dir)
-    certified = docs.count() <= DEDUP_CHECK_MAX_DOCS
+    certified = _doc_row_count(sf_dir) <= DEDUP_CHECK_MAX_DOCS
     got = ngram_jaccard_dedup(docs, strict_caps=certified).to_pandas()
     if certified:
         exp = _jaccard_referee_labels(
@@ -511,10 +522,10 @@ def q_dedup_simhash_checked(sf_dir: str):
     import ray.data as rd
 
     from ..stages.dedup import (SIMHASH_MAX_HAMMING, SimHashStage,
-                                hamming_pairs, simhash_dedup)
+                                simhash_dedup)
 
     docs = _docs(sf_dir)
-    certified = docs.count() <= SIMHASH_CHECK_MAX_DOCS
+    certified = _doc_row_count(sf_dir) <= SIMHASH_CHECK_MAX_DOCS
     got = simhash_dedup(docs, strict_caps=certified).to_pandas()
     if certified:
         sig_tbl = docs.map_batches(
@@ -523,13 +534,26 @@ def q_dedup_simhash_checked(sf_dir: str):
         sig_tbl = sig_tbl.sort_values("doc_id")
         ids = sig_tbl["doc_id"].to_numpy().astype(np.int64)
         sigs = sig_tbl["simhash"].to_numpy().astype(np.uint64)
-        # the shared connectivity-exact kernel (dedup.hamming_pairs):
-        # the closure over its edge set equals the closure over the
-        # full all-pairs Hamming edge set, which is what
-        # _expected_labels computes
-        pa_, pb_ = hamming_pairs(ids, sigs, SIMHASH_MAX_HAMMING,
-                                 strict=True)
-        exp = _expected_labels(ids, pa_, pb_)
+        # DELIBERATELY independent of dedup.hamming_pairs (which the
+        # engine itself uses in-bucket): the certificate's value is
+        # implementation diversity, so the referee keeps its own
+        # all-pairs unpackbits popcount — a bug in the shared kernel
+        # cannot cancel out here. n is gate-bounded
+        # (SIMHASH_CHECK_MAX_DOCS), so the ×64 bit expansion is cheap.
+        n = len(ids)
+        pa_, pb_ = [], []
+        for i0 in range(0, n, 1024):
+            x = sigs[i0:i0 + 1024]
+            xor = x[:, None] ^ sigs[None, :]
+            pop = np.unpackbits(
+                xor.view(np.uint8).reshape(len(x), n, 8),
+                axis=2).sum(axis=2)
+            ii, jj = np.nonzero(pop <= SIMHASH_MAX_HAMMING)
+            m = (i0 + ii) < jj          # strict upper triangle
+            pa_.append(ids[i0 + ii[m]])
+            pb_.append(ids[jj[m]])
+        exp = _expected_labels(ids, np.concatenate(pa_ or [[]]),
+                               np.concatenate(pb_ or [[]]))
         _assert_labels_match(got, exp, "dedup_simhash")
     return rd.from_pandas(got)
 

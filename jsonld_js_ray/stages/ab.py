@@ -98,9 +98,8 @@ def ab_metrics(sf_dir: str, threshold: float = AB_THRESHOLD):
         import pyarrow.compute as pc
 
         from .rollup import _dec
-        # max_splits=1: split only at the FIRST separator — an
-        # event_type value may itself contain \x1f, which must stay in
-        # the decoded value (partition semantics, not split semantics)
+        # _enc escapes \x1f inside values, so the key always splits
+        # into exactly 2 parts; max_splits=1 is belt-and-braces only
         parts = pc.split_pattern(batch["k"], pattern="\x1f",
                                  max_splits=1)
         return pa.table({
