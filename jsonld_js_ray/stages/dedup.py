@@ -39,9 +39,20 @@ import pyarrow as pa
 # sides, could not catch it). Every dedup path with a regexp-based SQL
 # mirror tokenizes through this helper.
 _RE2_NONSPACE = re.compile(r"[^\t\n\f\r ]+")
+# the chars str.split() treats as whitespace but RE2 '\S+' does not
+# (derived from the same unicodedata the interpreter splits on, so it
+# can never drift from str.split()): on a text containing NONE of
+# these, the two tokenizations are identical and the ~3x faster
+# C-level str.split() is exact (equivalence property-tested in
+# tests/test_review_r4b.py). All Unicode whitespace is in the BMP.
+_EXOTIC_WS = re.compile("[" + "".join(
+    re.escape(chr(c)) for c in range(0x10000)
+    if chr(c).isspace() and chr(c) not in "\t\n\f\r ") + "]")
 
 
 def ws_tokens(text: str) -> list[str]:
+    if _EXOTIC_WS.search(text) is None:
+        return text.split()
     return _RE2_NONSPACE.findall(text)
 
 

@@ -61,6 +61,31 @@ def test_ws_tokens_matches_duckdb_re2():
         assert ws_tokens(s) == _duck_tokens(s), repr(s)
 
 
+def test_ws_tokens_fastpath_equivalence_fuzz():
+    """ws_tokens has a str.split() fast path gated on an exotic-
+    whitespace scan; fuzz both paths against DuckDB RE2 over an
+    alphabet that mixes ASCII ws, exotic ws, and text."""
+    import random
+
+    import duckdb
+
+    from jsonld_js_ray.stages.dedup import ws_tokens
+
+    con = duckdb.connect()
+    try:
+        random.seed(7)
+        alphabet = list("ab \t\n\f\r\x0b\x1c\x85\xa0 　xyz.!")
+        for _ in range(500):
+            s = "".join(random.choice(alphabet)
+                        for _ in range(random.randint(0, 30)))
+            got = ws_tokens(s)
+            want = con.execute(
+                r"SELECT regexp_extract_all(?, '\S+')", [s]).fetchone()[0]
+            assert got == want, repr(s)
+    finally:
+        con.close()
+
+
 def test_str_split_would_diverge():
     """Meta-test: the divergence ws_tokens exists to prevent is real —
     if this ever fails, str.split() became RE2-compatible and the
