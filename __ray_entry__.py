@@ -54,12 +54,35 @@ def _shared_graph_artifacts(sf_dir: str, edges: bool = True):
     ent = _GRAPH_ARTIFACTS.get(key)
     if ent is None:
         _GRAPH_ARTIFACTS.clear()        # one session+sf held at a time
-        ent = {"quads": _pin(build_quads_with_mentions(sf_dir))}
+        ent = {}
         _GRAPH_ARTIFACTS[key] = ent
+    if "quads" not in ent:              # entry may hold only "ce"
+        ent["quads"] = _pin(build_quads_with_mentions(sf_dir))
     if edges and "und" not in ent:
         ent["und"] = _pin(_undirected_edges(ent["quads"]))
         ent["directed"] = _pin(_oriented_edges(ent["und"]))
     return ent["quads"], ent.get("und"), ent.get("directed")
+
+
+def _shared_conv_entity_mentions(sf_dir: str):
+    """Pinned (conv, entity, n_mentions) table — deterministic, reused
+    by kg_pagerank_weighted (and anything else edge-weighted over the
+    conv↔entity bipartite graph). Same job-id-keyed cache discipline
+    as the quad artifacts."""
+    import ray
+
+    from jsonld_js_ray.pipelines.kg import conv_entity_mentions
+    from jsonld_js_ray.stages.graph import _pin
+
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    ent = _GRAPH_ARTIFACTS.get(key)
+    if ent is None:
+        ent = {}
+        _GRAPH_ARTIFACTS.clear()
+        _GRAPH_ARTIFACTS[key] = ent
+    if "ce" not in ent:
+        ent["ce"] = _pin(conv_entity_mentions(sf_dir))
+    return ent["ce"]
 
 
 def _shared_quads(sf_dir: str):
@@ -134,10 +157,9 @@ def _q_kg_pagerank(sf_dir: str):
 def _q_kg_pagerank_weighted(sf_dir: str):
     import pyarrow as pa
 
-    from jsonld_js_ray.pipelines.kg import conv_entity_mentions
     from jsonld_js_ray.stages.graph import pagerank_weighted
 
-    ce = conv_entity_mentions(sf_dir)
+    ce = _shared_conv_entity_mentions(sf_dir)
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         w = batch["n_mentions"].cast(pa.int64())
