@@ -466,8 +466,8 @@ def _q_join_adaptive(sf_dir: str):
 def _q_kg_assortativity(sf_dir: str):
     from jsonld_js_ray.stages.graph import assortativity_moments_quads
 
-    return assortativity_moments_quads(
-        _shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return assortativity_moments_quads(quads, und=und)
 
 
 def _assortativity_oracle() -> str:
@@ -482,7 +482,8 @@ def _assortativity_oracle() -> str:
 def _q_kg_neighbor_sample(sf_dir: str):
     from jsonld_js_ray.stages.graph import neighbor_sample_quads
 
-    return neighbor_sample_quads(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return neighbor_sample_quads(quads, und=und)
 
 
 def _neighbor_sample_oracle() -> str:
@@ -498,7 +499,8 @@ def _neighbor_sample_oracle() -> str:
 def _q_kg_random_walks(sf_dir: str):
     from jsonld_js_ray.stages.graph import random_walks_quads
 
-    return random_walks_quads(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return random_walks_quads(quads, und=und)
 
 
 def _random_walks_oracle() -> str:
@@ -569,7 +571,8 @@ def _truss_support_oracle() -> str:
 def _q_kg_jaccard_neighbors(sf_dir: str):
     from jsonld_js_ray.stages.graph import jaccard_neighbors
 
-    return jaccard_neighbors(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return jaccard_neighbors(quads, und=und)
 
 
 def _jaccard_neighbors_oracle() -> str:
@@ -660,7 +663,8 @@ FROM p JOIN n1 x ON x.entity = p.e1
 def _q_kg_resource_allocation(sf_dir: str):
     from jsonld_js_ray.stages.graph import resource_allocation
 
-    return resource_allocation(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return resource_allocation(quads, und=und)
 
 
 def _resource_allocation_oracle() -> str:
@@ -913,7 +917,8 @@ def _q_join_full_outer(sf_dir: str):
 def _q_kg_common_neighbors(sf_dir: str):
     from jsonld_js_ray.stages.graph import common_neighbors
 
-    return common_neighbors(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return common_neighbors(quads, und=und)
 
 
 def _common_neighbors_oracle() -> str:
@@ -955,7 +960,8 @@ def _components_oracle() -> str:
 def _q_kg_degree_hist(sf_dir: str):
     from jsonld_js_ray.stages.graph import degree_histogram
 
-    return degree_histogram(_shared_quads(sf_dir))
+    quads, und, _ = _shared_graph_artifacts(sf_dir)
+    return degree_histogram(quads, und=und)
 
 
 def _funnel_oracle() -> str:

@@ -778,7 +778,7 @@ FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
 """
 
 
-def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
+def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
     """quad table → (u, v, n_common, n_union) for pairs sharing ≥ 1
     neighbor with degree in [2, ``max_deg``]: the neighborhood
     Jaccard link-prediction index kept as its EXACT integer numerator
@@ -795,7 +795,7 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG):
     upstream quad pipeline would execute twice."""
     from .groupkit import pair_run_starts, sorted_lookup
 
-    und = _pin(_undirected_edges(quads))
+    und = und if und is not None else _pin(_undirected_edges(quads))
     pairs = _wedge_scores(quads, max_deg, "common", scale=None,
                           und=und)
 
@@ -900,7 +900,7 @@ FROM cn JOIN d du ON du.node = cn.u
 """
 
 
-def assortativity_moments_quads(quads):
+def assortativity_moments_quads(quads, und=None):
     """quad table → ONE row (m, s_uv, s_u, s_u2) of exact integer
     moments over the undirected distinct IRI–IRI edge set, where for
     each edge (u, v): s_uv += deg(u)·deg(v), s_u += deg(u)+deg(v),
@@ -916,7 +916,7 @@ def assortativity_moments_quads(quads):
     1-row reduce."""
     from .groupkit import pair_run_starts
 
-    und = _pin(_undirected_edges(quads))
+    und = und if und is not None else _pin(_undirected_edges(quads))
 
     def both_ends(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -1048,7 +1048,7 @@ def _md5_hex(values: np.ndarray) -> np.ndarray:
                      for v in values], object)
 
 
-def neighbor_sample_quads(quads, k: int = SAMPLE_K):
+def neighbor_sample_quads(quads, k: int = SAMPLE_K, und=None):
     """quad table → (seed, hop, node): for each mention-entity seed,
     the deterministic ≤k-per-node sample of its 1- and 2-hop
     neighborhoods over the undirected distinct IRI–IRI graph
@@ -1062,7 +1062,7 @@ def neighbor_sample_quads(quads, k: int = SAMPLE_K):
     # reach/_pr seed kernels fuse instead; here the seed scan is a
     # trivial pruned pass over the pinned blocks)
     quads = _pin(quads)
-    und = _pin(_undirected_edges(quads))
+    und = und if und is not None else _pin(_undirected_edges(quads))
 
     def both_ends(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -1210,7 +1210,7 @@ WALK_LEN = 3
 WALK_BROADCAST_MAX_FRONTIER = 65536
 
 
-def random_walks_quads(quads, walk_len: int = WALK_LEN):
+def random_walks_quads(quads, walk_len: int = WALK_LEN, und=None):
     """quad table → (seed, step, node): the deterministic walk node
     at each step 1..walk_len from every mention-entity seed over the
     undirected distinct IRI–IRI graph (dead ends truncate the
@@ -1218,7 +1218,7 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN):
     import hashlib
 
     quads = _pin(quads)
-    und = _pin(_undirected_edges(quads))
+    und = und if und is not None else _pin(_undirected_edges(quads))
 
     def salted_rows(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -1656,12 +1656,13 @@ s{t} AS (SELECT s{t - 1}.node,
 
 # --- degree histogram (graph-shape diagnostic) ---
 
-def degree_histogram(quads):
+def degree_histogram(quads, und=None):
     """quad table → (deg, n_nodes): the undirected degree distribution
     of the IRI–IRI graph. Distinct degree VALUES are bounded by the
     max degree (not the corpus), so the final groupby is tiny; the
     node-degree table itself pre-reduces per batch."""
-    deg = _tri_degrees(_undirected_edges(quads))
+    deg = _tri_degrees(und if und is not None
+                       else _undirected_edges(quads))
 
     def partial(batch: pa.Table) -> pa.Table:
         d = batch["deg"].to_numpy(zero_copy_only=False)
@@ -2142,21 +2143,23 @@ def _wedge_scores(quads, max_deg: int, out_col: str,
                                        batch_format="pandas")
 
 
-def common_neighbors(quads, max_deg: int = CN_MAX_DEG):
+def common_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
     """quad table → (u, v, common): number of shared neighbors with
     degree in [2, ``max_deg``], for u < v, over the undirected
     distinct IRI–IRI graph."""
-    return _wedge_scores(quads, max_deg, "common", scale=None)
+    return _wedge_scores(quads, max_deg, "common", scale=None,
+                         und=und)
 
 
 def resource_allocation(quads, max_deg: int = CN_MAX_DEG,
-                        scale: int = RA_SCALE):
+                        scale: int = RA_SCALE, und=None):
     """quad table → (u, v, ra_score): resource-allocation link-
     prediction index Σ_z floor(scale / deg(z)) over shared neighbors
     z with deg(z) in [2, ``max_deg``], for u < v — the degree-weighted
     refinement of common_neighbors (shared hubs count less), in exact
     fixed-point so the SQL mirror is hash-exact."""
-    return _wedge_scores(quads, max_deg, "ra_score", scale=scale)
+    return _wedge_scores(quads, max_deg, "ra_score", scale=scale,
+                         und=und)
 
 
 def _common_neighbors_oracle_sql(quads_sql: str,
