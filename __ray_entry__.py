@@ -626,7 +626,7 @@ def _q_pricing_summary(sf_dir: str):
 def _q_kg_entity_lift(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import entity_lift
 
-    return entity_lift(sf_dir)
+    return entity_lift(sf_dir, ce=_shared_conv_entity_mentions(sf_dir))
 
 
 def _entity_lift_oracle() -> str:

