@@ -147,6 +147,14 @@ def run_bench() -> dict:
     pagerank_quads(quads_m).count()
     queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
 
+    # the (conv, entity, n_mentions) artifact is shared by
+    # pagerank_weighted and entity_lift — like the quad/edge tables,
+    # its one-time build is timed separately so per-query walls
+    # measure the operator, not the shared input derivation
+    t0 = time.perf_counter()
+    _entry._shared_conv_entity_mentions(SF_DIR)
+    extras["kg_ce_artifact_build"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     _entry.queries()["kg_pagerank_weighted"](SF_DIR).count()
     queries["kg_pagerank_weighted"] = round(time.perf_counter() - t0, 3)
