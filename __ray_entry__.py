@@ -95,6 +95,28 @@ def _q_kg_quads(sf_dir: str):
     return build_quads(sf_dir)
 
 
+def _q_kg_quads_jsonl(sf_dir: str):
+    """Flagship toRDF over the reference's NATIVE document format:
+    assemble the per-conversation JSON-LD documents, write them as
+    newline-delimited JSON-LD shards (plain documents, no envelope),
+    read the shards back, and run the same ToRdf stage — output is
+    byte-identical to kg_quads, so it carries the same oracle."""
+    import hashlib
+    import shutil
+
+    from jsonld_js_ray.pipelines.kg import assemble_docs
+    from jsonld_js_ray.sources.jsonld_lines import (
+        build_quads_from_jsonld_lines,
+        write_docs_jsonld_lines,
+    )
+
+    out = ("/tmp/jsonld_lines_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(out, ignore_errors=True)
+    write_docs_jsonld_lines(assemble_docs(sf_dir), out)
+    return build_quads_from_jsonld_lines(out)
+
+
 def _q_kg_quads_with_mentions(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
 
@@ -216,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction (flagship)
         "transcripts": _q_transcripts,
         "kg_quads": _q_kg_quads,
+        "kg_quads_jsonl": _q_kg_quads_jsonl,
         "kg_quads_with_mentions": _q_kg_quads_with_mentions,
         "kg_quad_stats": _q_kg_quad_stats,
         "kg_mentions": _q_kg_mentions,
@@ -1125,6 +1148,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities_canonical": _entities_canonical_sql(),
         "kg_entities_canonical_planted": _entities_canonical_planted_sql(),
         "kg_quads": KG_QUADS_ORACLE_SQL,
+        # the jsonl round trip re-emits the kg_quads table exactly —
+        # same documents, same ToRdf stage, identity preserved by the
+        # connector (sources/jsonld_lines.py)
+        "kg_quads_jsonl": KG_QUADS_ORACLE_SQL,
         "kg_quads_with_mentions": KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
         "kg_mentions": MENTIONS_SQL,

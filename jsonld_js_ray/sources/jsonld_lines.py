@@ -1,0 +1,117 @@
+"""Newline-delimited JSON-LD document source/sink.
+
+The reference's native input is a parsed JSON-LD document
+(``lib/jsonld.js`` expand/toRDF take a JSON object or a URL); at
+corpus scale the standard on-disk container for that is
+newline-delimited JSON — one complete document per line, sharded
+files. This connector writes a (conv_id, doc_json) document Dataset
+to ``.jsonl`` shards whose lines are PLAIN JSON-LD documents (no
+envelope — the files are directly consumable by the reference or any
+other processor) and reads such shards back into the document Dataset
+that feeds the engine's ToRdf stage, so a user with a directory of
+JSON-LD lines runs the flagship pipeline unchanged.
+
+Document identity on read: the engine's conversation documents carry
+their id as the node ``@id`` under ``CONV_ID_NS``
+(stages/assemble.py:41); the reader re-derives ``conv_id`` by
+stripping that prefix, falling back to a sha1 fingerprint of the line
+for foreign documents — deterministic either way, so blank-node
+namespacing (to_rdf_stage.conv_fingerprint) is stable across
+write→read round trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+from ..stages.assemble import CONV_ID_NS
+
+
+def docs_to_lines(batch: pa.Table) -> pa.Table:
+    """(conv_id, doc_json, ...) rows → one raw JSON-LD line per doc.
+
+    ``doc_json`` comes from ``json.dumps`` (assemble stage), which
+    escapes embedded newlines — every document is one physical line
+    by construction; the guard below keeps a foreign multi-line value
+    from silently corrupting the shard."""
+    lines = []
+    for s in batch["doc_json"].to_pylist():
+        if "\n" in s or "\r" in s:
+            s = json.dumps(json.loads(s), separators=(",", ":"))
+        lines.append(s)
+    return pa.table({"line": pa.array(lines, pa.large_string())})
+
+
+def write_docs_jsonld_lines(docs_ds, out_dir: str):
+    """Document Dataset → directory of ``part-*.jsonl`` files.
+
+    Same eager side-effect shape as sources/nquads_io.write_nquads:
+    tmp-file + rename per part (a crashed task never leaves a
+    half-written visible shard), manifest (path, docs) returned as a
+    pandas DataFrame."""
+    lines = docs_ds.map_batches(docs_to_lines, batch_format="pyarrow",
+                                batch_size=4096)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        tmp = name + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(batch["line"].to_pylist()) + "\n")
+        os.rename(tmp, name)
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "docs": pa.array([batch.num_rows], pa.int64())})
+
+    return lines.map_batches(write_block, batch_format="pyarrow",
+                             batch_size=4096).to_pandas()
+
+
+def _conv_id_of(doc: dict, line: str) -> str:
+    node_id = doc.get("@id")
+    if isinstance(node_id, str) and node_id.startswith(CONV_ID_NS):
+        return node_id[len(CONV_ID_NS):]
+    return "doc-" + hashlib.sha1(line.encode("utf-8")).hexdigest()[:16]
+
+
+def read_docs_jsonld_lines(paths):
+    """``.jsonl`` files of raw JSON-LD lines → (conv_id, doc_json)
+    Dataset (the ToRdf stage's input schema)."""
+    import ray.data as rd
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids, docs = [], []
+        for line in batch["text"].to_pylist():
+            if line is None or not line.strip():
+                continue
+            doc = json.loads(line)
+            ids.append(_conv_id_of(doc, line))
+            docs.append(line)
+        return pa.table({
+            "conv_id": pa.array(ids, pa.string()),
+            "doc_json": pa.array(docs, pa.large_string()),
+        })
+
+    return rd.read_text(paths).map_batches(
+        to_rows, batch_format="pyarrow", batch_size=4096)
+
+
+def build_quads_from_jsonld_lines(paths, batch_size: int = 256,
+                                  canonicalize: bool = True,
+                                  skip_errors: bool = False):
+    """JSON-LD line shards → canonical quad Dataset — the flagship
+    toRDF pipeline over the reference's native document format
+    instead of the events parquet."""
+    import functools
+
+    from ..stages.to_rdf_stage import to_rdf_task_fn
+
+    fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize,
+                           skip_errors=skip_errors)
+    return read_docs_jsonld_lines(paths).map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size)
