@@ -101,8 +101,7 @@ def _q_kg_quads_jsonl(sf_dir: str):
     newline-delimited JSON-LD shards (plain documents, no envelope),
     read the shards back, and run the same ToRdf stage — output is
     byte-identical to kg_quads, so it carries the same oracle."""
-    import hashlib
-    import shutil
+    import tempfile
 
     from jsonld_js_ray.pipelines.kg import assemble_docs
     from jsonld_js_ray.sources.jsonld_lines import (
@@ -110,9 +109,10 @@ def _q_kg_quads_jsonl(sf_dir: str):
         write_docs_jsonld_lines,
     )
 
-    out = ("/tmp/jsonld_lines_"
-           + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    shutil.rmtree(out, ignore_errors=True)
+    # unique dir per invocation: a fixed path keyed on sf_dir would
+    # let a second call rmtree shards a previous call's still-lazy
+    # read plan references (tiny at oracle scale, so no cleanup)
+    out = tempfile.mkdtemp(prefix="jsonld_lines_")
     write_docs_jsonld_lines(assemble_docs(sf_dir), out)
     return build_quads_from_jsonld_lines(out)
 

@@ -14,17 +14,20 @@ JSON-LD lines runs the flagship pipeline unchanged.
 Document identity on read: the engine's conversation documents carry
 their id as the node ``@id`` under ``CONV_ID_NS``
 (stages/assemble.py:41); the reader re-derives ``conv_id`` by
-stripping that prefix, falling back to a sha1 fingerprint of the line
-for foreign documents — deterministic either way, so blank-node
-namespacing (to_rdf_stage.conv_fingerprint) is stable across
-write→read round trips.
+stripping that prefix — for THOSE documents identity (and therefore
+blank-node namespacing, to_rdf_stage.conv_fingerprint) round-trips
+exactly. A FOREIGN document (no ``CONV_ID_NS`` ``@id``) gets a
+deterministic sha1 fingerprint of its line instead: a user-assigned
+conv_id that is not encoded in the ``@id`` does NOT survive the
+round trip (the on-disk format is the plain document, by design),
+and byte-identical foreign lines share one identity. Callers who
+need a foreign identity preserved must encode it in the document.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
 
 import pyarrow as pa
 
@@ -47,29 +50,14 @@ def docs_to_lines(batch: pa.Table) -> pa.Table:
 
 
 def write_docs_jsonld_lines(docs_ds, out_dir: str):
-    """Document Dataset → directory of ``part-*.jsonl`` files.
+    """Document Dataset → directory of ``part-*.jsonl`` files via the
+    shared tmp+rename shard writer (sources/lineio.py); manifest
+    (path, docs) returned as a pandas DataFrame."""
+    from .lineio import write_line_shards
 
-    Same eager side-effect shape as sources/nquads_io.write_nquads:
-    tmp-file + rename per part (a crashed task never leaves a
-    half-written visible shard), manifest (path, docs) returned as a
-    pandas DataFrame."""
     lines = docs_ds.map_batches(docs_to_lines, batch_format="pyarrow",
                                 batch_size=4096)
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        import uuid
-
-        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
-        tmp = name + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(batch["line"].to_pylist()) + "\n")
-        os.rename(tmp, name)
-        return pa.table({"path": pa.array([name], pa.string()),
-                         "docs": pa.array([batch.num_rows], pa.int64())})
-
-    return lines.map_batches(write_block, batch_format="pyarrow",
-                             batch_size=4096).to_pandas()
+    return write_line_shards(lines, out_dir, "jsonl", "docs", 4096)
 
 
 def _conv_id_of(doc: dict, line: str) -> str:
@@ -81,7 +69,9 @@ def _conv_id_of(doc: dict, line: str) -> str:
 
 def read_docs_jsonld_lines(paths):
     """``.jsonl`` files of raw JSON-LD lines → (conv_id, doc_json)
-    Dataset (the ToRdf stage's input schema)."""
+    Dataset (the ToRdf stage's input schema). Only ``.jsonl`` files
+    are read when given a directory — an orphaned ``.tmp`` shard from
+    a crashed write task is never ingested."""
     import ray.data as rd
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -97,7 +87,7 @@ def read_docs_jsonld_lines(paths):
             "doc_json": pa.array(docs, pa.large_string()),
         })
 
-    return rd.read_text(paths).map_batches(
+    return rd.read_text(paths, file_extensions=["jsonl"]).map_batches(
         to_rows, batch_format="pyarrow", batch_size=4096)
 
 

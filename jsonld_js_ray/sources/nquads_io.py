@@ -94,36 +94,23 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
 
 def write_nquads(quads_ds, out_dir: str):
-    """Quad Dataset → directory of .nq part files.
+    """Quad Dataset → directory of .nq part files via the shared
+    tmp+rename shard writer (sources/lineio.py); manifest (path,
+    rows) returned as a pandas DataFrame."""
+    from .lineio import write_line_shards
 
-    Executes eagerly (the write is a side effect) and returns the
-    manifest as a pandas DataFrame (path, rows per part file)."""
     lines = quads_ds.map_batches(serialize_batch, batch_format="pyarrow",
                                  batch_size=65536)
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        import uuid
-
-        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nq")
-        tmp = name + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(batch["line"].to_pylist()) + "\n")
-        os.rename(tmp, name)
-        return pa.table({"path": pa.array([name], pa.string()),
-                         "rows": pa.array([batch.num_rows], pa.int64())})
-
-    return lines.map_batches(write_block, batch_format="pyarrow",
-                             batch_size=65536).to_pandas()
+    return write_line_shards(lines, out_dir, "nq", "rows", 65536)
 
 
 def read_nquads(paths) -> "ray.data.Dataset":  # noqa: F821
-    """.nq files → quad Dataset."""
+    """.nq files → quad Dataset. Only ``.nq`` files are read when
+    given a directory — an orphaned ``.tmp`` shard from a crashed
+    write task is never ingested."""
     import ray.data as rd
 
-    text = rd.read_text(paths)
+    text = rd.read_text(paths, file_extensions=["nq"])
 
     def to_rows(batch: pa.Table) -> pa.Table:
         return parse_batch(batch)

@@ -3,10 +3,14 @@ committed test's 1000..1250): expand + toRdf parity vs the reference,
 in chunks so node memory stays bounded.
 Usage: python tools/fuzz_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Latest recorded run (2026-08-18, seeds 50000..70000 = 20,000 docs):
-0 divergences, 3 null-quad skips, 0 ref-raw-crash skips — on top of
-the committed 250-doc test corpus and the earlier cumulative 10k-doc
-round-3 sweep.
+Skips are counted per OP (each doc runs two ops, expand and toRdf),
+so the reported compared-op count reconciles exactly with the
+skip totals.
+
+Latest recorded run (2026-08-18, seeds 50000..70000 = 20,000 docs /
+40,000 ops): 0 divergences, 3 null-quad op skips, 0 ref-raw-crash op
+skips — on top of the committed 250-doc test corpus and the earlier
+cumulative 10k-doc round-3 sweep.
 """
 import json
 import os
@@ -49,7 +53,10 @@ for base in range(lo, hi, chunk):
     lines = "\n".join(json.dumps(r) for r in reqs)
     proc = subprocess.run(
         ["node", os.path.join(HARNESS_DIR, "ref_run.js")],
-        input=lines, capture_output=True, text=True, timeout=1200,
+        input=lines, capture_output=True, text=True,
+        # the committed test budgets 600 s for 500 requests; scale the
+        # cap with the chunk's 2*chunk requests instead of fixing it
+        timeout=max(600, int(2.4 * chunk)),
         env={**os.environ,
              "NODE_PATH": os.path.join(HARNESS_DIR, "node_modules")},
     )
@@ -70,7 +77,11 @@ for base in range(lo, hi, chunk):
                 n_div += 1
                 print("DIV expand value", seeds[i])
         except JsonLdError as e:
-            if ref_e["ok"]:
+            if _ref_raw_crash(ref_e):
+                # ref raw-crashed, engine raised a JsonLdError: the
+                # doc was never really compared — count the skip
+                n_refcrash += 1
+            elif ref_e["ok"]:
                 n_div += 1
                 print("DIV expand engine-error-ref-ok", seeds[i], e.code)
             elif ref_e.get("code") and e.code != ref_e["code"]:
@@ -99,12 +110,19 @@ for base in range(lo, hi, chunk):
                     n_div += 1
                     print("DIV tordf quads", seeds[i])
         except JsonLdError as e:
-            if ref_r["ok"]:
+            if _ref_raw_crash(ref_r):
+                n_refcrash += 1
+            elif ref_r["ok"]:
                 n_div += 1
                 print("DIV tordf engine-error-ref-ok", seeds[i], e.code)
-    print(f"chunk {base}..{seeds[-1]}: cumulative {n_total} docs, "
-          f"{n_div} divergences, {n_nullq} null-quad skips, "
-          f"{n_refcrash} ref-raw-crash skips", flush=True)
-print(f"DONE {n_total} docs, {n_div} divergences, "
-      f"{n_nullq} null-quad skips, {n_refcrash} ref-raw-crash skips")
+    n_ops = 2 * n_total
+    print(f"chunk {base}..{seeds[-1]}: cumulative {n_total} docs "
+          f"({n_ops} ops, {n_ops - n_nullq - n_refcrash} compared), "
+          f"{n_div} divergences, {n_nullq} null-quad op skips, "
+          f"{n_refcrash} ref-raw-crash op skips", flush=True)
+n_ops = 2 * n_total
+print(f"DONE {n_total} docs ({n_ops} ops, "
+      f"{n_ops - n_nullq - n_refcrash} compared), {n_div} divergences, "
+      f"{n_nullq} null-quad op skips, {n_refcrash} ref-raw-crash op "
+      f"skips")
 sys.exit(1 if n_div else 0)
