@@ -103,6 +103,13 @@ def run_bench() -> dict:
     build_quads_with_mentions(SF_DIR).count()
     queries["kg_quads_with_mentions"] = round(time.perf_counter() - t0, 3)
 
+    # flagship pipeline over the reference's native document format:
+    # assemble → write sharded JSON-LD lines → read back → ToRdf
+    import __ray_entry__ as _entry0
+    t0 = time.perf_counter()
+    _entry0.queries()["kg_quads_jsonl"](SF_DIR).count()
+    queries["kg_quads_jsonl"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()
     queries["kg_entities"] = round(time.perf_counter() - t0, 3)

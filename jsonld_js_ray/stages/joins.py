@@ -28,9 +28,10 @@ def broadcast_join_orders_customers(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    customers = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    from ..rayutil import read_small_pandas
+
+    customers = read_small_pandas(sf_dir, "customer",
+                                  ["c_custkey", "c_mktsegment"])
     seg_of = dict(zip(customers["c_custkey"].astype(int),
                       customers["c_mktsegment"]))
     ref = ray.put(seg_of)
@@ -823,11 +824,11 @@ def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
 
     cut = np.datetime64(cutoff).astype("datetime64[us]")
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"],
-        filter=pads.field("c_mktsegment") == segment,
-    ).to_pandas()
+    from ..rayutil import read_small_pandas
+
+    cust = read_small_pandas(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == segment)
     keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
 
     def order_rows(batch: pa.Table) -> pa.Table:

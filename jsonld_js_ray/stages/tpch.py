@@ -59,17 +59,20 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
     from .sketches import _hash64
 
     # dimension chain on the driver: region ⋈ nation (30 rows total)
-    nation = _read(sf_dir, "nation",
-                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    from ..rayutil import read_small_pandas
+
+    nation = read_small_pandas(sf_dir, "nation",
+                               ["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_small_pandas(sf_dir, "region",
+                            ["r_regionkey", "r_name"])
     rk = int(reg[reg["r_name"] == region]["r_regionkey"].iloc[0])
     nat = nation[nation["n_regionkey"] == rk]
     nat_keys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     nat_ref = ray.put(nat_keys)
 
-    supplier = _read(sf_dir, "supplier",
-                     ["s_suppkey", "s_nationkey"]).to_pandas()
+    supplier = read_small_pandas(sf_dir, "supplier",
+                                 ["s_suppkey", "s_nationkey"])
     supp_nat = np.full(int(supplier["s_suppkey"].max()) + 1, -1,
                        np.int64)
     supp_nat[supplier["s_suppkey"].to_numpy(np.int64)] = \
@@ -253,7 +256,9 @@ def brand_revenue(sf_dir: str):
 
     from .groupkit import int_group_sums
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    from ..rayutil import read_small_pandas
+
+    part = read_small_pandas(sf_dir, "part", ["p_partkey", "p_brand"])
     brands, bcodes = np.unique(part["p_brand"].to_numpy(object),
                                return_inverse=True)
     brand_code = np.full(int(part["p_partkey"].max()) + 1, -1,
