@@ -117,6 +117,21 @@ def _q_kg_quads_jsonl(sf_dir: str):
     return build_quads_from_jsonld_lines(out)
 
 
+def _q_kg_quads_nq_file(sf_dir: str):
+    """Quad table → sharded .nq files → parsed back: puts the N-Quads
+    file codec (sources/nquads_io.py) on the oracle gate. conv_id
+    does not survive the wire format (N-Quads has no such column), so
+    the oracle is the kg_quads SQL minus that column."""
+    import tempfile
+
+    from jsonld_js_ray.pipelines.kg import build_quads
+    from jsonld_js_ray.sources.nquads_io import read_nquads, write_nquads
+
+    out = tempfile.mkdtemp(prefix="nq_file_")
+    write_nquads(build_quads(sf_dir).drop_columns(["conv_id"]), out)
+    return read_nquads(out)
+
+
 def _q_kg_quads_with_mentions(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import build_quads_with_mentions
 
@@ -239,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts": _q_transcripts,
         "kg_quads": _q_kg_quads,
         "kg_quads_jsonl": _q_kg_quads_jsonl,
+        "kg_quads_nq_file": _q_kg_quads_nq_file,
         "kg_quads_with_mentions": _q_kg_quads_with_mentions,
         "kg_quad_stats": _q_kg_quad_stats,
         "kg_mentions": _q_kg_mentions,
@@ -1152,6 +1168,11 @@ def oracle_sql() -> dict[str, str]:
         # same documents, same ToRdf stage, identity preserved by the
         # connector (sources/jsonld_lines.py)
         "kg_quads_jsonl": KG_QUADS_ORACLE_SQL,
+        # file round trip drops conv_id (not part of the N-Quads wire
+        # format); everything else must parse back byte-exact
+        "kg_quads_nq_file": (
+            "SELECT subj, pred, obj_kind, obj_value, obj_datatype, "
+            "obj_lang, graph FROM (" + KG_QUADS_ORACLE_SQL + ")"),
         "kg_quads_with_mentions": KG_QUADS_WITH_MENTIONS_ORACLE_SQL,
         "kg_quad_stats": TRIPLE_STATS_ORACLE_SQL,
         "kg_mentions": MENTIONS_SQL,
