@@ -7,9 +7,10 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Latest recorded run (2026-08-18, seeds 50000..70000 = 20,000 docs /
-40,000 ops): 0 divergences, 3 null-quad op skips, 0 ref-raw-crash op
-skips — on top of the committed 250-doc test corpus and the earlier
+Recorded runs (2026-08-18): seeds 50000..70000 (20,000 docs /
+40,000 ops) — 0 divergences, 3 null-quad op skips; seeds 70000..90000
+(20,000 docs / 40,000 ops) — 0 divergences, 4 null-quad op skips.
+Both on top of the committed 250-doc test corpus and the earlier
 cumulative 10k-doc round-3 sweep.
 """
 import json
