@@ -128,7 +128,9 @@ def _q_kg_quads_nq_file(sf_dir: str):
     from jsonld_js_ray.sources.nquads_io import read_nquads, write_nquads
 
     out = tempfile.mkdtemp(prefix="nq_file_")
-    write_nquads(build_quads(sf_dir).drop_columns(["conv_id"]), out)
+    # conv_id rides along unserialized (the codec writes only the
+    # seven wire columns) — no drop pass needed
+    write_nquads(build_quads(sf_dir), out)
     return read_nquads(out)
 
 

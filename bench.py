@@ -105,10 +105,18 @@ def run_bench() -> dict:
 
     # flagship pipeline over the reference's native document format:
     # assemble → write sharded JSON-LD lines → read back → ToRdf
+    import glob as _glob
+    import shutil as _sh
+
     import __ray_entry__ as _entry0
     t0 = time.perf_counter()
     _entry0.queries()["kg_quads_jsonl"](SF_DIR).count()
     queries["kg_quads_jsonl"] = round(time.perf_counter() - t0, 3)
+    # the connector queries mkdtemp per invocation (no fixed path to
+    # race on); the count above fully consumed the lazy read, so the
+    # scratch dirs are reclaimed here rather than accreting per run
+    for d in _glob.glob("/tmp/jsonld_lines_*") + _glob.glob("/tmp/nq_file_*"):
+        _sh.rmtree(d, ignore_errors=True)
 
     t0 = time.perf_counter()
     surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()

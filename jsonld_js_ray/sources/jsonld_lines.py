@@ -67,11 +67,14 @@ def _conv_id_of(doc: dict, line: str) -> str:
     return "doc-" + hashlib.sha1(line.encode("utf-8")).hexdigest()[:16]
 
 
-def read_docs_jsonld_lines(paths):
-    """``.jsonl`` files of raw JSON-LD lines → (conv_id, doc_json)
-    Dataset (the ToRdf stage's input schema). Only ``.jsonl`` files
-    are read when given a directory — an orphaned ``.tmp`` shard from
-    a crashed write task is never ingested."""
+def read_docs_jsonld_lines(paths, file_extensions=("jsonl", "ndjson",
+                                                   "json")):
+    """Files of raw JSON-LD lines → (conv_id, doc_json) Dataset (the
+    ToRdf stage's input schema). By default the conventional
+    newline-JSON extensions are read and everything else — in
+    particular an orphaned ``.tmp`` shard from a crashed write task —
+    is skipped; pass ``file_extensions=None`` to ingest arbitrary
+    file names (only safe for inputs this engine did not write)."""
     import ray.data as rd
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -87,8 +90,11 @@ def read_docs_jsonld_lines(paths):
             "doc_json": pa.array(docs, pa.large_string()),
         })
 
-    return rd.read_text(paths, file_extensions=["jsonl"]).map_batches(
-        to_rows, batch_format="pyarrow", batch_size=4096)
+    return rd.read_text(
+        paths,
+        file_extensions=(list(file_extensions)
+                         if file_extensions is not None else None),
+    ).map_batches(to_rows, batch_format="pyarrow", batch_size=4096)
 
 
 def build_quads_from_jsonld_lines(paths, batch_size: int = 256,

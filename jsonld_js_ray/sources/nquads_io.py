@@ -104,13 +104,20 @@ def write_nquads(quads_ds, out_dir: str):
     return write_line_shards(lines, out_dir, "nq", "rows", 65536)
 
 
-def read_nquads(paths) -> "ray.data.Dataset":  # noqa: F821
-    """.nq files → quad Dataset. Only ``.nq`` files are read when
-    given a directory — an orphaned ``.tmp`` shard from a crashed
-    write task is never ingested."""
+def read_nquads(paths,
+                file_extensions=("nq", "nquads",
+                                 "nt")) -> "ray.data.Dataset":  # noqa: F821
+    """N-Quads files → quad Dataset. By default the conventional
+    N-Quads/N-Triples extensions are read and everything else — in
+    particular an orphaned ``.tmp`` shard from a crashed write task —
+    is skipped; pass ``file_extensions=None`` to ingest arbitrary
+    file names (only safe for inputs this engine did not write)."""
     import ray.data as rd
 
-    text = rd.read_text(paths, file_extensions=["nq"])
+    text = rd.read_text(
+        paths,
+        file_extensions=(list(file_extensions)
+                         if file_extensions is not None else None))
 
     def to_rows(batch: pa.Table) -> pa.Table:
         return parse_batch(batch)

@@ -34,6 +34,10 @@ n_total = 0
 n_div = 0
 n_nullq = 0
 n_refcrash = 0
+# ref errored WITHOUT a JsonLdError code (and not the raw-crash
+# pattern) while the engine also errored: both sides failed but the
+# codes are not comparable — counted as a skip, never as parity
+n_ref_nocode = 0
 
 
 def _ref_raw_crash(ref) -> bool:
@@ -88,6 +92,8 @@ for base in range(lo, hi, chunk):
             elif ref_e.get("code") and e.code != ref_e["code"]:
                 n_div += 1
                 print("DIV expand code", seeds[i], e.code, ref_e["code"])
+            elif not ref_e.get("code"):
+                n_ref_nocode += 1
         try:
             mine_q = api.to_rdf(json.loads(json.dumps(doc)))
             if _ref_raw_crash(ref_r):
@@ -116,14 +122,21 @@ for base in range(lo, hi, chunk):
             elif ref_r["ok"]:
                 n_div += 1
                 print("DIV tordf engine-error-ref-ok", seeds[i], e.code)
+            elif ref_r.get("code") and e.code != ref_r["code"]:
+                n_div += 1
+                print("DIV tordf code", seeds[i], e.code, ref_r["code"])
+            elif not ref_r.get("code"):
+                n_ref_nocode += 1
     n_ops = 2 * n_total
+    n_skip = n_nullq + n_refcrash + n_ref_nocode
     print(f"chunk {base}..{seeds[-1]}: cumulative {n_total} docs "
-          f"({n_ops} ops, {n_ops - n_nullq - n_refcrash} compared), "
-          f"{n_div} divergences, {n_nullq} null-quad op skips, "
-          f"{n_refcrash} ref-raw-crash op skips", flush=True)
+          f"({n_ops} ops, {n_ops - n_skip} compared), "
+          f"{n_div} divergences, {n_nullq} null-quad / "
+          f"{n_refcrash} ref-raw-crash / {n_ref_nocode} ref-no-code "
+          f"op skips", flush=True)
 n_ops = 2 * n_total
-print(f"DONE {n_total} docs ({n_ops} ops, "
-      f"{n_ops - n_nullq - n_refcrash} compared), {n_div} divergences, "
-      f"{n_nullq} null-quad op skips, {n_refcrash} ref-raw-crash op "
-      f"skips")
+n_skip = n_nullq + n_refcrash + n_ref_nocode
+print(f"DONE {n_total} docs ({n_ops} ops, {n_ops - n_skip} compared), "
+      f"{n_div} divergences, {n_nullq} null-quad / {n_refcrash} "
+      f"ref-raw-crash / {n_ref_nocode} ref-no-code op skips")
 sys.exit(1 if n_div else 0)
