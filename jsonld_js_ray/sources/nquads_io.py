@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..core import nquads as _nq
+from ..core.constants import XSD_STRING
 
 _QUAD_COLUMNS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
                  "obj_lang", "graph"]
@@ -78,19 +79,164 @@ def terms_to_rows(quads: list[tuple],
     return tbl
 
 
-def serialize_batch(batch: pa.Table) -> pa.Table:
-    """Quad rows → one N-Quads line per row (vectorized downstream write
-    via write_text-style sink)."""
+def serialize_batch_rows(batch: pa.Table) -> pa.Table:
+    """Reference serializer: per-quad Python through the core term
+    codec. Kept as the semantic referee for the vectorized path
+    (tests/test_jsonld_lines.py asserts byte-equality) and as the
+    shape that handles any future term kind the fast path doesn't."""
     lines = [_nq.serialize_quad(q).rstrip("\n")
              for q in rows_to_terms(batch)]
     return pa.table({"line": pa.array(lines, pa.large_string())})
 
 
-def parse_batch(batch: pa.Table) -> pa.Table:
-    """read_text lines → quad rows (comments / blank lines dropped)."""
+def serialize_batch(batch: pa.Table) -> pa.Table:
+    """Quad rows → one N-Quads line per row, VECTORIZED: pandas
+    C-string kernels end-to-end (escape = four literal replace
+    passes over the value column; term assembly = masked concats) —
+    no per-quad Python on this corpus-scaled export path. Byte-equal
+    to serialize_batch_rows (pytest-pinned on the real quad table)."""
+    import numpy as np
+
+    from ..core.constants import XSD_STRING as _XSD_STRING
+
+    df = batch.select(_QUAD_COLUMNS).to_pandas()
+    subj = df["subj"].astype(object)
+    s = np.where(df["subj"].str.startswith("_:"),
+                 subj, "<" + subj + ">")
+    p = "<" + df["pred"].astype(object) + ">"
+    kind = df["obj_kind"].to_numpy(object)
+    v = df["obj_value"].astype(object)
+    esc = (df["obj_value"]
+           .str.replace("\\", "\\\\", regex=False)
+           .str.replace('"', '\\"', regex=False)
+           .str.replace("\n", "\\n", regex=False)
+           .str.replace("\r", "\\r", regex=False).astype(object))
+    lang = df["obj_lang"].fillna("").astype(object)
+    dt = df["obj_datatype"].fillna("").astype(object)
+    lit_suffix = np.where(
+        lang != "", "@" + lang,
+        np.where((dt != "") & (dt != _XSD_STRING),
+                 "^^<" + dt + ">", ""))
+    o = np.where(kind == "iri", "<" + v + ">",
+                 np.where(kind == "bnode", v,
+                          '"' + esc + '"' + lit_suffix))
+    g = df["graph"].astype(object)
+    gpart = np.where(g == "@default", "",
+                     np.where(df["graph"].str.startswith("_:"),
+                              " " + g, " <" + g + ">"))
+    lines = s + " " + p + " " + o + gpart + " ."
+    return pa.table({"line": pa.array(lines, pa.large_string())})
+
+
+def parse_batch_rows(batch: pa.Table) -> pa.Table:
+    """Reference parser: the core grammar codec over the joined batch.
+    Kept as the semantic referee for the vectorized path and as the
+    fallback that owns error reporting and escape handling."""
     text = "\n".join(t for t in batch["text"].to_pylist() if t is not None)
     quads = _nq.parse(text)
     return terms_to_rows(quads)
+
+
+# The core grammar (core/nquads._QUAD_RE) with terms captured WITH
+# their delimiters so an unparticipating group ("" from RE2
+# extract_regex) is distinguishable from a legitimately empty term
+# (`<>` → "<>", `""` → '""'). RE2-compatible: no backrefs/lookarounds.
+_FAST_IRI_S = r"(?P<si><[^\x00-\x20<>\"{}|^`\\]*>)"
+_FAST_IRI_P = r"(?P<pi><[^\x00-\x20<>\"{}|^`\\]*>)"
+_FAST_IRI_O = r"(?P<oi><[^\x00-\x20<>\"{}|^`\\]*>)"
+_FAST_IRI_DT = r"(?P<dt><[^\x00-\x20<>\"{}|^`\\]*>)"
+_FAST_IRI_G = r"(?P<gi><[^\x00-\x20<>\"{}|^`\\]*>)"
+_FAST_BN = r"(?:_:(?:[A-Za-z0-9_]|[^\x00-\x7F])(?:[A-Za-z0-9_.\-]|[^\x00-\x7F])*)"
+_FAST_QUAD_PAT = (
+    r"^[ \t]*(?:" + _FAST_IRI_S + r"|(?P<sb>" + _FAST_BN + r"))[ \t]+"
+    + _FAST_IRI_P + r"[ \t]+"
+    r"(?:" + _FAST_IRI_O + r"|(?P<ob>" + _FAST_BN + r")|"
+    r'(?P<ol>"(?:[^"\\\n\r]|\\.)*")'
+    r"(?:\^\^" + _FAST_IRI_DT + r"|@(?P<lg>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)"
+    r"(?:[ \t]+(?:" + _FAST_IRI_G + r"|(?P<gb>" + _FAST_BN + r")))?"
+    r"[ \t]*\.[ \t]*$"
+)
+_RDF_LANGSTRING = \
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """read_text lines → quad rows (comments / blank lines dropped).
+
+    VECTORIZED fast path: one RE2 ``extract_regex`` pass over the
+    whole line column plus masked column assembly — no per-line
+    Python. Taken only when every line is escape-free (no backslash
+    anywhere — then unescaping is the identity), every non-comment
+    line matches the grammar, and there is no trailing comment; any
+    other batch falls back wholesale to the core codec
+    (parse_batch_rows), which owns escapes and parse errors.
+    Within-batch duplicate quads are dropped keep-first, exactly like
+    the joined-text core parse. Byte-parity with the core codec is
+    pytest-pinned on the real corpus and on crafted edge cases."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lines = batch["text"].combine_chunks() \
+        if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    if lines.null_count:
+        lines = lines.drop_null()
+    n = len(lines)
+    if n == 0:
+        return terms_to_rows([])
+    if pc.any(pc.match_substring(lines, "\\")).as_py():
+        return parse_batch_rows(batch)
+    blank = pc.match_substring_regex(lines, r"^[ \t]*(?:#.*)?$")
+    work = lines.filter(pc.invert(blank))
+    if len(work) == 0:
+        return terms_to_rows([])
+    ex = pc.extract_regex(work, _FAST_QUAD_PAT)
+    if ex.null_count:
+        # a malformed line (or one with a trailing comment, which the
+        # fast pattern deliberately omits): let the core codec parse
+        # and report it
+        return parse_batch_rows(batch)
+    df = {f: ex.field(f).to_numpy(zero_copy_only=False).astype(object)
+          for f in ("si", "sb", "pi", "oi", "ob", "ol", "dt", "lg",
+                    "gi", "gb")}
+
+    def inner(v):  # strip the captured <...> / "..." delimiters
+        return np.array([s[1:-1] if s else "" for s in v], object)
+
+    # delimiter strip is a cheap per-cell slice; keep it readable
+    si, oi, dt, gi = (inner(df[k]) for k in ("si", "oi", "dt", "gi"))
+    pred = inner(df["pi"])
+    subj = np.where(df["si"] != "", si, df["sb"])
+    is_oi = df["oi"] != ""
+    is_ob = df["ob"] != ""
+    kind = np.where(is_oi, "iri", np.where(is_ob, "bnode", "literal"))
+    lit_val = inner(df["ol"])
+    obj_value = np.where(is_oi, oi, np.where(is_ob, df["ob"], lit_val))
+    has_dt = df["dt"] != ""
+    has_lg = df["lg"] != ""
+    obj_datatype = np.where(
+        kind != "literal", None,
+        np.where(has_dt, dt,
+                 np.where(has_lg, _RDF_LANGSTRING, XSD_STRING)))
+    obj_lang = np.where(has_lg, df["lg"], None)
+    obj_lang = np.where(kind == "literal", obj_lang, None)
+    graph = np.where(df["gi"] != "", gi,
+                     np.where(df["gb"] != "", df["gb"], "@default"))
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "subj": subj, "pred": pred, "obj_kind": kind,
+        "obj_value": obj_value, "obj_datatype": obj_datatype,
+        "obj_lang": obj_lang, "graph": graph,
+    }).drop_duplicates(keep="first")
+    return pa.table({
+        "subj": pa.array(out["subj"], pa.string()),
+        "pred": pa.array(out["pred"], pa.string()),
+        "obj_kind": pa.array(out["obj_kind"], pa.string()),
+        "obj_value": pa.array(out["obj_value"], pa.large_string()),
+        "obj_datatype": pa.array(out["obj_datatype"], pa.string()),
+        "obj_lang": pa.array(out["obj_lang"], pa.string()),
+        "graph": pa.array(out["graph"], pa.string()),
+    })
 
 
 def write_nquads(quads_ds, out_dir: str):

@@ -88,3 +88,107 @@ def test_multiline_doc_json_guard():
     out = docs_to_lines(pa.table({"doc_json": pa.array([raw])}))
     line = out["line"][0].as_py()
     assert "\n" not in line and json.loads(line) == json.loads(raw)
+
+
+def test_nq_serialize_vectorized_matches_rows(roundtrip, ray_session):
+    """The vectorized N-Quads serializer must be byte-equal to the
+    per-quad term codec on the real quad table (incl. literals with
+    datatypes, langs, bnodes, named graphs)."""
+    from jsonld_js_ray.pipelines.kg import build_quads
+    from jsonld_js_ray.sources.nquads_io import (
+        serialize_batch,
+        serialize_batch_rows,
+    )
+
+    tbl = build_quads(SF_DIR).to_arrow_refs()
+    import ray as _ray
+    import pyarrow as _pa
+
+    full = _pa.concat_tables(_ray.get(tbl))
+    fast = serialize_batch(full)["line"].to_pylist()
+    slow = serialize_batch_rows(full)["line"].to_pylist()
+    assert fast == slow and len(fast) == full.num_rows
+
+
+def test_nq_serialize_vectorized_escapes():
+    import pyarrow as _pa
+
+    from jsonld_js_ray.sources.nquads_io import (
+        serialize_batch,
+        serialize_batch_rows,
+    )
+
+    t = _pa.table({
+        "subj": ["_:b0", "http://e/s", "http://e/s"],
+        "pred": ["http://e/p"] * 3,
+        "obj_kind": ["literal", "literal", "literal"],
+        "obj_value": ['he said "hi"\\\n', "x", "plain"],
+        "obj_datatype": [None, "http://www.w3.org/2001/XMLSchema#string",
+                         "http://e/dt"],
+        "obj_lang": [None, None, None],
+        "graph": ["@default", "_:g0", "http://e/g"],
+    })
+    assert serialize_batch(t)["line"].to_pylist() == \
+        serialize_batch_rows(t)["line"].to_pylist()
+
+
+def _parse_both(lines):
+    import pyarrow as _pa
+
+    from jsonld_js_ray.sources.nquads_io import (
+        parse_batch,
+        parse_batch_rows,
+    )
+
+    t = _pa.table({"text": _pa.array(lines, _pa.string())})
+    a = parse_batch(t).to_pandas()
+    b = parse_batch_rows(t).to_pandas()
+    return (a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_nq_parse_vectorized_matches_rows_edges():
+    lines = [
+        '<http://e/s> <http://e/p> "" .',            # empty literal
+        '<> <http://e/p> <> .',                       # empty IRIs
+        '# a comment',
+        '   ',
+        '<http://e/s> <http://e/p> "x"@en-US <http://e/g> .',
+        '_:b0 <http://e/p> _:b1 _:g2 .',
+        '<http://e/s> <http://e/p> "y"^^<http://e/dt> .',
+        '<http://e/s> <http://e/p> "y"^^<http://e/dt> .',  # dup quad
+        '\t<http://e/s>\t<http://e/p>\t"z" . ',       # tabs / spacing
+    ]
+    a, b = _parse_both(lines)
+    assert a.equals(b) and len(a) == 6
+
+
+def test_nq_parse_escape_and_comment_fall_back():
+    # backslash escapes and trailing comments take the core codec
+    # path; outputs still identical through the public parse_batch
+    lines = [
+        '<http://e/s> <http://e/p> "a\\nb\\"c" .',
+        '<http://e/s2> <http://e/p> "plain" . # trailing',
+    ]
+    a, b = _parse_both(lines)
+    assert a.equals(b) and len(a) == 2
+    assert a["obj_value"].iloc[0] == 'a\nb"c'
+
+
+def test_nq_parse_vectorized_matches_rows_corpus(roundtrip, ray_session):
+    import pyarrow as _pa
+
+    from jsonld_js_ray.pipelines.kg import build_quads
+    from jsonld_js_ray.sources.nquads_io import (
+        parse_batch,
+        parse_batch_rows,
+        serialize_batch,
+    )
+    import ray as _ray
+
+    full = _pa.concat_tables(_ray.get(
+        build_quads(SF_DIR).to_arrow_refs()))
+    lines = serialize_batch(full).rename_columns(["text"])
+    a = parse_batch(lines).to_pandas()
+    b = parse_batch_rows(lines).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) == full.num_rows
