@@ -195,14 +195,17 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         # fast pattern deliberately omits): let the core codec parse
         # and report it
         return parse_batch_rows(batch)
+    import pandas as pd
+
     df = {f: ex.field(f).to_numpy(zero_copy_only=False).astype(object)
           for f in ("si", "sb", "pi", "oi", "ob", "ol", "dt", "lg",
                     "gi", "gb")}
 
     def inner(v):  # strip the captured <...> / "..." delimiters
-        return np.array([s[1:-1] if s else "" for s in v], object)
+        # vectorized C slice; "" (unparticipating group) stays ""
+        return pd.Series(v, dtype=object).str.slice(1, -1) \
+            .to_numpy(object)
 
-    # delimiter strip is a cheap per-cell slice; keep it readable
     si, oi, dt, gi = (inner(df[k]) for k in ("si", "oi", "dt", "gi"))
     pred = inner(df["pi"])
     subj = np.where(df["si"] != "", si, df["sb"])
@@ -221,7 +224,6 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     obj_lang = np.where(kind == "literal", obj_lang, None)
     graph = np.where(df["gi"] != "", gi,
                      np.where(df["gb"] != "", df["gb"], "@default"))
-    import pandas as pd
 
     out = pd.DataFrame({
         "subj": subj, "pred": pred, "obj_kind": kind,
