@@ -8,13 +8,23 @@ onto the upstream map stage):
 1. **No torn shards**: each part is written to a ``.tmp`` file and
    atomically renamed; the paired readers filter to the final
    extension, so a killed task's orphan is never ingested.
-2. **No duplicate shards on retry**: parts are named by the write
-   task's deterministic ``ctx.task_idx`` (stable across Ray retries
-   of the same input bundle, unlike a uuid) and installed with
-   ``os.replace`` — a task retried after its rename already succeeded
-   rewrites the same file with the same content instead of emitting a
-   second differently-named copy that a glob-based reader would
-   double-ingest.
+2. **No duplicate shards on retry or re-run**: parts are named by the
+   write task's deterministic ``ctx.task_idx`` (stable across Ray
+   retries of the same input bundle, unlike a uuid) and installed
+   with ``os.replace`` — a task retried after its rename already
+   succeeded rewrites the same file instead of emitting a second
+   differently-named copy a glob-based reader would double-ingest —
+   and ``on_write_start`` clears prior ``part-*.{ext}`` files so a
+   re-run into the same directory (different task count → different
+   name set) can never leave stale parts from the previous run
+   behind. One write owns a directory at a time.
+
+Within a run, retries are idempotent. ACROSS runs, the part layout
+(which lines land in which file) follows Ray's block partitioning —
+same dataset written at different parallelism yields a different
+file split with identical total content, like write_parquet. A
+caller needing a bit-reproducible shard LAYOUT must repartition
+deterministically upstream.
 """
 
 from __future__ import annotations
@@ -38,7 +48,15 @@ class _LineShardDatasink(Datasink):
         self.manifest_rows: list[tuple[str, int]] = []
 
     def on_write_start(self) -> None:
+        import glob
+
         os.makedirs(self.out_dir, exist_ok=True)
+        # a previous run with more write tasks left part files this
+        # run's name set won't overwrite — clear them so glob readers
+        # see exactly this write's output
+        for stale in glob.glob(
+                os.path.join(self.out_dir, f"part-*.{self.ext}")):
+            os.remove(stale)
 
     def write(self, blocks, ctx) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []

@@ -97,9 +97,12 @@ def serialize_batch(batch: pa.Table) -> pa.Table:
     to serialize_batch_rows (pytest-pinned on the real quad table)."""
     import numpy as np
 
-    from ..core.constants import XSD_STRING as _XSD_STRING
-
     df = batch.select(_QUAD_COLUMNS).to_pandas()
+    kinds = df["obj_kind"].to_numpy(object)
+    if not np.isin(kinds, ("iri", "bnode", "literal")).all():
+        # unknown term kind: defer to the core codec, the single
+        # owner of that semantic, instead of guessing
+        return serialize_batch_rows(batch)
     subj = df["subj"].astype(object)
     s = np.where(df["subj"].str.startswith("_:"),
                  subj, "<" + subj + ">")
@@ -115,7 +118,7 @@ def serialize_batch(batch: pa.Table) -> pa.Table:
     dt = df["obj_datatype"].fillna("").astype(object)
     lit_suffix = np.where(
         lang != "", "@" + lang,
-        np.where((dt != "") & (dt != _XSD_STRING),
+        np.where((dt != "") & (dt != XSD_STRING),
                  "^^<" + dt + ">", ""))
     o = np.where(kind == "iri", "<" + v + ">",
                  np.where(kind == "bnode", v,
@@ -141,19 +144,22 @@ def parse_batch_rows(batch: pa.Table) -> pa.Table:
 # their delimiters so an unparticipating group ("" from RE2
 # extract_regex) is distinguishable from a legitimately empty term
 # (`<>` → "<>", `""` → '""'). RE2-compatible: no backrefs/lookarounds.
-_FAST_IRI_S = r"(?P<si><[^\x00-\x20<>\"{}|^`\\]*>)"
-_FAST_IRI_P = r"(?P<pi><[^\x00-\x20<>\"{}|^`\\]*>)"
-_FAST_IRI_O = r"(?P<oi><[^\x00-\x20<>\"{}|^`\\]*>)"
-_FAST_IRI_DT = r"(?P<dt><[^\x00-\x20<>\"{}|^`\\]*>)"
-_FAST_IRI_G = r"(?P<gi><[^\x00-\x20<>\"{}|^`\\]*>)"
+
+
+def _fast_iri(name: str) -> str:
+    # ONE copy of the IRI character class for all five positions
+    return rf"(?P<{name}><[^\x00-\x20<>\"{{}}|^`\\]*>)"
+
+
 _FAST_BN = r"(?:_:(?:[A-Za-z0-9_]|[^\x00-\x7F])(?:[A-Za-z0-9_.\-]|[^\x00-\x7F])*)"
 _FAST_QUAD_PAT = (
-    r"^[ \t]*(?:" + _FAST_IRI_S + r"|(?P<sb>" + _FAST_BN + r"))[ \t]+"
-    + _FAST_IRI_P + r"[ \t]+"
-    r"(?:" + _FAST_IRI_O + r"|(?P<ob>" + _FAST_BN + r")|"
+    r"^[ \t]*(?:" + _fast_iri("si") + r"|(?P<sb>" + _FAST_BN + r"))[ \t]+"
+    + _fast_iri("pi") + r"[ \t]+"
+    r"(?:" + _fast_iri("oi") + r"|(?P<ob>" + _FAST_BN + r")|"
     r'(?P<ol>"(?:[^"\\\n\r]|\\.)*")'
-    r"(?:\^\^" + _FAST_IRI_DT + r"|@(?P<lg>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)"
-    r"(?:[ \t]+(?:" + _FAST_IRI_G + r"|(?P<gb>" + _FAST_BN + r")))?"
+    r"(?:\^\^" + _fast_iri("dt")
+    + r"|@(?P<lg>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)"
+    r"(?:[ \t]+(?:" + _fast_iri("gi") + r"|(?P<gb>" + _FAST_BN + r")))?"
     r"[ \t]*\.[ \t]*$"
 )
 _RDF_LANGSTRING = \
@@ -164,16 +170,20 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     """read_text lines → quad rows (comments / blank lines dropped).
 
     VECTORIZED fast path: one RE2 ``extract_regex`` pass over the
-    whole line column plus masked column assembly — no per-line
-    Python. Taken only when every line is escape-free (no backslash
-    anywhere — then unescaping is the identity), every non-comment
-    line matches the grammar, and there is no trailing comment; any
-    other batch falls back wholesale to the core codec
-    (parse_batch_rows), which owns escapes and parse errors.
-    Within-batch duplicate quads are dropped keep-first, exactly like
-    the joined-text core parse. Byte-parity with the core codec is
+    escape-free lines (backslash-free means unescaping is the
+    identity) plus masked column assembly — no per-line Python on the
+    common shape. Lines that DO contain a backslash are parsed
+    individually through the core codec and spliced back at their
+    original positions, so a sparse escaped literal costs per-line
+    Python only for itself, not for its whole 65k-line batch. A
+    fast-path line that fails the grammar (malformed, or a trailing
+    comment the fast pattern deliberately omits) falls back wholesale
+    to the core codec, which owns error reporting. Within-batch
+    duplicate quads are dropped keep-first, exactly like the
+    joined-text core parse. Byte-parity with the core codec is
     pytest-pinned on the real corpus and on crafted edge cases."""
     import numpy as np
+    import pandas as pd
     import pyarrow.compute as pc
 
     lines = batch["text"].combine_chunks() \
@@ -183,19 +193,33 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     n = len(lines)
     if n == 0:
         return terms_to_rows([])
-    if pc.any(pc.match_substring(lines, "\\")).as_py():
-        return parse_batch_rows(batch)
     blank = pc.match_substring_regex(lines, r"^[ \t]*(?:#.*)?$")
     work = lines.filter(pc.invert(blank))
     if len(work) == 0:
         return terms_to_rows([])
-    ex = pc.extract_regex(work, _FAST_QUAD_PAT)
+    esc_mask = pc.match_substring(work, "\\").to_numpy(
+        zero_copy_only=False)
+    fast_lines = work.filter(pa.array(~esc_mask))
+    slow_rows: list[pa.Table] = []
+    if esc_mask.any():
+        slow_pos = np.nonzero(esc_mask)[0]
+        for p in slow_pos:
+            # one quad per line (the core parse raises on malformed)
+            q = _nq.parse(work[int(p)].as_py())
+            slow_rows.append(
+                terms_to_rows(q).append_column(
+                    "_pos", pa.array([int(p)], pa.int64())))
+    if len(fast_lines) == 0:
+        out = pa.concat_tables(slow_rows).to_pandas() \
+            .sort_values("_pos").drop(columns="_pos") \
+            .drop_duplicates(keep="first")
+        return _quad_rows_table(out)
+    ex = pc.extract_regex(fast_lines, _FAST_QUAD_PAT)
     if ex.null_count:
         # a malformed line (or one with a trailing comment, which the
         # fast pattern deliberately omits): let the core codec parse
         # and report it
         return parse_batch_rows(batch)
-    import pandas as pd
 
     df = {f: ex.field(f).to_numpy(zero_copy_only=False).astype(object)
           for f in ("si", "sb", "pi", "oi", "ob", "ol", "dt", "lg",
@@ -225,11 +249,27 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     graph = np.where(df["gi"] != "", gi,
                      np.where(df["gb"] != "", df["gb"], "@default"))
 
-    out = pd.DataFrame({
+    fast = pd.DataFrame({
         "subj": subj, "pred": pred, "obj_kind": kind,
         "obj_value": obj_value, "obj_datatype": obj_datatype,
         "obj_lang": obj_lang, "graph": graph,
-    }).drop_duplicates(keep="first")
+    })
+    if slow_rows:
+        # splice the escaped lines' quads back at their original
+        # positions before the keep-first dedup
+        pos = np.arange(len(work))
+        fast["_pos"] = pos[~esc_mask]
+        out = pd.concat(
+            [fast] + [t.to_pandas() for t in slow_rows],
+            ignore_index=True).sort_values("_pos") \
+            .drop(columns="_pos")
+    else:
+        out = fast
+    out = out.drop_duplicates(keep="first")
+    return _quad_rows_table(out)
+
+
+def _quad_rows_table(out) -> pa.Table:
     return pa.table({
         "subj": pa.array(out["subj"], pa.string()),
         "pred": pa.array(out["pred"], pa.string()),

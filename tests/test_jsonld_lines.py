@@ -192,3 +192,18 @@ def test_nq_parse_vectorized_matches_rows_corpus(roundtrip, ray_session):
     b = parse_batch_rows(lines).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert len(a) == full.num_rows
+
+
+def test_nq_parse_sparse_escape_splice():
+    # escaped lines are parsed per-line and spliced back in position;
+    # keep-first dedup must see the original line order
+    lines = [
+        '<http://e/s> <http://e/p> "first" .',
+        '<http://e/s> <http://e/p> "with \\"quote\\"" .',   # slow row
+        '<http://e/s> <http://e/p> "second" .',
+        '<http://e/s> <http://e/p> "with \\"quote\\"" .',   # dup slow
+        '<http://e/s> <http://e/p> "first" .',              # dup fast
+    ]
+    a, b = _parse_both(lines)
+    assert a.equals(b) and len(a) == 3
+    assert list(a["obj_value"]) == ['first', 'with "quote"', 'second']
