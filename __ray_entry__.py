@@ -89,6 +89,22 @@ def _shared_quads(sf_dir: str):
     return _shared_graph_artifacts(sf_dir, edges=False)[0]
 
 
+def _shared_node_degrees(sf_dir: str):
+    """Pinned (node, deg) table over the shared undirected edges —
+    reused by kg_jaccard_neighbors (degree attach) and
+    kg_degree_hist. Same job-id-keyed cache as the other artifacts."""
+    import ray
+
+    from jsonld_js_ray.stages.graph import _pin, _tri_degrees
+
+    _shared_graph_artifacts(sf_dir)     # ensures "und" exists
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    ent = _GRAPH_ARTIFACTS[key]
+    if "deg" not in ent:
+        ent["deg"] = _pin(_tri_degrees(ent["und"]))
+    return ent["deg"]
+
+
 def _q_kg_quads(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import build_quads
 
@@ -613,7 +629,8 @@ def _q_kg_jaccard_neighbors(sf_dir: str):
     from jsonld_js_ray.stages.graph import jaccard_neighbors
 
     quads, und, _ = _shared_graph_artifacts(sf_dir)
-    return jaccard_neighbors(quads, und=und)
+    return jaccard_neighbors(quads, und=und,
+                             deg=_shared_node_degrees(sf_dir))
 
 
 def _jaccard_neighbors_oracle() -> str:
@@ -1002,7 +1019,8 @@ def _q_kg_degree_hist(sf_dir: str):
     from jsonld_js_ray.stages.graph import degree_histogram
 
     quads, und, _ = _shared_graph_artifacts(sf_dir)
-    return degree_histogram(quads, und=und)
+    return degree_histogram(quads, und=und,
+                            deg=_shared_node_degrees(sf_dir))
 
 
 def _funnel_oracle() -> str:

@@ -197,7 +197,8 @@ def run_bench() -> dict:
     queries["kg_communities"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    degree_histogram(quads_m, und=und_m).count()
+    degree_histogram(quads_m, und=und_m,
+                     deg=_entry._shared_node_degrees(SF_DIR)).count()
     queries["kg_degree_hist"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.graph import kcore_quads
@@ -316,7 +317,8 @@ def run_bench() -> dict:
     queries["kg_truss_support"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    jaccard_neighbors(quads_m, und=und_m).count()
+    jaccard_neighbors(quads_m, und=und_m,
+                      deg=_entry._shared_node_degrees(SF_DIR)).count()
     queries["kg_jaccard_neighbors"] = round(time.perf_counter() - t0, 3)
 
     from jsonld_js_ray.stages.joins import salted_skew_join_lineitem_orders

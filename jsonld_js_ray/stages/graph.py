@@ -778,7 +778,8 @@ FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
 """
 
 
-def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
+def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None,
+                      deg=None):
     """quad table → (u, v, n_common, n_union) for pairs sharing ≥ 1
     neighbor with degree in [2, ``max_deg``]: the neighborhood
     Jaccard link-prediction index kept as its EXACT integer numerator
@@ -788,14 +789,17 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
 
     One extra exchange beyond _wedge_scores: each common-count pair
     splits into two node-keyed half rows that pick up their
-    endpoint's degree where deg(n) = row count in n's bucket (the
-    _oriented_edges no-join degree trick), then the pair bucket
-    reunites the halves. The edge list is pinned ONCE and feeds both
-    the wedge engine and the degree hop — otherwise the whole
-    upstream quad pipeline would execute twice."""
+    endpoint's degree from the (node, deg) table routed into the same
+    bucket (n node rows — NOT the 2m edge-endpoint rows the original
+    formulation re-shipped; at sf0.1 that cut the attach exchange
+    from 803k+1.9M rows to 102k+1.9M), then the pair bucket reunites
+    the halves. ``und``/``deg`` let the session pass the pinned
+    shared artifacts so neither the edge dedup nor the degree count
+    reruns per consumer."""
     from .groupkit import pair_run_starts, sorted_lookup
 
     und = und if und is not None else _pin(_undirected_edges(quads))
+    deg = deg if deg is not None else _tri_degrees(und)
     pairs = _wedge_scores(quads, max_deg, "common", scale=None,
                           und=und)
 
@@ -817,25 +821,29 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
             "bucket": _bucket_of(key),
         })
 
-    def edge_ends(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy(zero_copy_only=False)
-        v = batch["v"].to_numpy(zero_copy_only=False)
-        key = np.concatenate([u, v])
-        n = len(key)
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        d = batch["deg"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(node)
+        # the deg value rides the shared "common" column
         return pa.table({
-            "key": pa.array(key, pa.string()),
+            "key": pa.array(node, pa.string()),
             "other": pa.array([""] * n, pa.string()),
-            "common": pa.array(np.zeros(n, np.int64)),
+            "common": pa.array(d),
             "end": pa.array(np.zeros(n, np.int8)),
             "is_pair": pa.array(np.zeros(n, np.int8)),
-            "bucket": _bucket_of(key),
+            "bucket": _bucket_of(node),
         })
 
     def attach_deg(g) -> pa.Table:
         is_pair = (g["is_pair"] == 1).to_numpy()
         keys = g["key"].to_numpy()
-        # deg(n) = count of n-keyed EDGE endpoint rows in this bucket
-        ek, ec = np.unique(keys[~is_pair], return_counts=True)
+        # (node, deg) rows routed into this bucket; nodes unique
+        ek_raw = keys[~is_pair]
+        ec_raw = g["common"].to_numpy(np.int64)[~is_pair]
+        order = np.argsort(ek_raw, kind="stable")
+        ek, ec = ek_raw[order], ec_raw[order]
         p = g[is_pair]
         pk = p["key"].to_numpy()
         hit, idx = sorted_lookup(ek, pk)
@@ -871,7 +879,7 @@ def jaccard_neighbors(quads, max_deg: int = CN_MAX_DEG, und=None):
         })
 
     return pairs.map_batches(halves, batch_format="pyarrow") \
-        .union(und.map_batches(edge_ends, batch_format="pyarrow")) \
+        .union(deg.map_batches(deg_rows, batch_format="pyarrow")) \
         .groupby("bucket").map_groups(attach_deg,
                                       batch_format="pandas") \
         .groupby("pbucket").map_groups(reunite, batch_format="pandas")
@@ -1656,13 +1664,13 @@ s{t} AS (SELECT s{t - 1}.node,
 
 # --- degree histogram (graph-shape diagnostic) ---
 
-def degree_histogram(quads, und=None):
+def degree_histogram(quads, und=None, deg=None):
     """quad table → (deg, n_nodes): the undirected degree distribution
     of the IRI–IRI graph. Distinct degree VALUES are bounded by the
     max degree (not the corpus), so the final groupby is tiny; the
     node-degree table itself pre-reduces per batch."""
-    deg = _tri_degrees(und if und is not None
-                       else _undirected_edges(quads))
+    deg = deg if deg is not None else _tri_degrees(
+        und if und is not None else _undirected_edges(quads))
 
     def partial(batch: pa.Table) -> pa.Table:
         d = batch["deg"].to_numpy(zero_copy_only=False)
