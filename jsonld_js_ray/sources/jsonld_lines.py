@@ -39,13 +39,23 @@ def docs_to_lines(batch: pa.Table) -> pa.Table:
 
     ``doc_json`` comes from ``json.dumps`` (assemble stage), which
     escapes embedded newlines — every document is one physical line
-    by construction; the guard below keeps a foreign multi-line value
-    from silently corrupting the shard."""
-    lines = []
-    for s in batch["doc_json"].to_pylist():
-        if "\n" in s or "\r" in s:
-            s = json.dumps(json.loads(s), separators=(",", ":"))
-        lines.append(s)
+    by construction; the guard keeps a foreign multi-line value from
+    silently corrupting the shard. The newline scan is a vectorized
+    Arrow kernel; only the (normally zero) offending rows pay a
+    Python re-dump."""
+    import pyarrow.compute as pc
+
+    col = batch["doc_json"]
+    bad = pc.or_(pc.match_substring(col, "\n"),
+                 pc.match_substring(col, "\r"))
+    if not pc.any(bad).as_py():
+        return pa.table({"line": col.cast(pa.large_string())})
+    bad_np = bad.to_numpy(zero_copy_only=False)
+    lines = col.to_pylist()
+    for i in range(len(lines)):
+        if bad_np[i]:
+            lines[i] = json.dumps(json.loads(lines[i]),
+                                  separators=(",", ":"))
     return pa.table({"line": pa.array(lines, pa.large_string())})
 
 
