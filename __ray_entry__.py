@@ -597,7 +597,8 @@ def _q_kg_clustering(sf_dir: str):
     from jsonld_js_ray.stages.graph import clustering_quads
 
     quads, und, directed = _shared_graph_artifacts(sf_dir)
-    return clustering_quads(quads, und=und, directed=directed)
+    return clustering_quads(quads, und=und, directed=directed,
+                            deg=_shared_node_degrees(sf_dir))
 
 
 def _clustering_oracle() -> str:
@@ -846,7 +847,8 @@ def _q_kg_triangles(sf_dir: str):
     # every queries() entry returns a Dataset (registry contract)
     quads, und, directed = _shared_graph_artifacts(sf_dir)
     return rd.from_arrow(
-        triangle_stats(quads, und=und, directed=directed))
+        triangle_stats(quads, und=und, directed=directed,
+                       deg=_shared_node_degrees(sf_dir)))
 
 
 def _q_kg_components(sf_dir: str):

@@ -464,7 +464,7 @@ def _wedges(directed, with_center: bool = False):
                                                  batch_format="pandas")
 
 
-def triangle_stats(quads, und=None, directed=None):
+def triangle_stats(quads, und=None, directed=None, deg=None):
     """quad table → 1-row pyarrow.Table (n_nodes, n_edges,
     n_triangles) over the undirected distinct IRI–IRI graph.
 
@@ -472,7 +472,7 @@ def triangle_stats(quads, und=None, directed=None):
     hash join keyed by the fused (x, y) pair hash; only per-bucket
     match counts (scalars) leave the workers.
 
-    ``und``/``directed`` accept the PINNED edge artifacts so one
+    ``und``/``directed``/``deg`` accept the PINNED artifacts so one
     derivation serves the whole triangle family (triangles,
     clustering, truss) within a bench/driver session — each used to
     re-derive its own (VERDICT r3 #6)."""
@@ -515,7 +515,9 @@ def triangle_stats(quads, und=None, directed=None):
 
     n_tri = closed.sum("n") or 0
     return pa.table({
-        "n_nodes": pa.array([_tri_degrees(und).count()], pa.int64()),
+        "n_nodes": pa.array([(deg if deg is not None
+                              else _tri_degrees(und)).count()],
+                            pa.int64()),
         "n_edges": pa.array([und.count()], pa.int64()),
         "n_triangles": pa.array([int(n_tri)], pa.int64()),
     })
@@ -538,7 +540,7 @@ SELECT
 """
 
 
-def clustering_quads(quads, und=None, directed=None):
+def clustering_quads(quads, und=None, directed=None, deg=None):
     """quad table → (node, n_tri, n_wedges) for every node with
     degree ≥ 2 over the undirected distinct IRI–IRI graph: the local
     clustering coefficient n_tri / n_wedges kept as its EXACT integer
@@ -643,9 +645,9 @@ def clustering_quads(quads, und=None, directed=None):
             "n_wedges": pa.array(degs[keep] * (degs[keep] - 1) // 2),
         })
 
+    deg = deg if deg is not None else _tri_degrees(und)
     return credits.map_batches(tri_side, batch_format="pyarrow") \
-        .union(_tri_degrees(und).map_batches(deg_side,
-                                             batch_format="pyarrow")) \
+        .union(deg.map_batches(deg_side, batch_format="pyarrow")) \
         .groupby("nbucket").map_groups(finish, batch_format="pandas")
 
 
