@@ -7,11 +7,12 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18): seeds 50000..70000, 70000..90000 and
-92200..112200 — 20,000 docs / 40,000 ops each, 0 divergences (3, 4
-and 2 null-quad op skips respectively). All on top of the committed
-250-doc test corpus and the earlier cumulative 10k-doc round-3
-sweep.
+Recorded runs (2026-08-18/19): five fresh-seed ranges covering
+seeds 50000..172200 — 120,000 docs / 240,000 ops total, 0
+divergences (30 null-quad op skips total, the known reference
+list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). All on top of the
+committed 250-doc test corpus and the earlier cumulative 10k-doc
+round-3 sweep.
 """
 import json
 import os
