@@ -1051,11 +1051,16 @@ def _seed_vocab(quads) -> np.ndarray:
 def _md5_hex(values: np.ndarray) -> np.ndarray:
     """Per-row md5 hexdigest (the deterministic-sampling contract —
     same per-row md5 the split/sample operators use, bounded by the
-    edge-list read)."""
+    edge-list read). Hashes each DISTINCT value once and gathers:
+    the adjacency rows this feeds repeat every hub node deg times, so
+    the Python md5 loop runs over the per-batch vocabulary, not the
+    row count."""
     import hashlib
 
-    return np.array([hashlib.md5(str(v).encode()).hexdigest()
-                     for v in values], object)
+    uniq, inv = np.unique(values, return_inverse=True)
+    hx = np.array([hashlib.md5(str(v).encode()).hexdigest()
+                   for v in uniq], object)
+    return hx[inv] if len(uniq) else hx
 
 
 def neighbor_sample_quads(quads, k: int = SAMPLE_K, und=None):
