@@ -1241,14 +1241,18 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN, und=None):
         key = np.concatenate([u, v])
         nb = np.concatenate([v, u])
         n = len(key)
+        # hub neighbors repeat deg times: hash each DISTINCT (t, nb)
+        # once and gather, so the md5 loop is vocabulary-bounded
+        nb_uniq, nb_inv = np.unique(nb, return_inverse=True)
         keys_out, nbs_out, ts_out, hs_out = [], [], [], []
         for t in range(1, walk_len + 1):
             keys_out.append(key)
             nbs_out.append(nb)
             ts_out.append(np.full(n, t, np.int64))
-            hs_out.append(np.array(
+            hx = np.array(
                 [hashlib.md5(f"{t}|{x}".encode()).hexdigest()
-                 for x in nb], object))
+                 for x in nb_uniq], object)
+            hs_out.append(hx[nb_inv] if len(nb_uniq) else hx)
         key_all = np.concatenate(keys_out)
         return pa.table({
             "a": pa.array(key_all, pa.string()),
