@@ -7,9 +7,9 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): seven fresh-seed ranges covering
-seeds 50000..272200 — 220,000 docs / 440,000 ops total, 0
-divergences (53 null-quad op skips total, the known reference
+Recorded runs (2026-08-18/19): eight fresh-seed ranges covering
+seeds 50000..332200 — 280,000 docs / 560,000 ops total, 0
+divergences (66 null-quad op skips total, the known reference
 list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). All on top of the
 committed 250-doc test corpus and the earlier cumulative 10k-doc
 round-3 sweep.
