@@ -344,95 +344,196 @@ def _verified_pairs(docs, pairs, kind: str, threshold: float):
     return _verified_pairs_ds(docs, pairs, kind, threshold).to_pandas()
 
 
-def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
-    """Candidate pairs → VERIFIED pair Dataset (a, b), with the exact
-    gram-Jaccard check running DISTRIBUTED.
-
-    Each doc's gram set is hashed ONCE corpus-wide (vectorized siphash
-    over the grams, sorted unique uint64 array) in a map_batches pass;
-    the ARRAYS — not texts — then ship to the verify shards that need
-    them (shard = pair_id % VERIFY_SHARDS), and per-pair Jaccard is
-    ``np.intersect1d(assume_unique=True)`` over int arrays. A 64-bit
-    gram-hash collision would be needed to change any |A∩B| (2^-64 per
-    distinct-gram pair — negligible even for the exact oracles). The
-    result stays in the object store — callers that can consume a
-    Dataset (the distributed labeler) never pull pairs to the driver.
-
-    kind: 'word' → word-3-shingle Jaccard; 'char' → char-3-gram
-    Jaccard."""
-    import warnings
-
-    import pandas as pd
-    import ray
+def _empty_pairs_ds():
     import ray.data as rd
 
-    if not len(pairs):
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64())}))
-    a_ids = pairs["a"].astype("int64").to_numpy()
-    b_ids = pairs["b"].astype("int64").to_numpy()
-    pair_ids = np.arange(len(a_ids), dtype=np.int64)
-    shards = pair_ids % _n_verify_shards(len(a_ids))
+    return rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64())}))
 
-    # driver-side need map: doc_id → sorted shard list (ids only)
-    need: dict[int, set] = {}
-    for doc, sh in zip(np.concatenate([a_ids, b_ids]),
-                       np.concatenate([shards, shards])):
-        need.setdefault(int(doc), set()).add(int(sh))
-    need_ref = ray.put({d: sorted(v) for d, v in need.items()})
 
-    role_rows = pa.table({
-        "shard": pa.array(np.concatenate([shards, shards]).astype(
-            "int32")),
-        "pair_id": pa.array(np.concatenate([pair_ids, pair_ids])),
-        "role": pa.array(["a"] * len(a_ids) + ["b"] * len(b_ids),
-                         pa.string()),
-        "doc_id": pa.array(np.concatenate([a_ids, b_ids])),
-        "grams": pa.nulls(2 * len(a_ids), pa.list_(pa.uint64())),
-    })
+def _pair_hash64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit pair hash (pairs are normalized a < b by
+    the generators, so order sensitivity is fine) — the pure-pair
+    routing key that makes duplicate candidates from different LSH
+    buckets co-locate in one verify shard."""
+    from .sketches import _hash64
+
+    ua = np.ascontiguousarray(a, dtype=np.int64).view(np.uint64)
+    ub = np.ascontiguousarray(b, dtype=np.int64).view(np.uint64)
+    return _hash64(_hash64(ua) ^ ub)
+
+
+# gram-join doc buckets: one bucket's task materializes its docs' texts,
+# so the bucket count scales with the doc count (callers pass
+# n_docs_hint when they know it — the dedup pipelines do)
+DOCS_PER_GRAM_BUCKET = 50_000
+MAX_GRAM_BUCKETS = 4096
+
+_EMPTY_GRAM_ROWS = pa.table({
+    "shard": pa.array([], pa.int32()),
+    "role": pa.array([], pa.string()),
+    "a": pa.array([], pa.int64()),
+    "b": pa.array([], pa.int64()),
+    "doc_id": pa.array([], pa.int64()),
+    "grams": pa.array([], pa.list_(pa.uint64())),
+})
+
+
+def _gram_list_array(arrays: list, n: int) -> pa.ListArray:
+    # one flat buffer + offsets instead of a per-row Python list
+    # conversion (the gram column is the bulk of the shuffle)
+    lens = np.fromiter((len(x) for x in arrays), dtype=np.int64,
+                       count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.concatenate(arrays) if n else np.zeros(0, dtype=np.uint64)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(flat, pa.uint64()))
+
+
+def _verified_pairs_ds(docs, pairs, kind: str, threshold: float,
+                       n_docs_hint: int | None = None):
+    """Candidate pairs → VERIFIED pair Dataset (a, b), with the exact
+    gram-Jaccard check running DISTRIBUTED and the pair list staying a
+    Dataset END-TO-END — no driver-side pair materialization, need-map
+    dict, or text dict at any scale:
+
+    1. every (a, b) candidate routes to verify shard
+       ``_pair_hash64(a, b) % nshards`` in a map_batches pass. The
+       shard key is a pure function of the pair, so duplicate
+       candidates emitted by different LSH buckets co-locate and are
+       dropped IN-shard (``drop_duplicates``) — global dedup without a
+       dedicated exchange.
+    2. need rows (doc_id, shard) — 12 bytes each — co-group with the
+       (doc_id, text) rows by ``hash64(doc_id) % n_buckets`` (a
+       distributed semi-join replacing the old ``ray.put`` need-map
+       broadcast, which was a driver dict of O(|pairs|) entries). Each
+       bucket hashes a needed doc's grams ONCE (vectorized siphash,
+       sorted unique uint64 array) and ships the ARRAY — not the text —
+       to exactly the shards holding one of its pairs.
+    3. per-pair Jaccard is ``np.intersect1d(assume_unique=True)`` over
+       int arrays. A 64-bit gram-hash collision would be needed to
+       change any |A∩B| (2^-64 per distinct-gram pair — negligible even
+       for the exact oracles).
+
+    ``pairs`` may be a Ray Dataset (the scale path) or a small pandas
+    DataFrame (the certificate referees). kind: 'word' → word-3-shingle
+    Jaccard; 'char' → char-3-gram Jaccard. ``n_docs_hint`` sizes the
+    gram-join buckets (~DOCS_PER_GRAM_BUCKET docs of text per bucket
+    task); without it the bucket count follows the verify-shard count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .sketches import _hash64
+
+    if not isinstance(pairs, rd.Dataset):
+        if not len(pairs):
+            return _empty_pairs_ds()
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array(pairs["a"].astype("int64"), pa.int64()),
+            "b": pa.array(pairs["b"].astype("int64"), pa.int64())}))
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _empty_pairs_ds()
+    nsh = _n_verify_shards(n_pairs)
+    if n_docs_hint is None:
+        n_buckets = max(32, nsh)
+    else:
+        n_buckets = max(32, -(-int(n_docs_hint) // DOCS_PER_GRAM_BUCKET))
+    n_buckets = int(min(MAX_GRAM_BUCKETS, n_buckets))
 
     gram = word_shingles if kind == "word" else \
         (lambda x: char_ngrams(x, 3))
 
-    def gram_rows(batch: pa.Table, *, _ref=need_ref,
-                  _gram=gram) -> pa.Table:
-        import ray as _ray
-        nd = _ray.get(_ref)
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_shard, out_doc, out_grams = [], [], []
-        for d, t in zip(ids, texts):
-            targets = nd.get(int(d), ())
-            if not targets:
-                continue
+    def _ab(batch: pa.Table):
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return a, b
+
+    def roster(batch: pa.Table, _n=nsh) -> pa.Table:
+        a, b = _ab(batch)
+        shard = (_pair_hash64(a, b) % np.uint64(_n)).astype(np.int32)
+        n = len(a)
+        return pa.table({
+            "shard": pa.array(shard),
+            "role": pa.array(["p"] * n, pa.string()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "grams": pa.nulls(n, pa.list_(pa.uint64())),
+        })
+
+    def need_rows(batch: pa.Table, _n=nsh, _nb=n_buckets) -> pa.Table:
+        a, b = _ab(batch)
+        shard = (_pair_hash64(a, b) % np.uint64(_n)).astype(np.int64)
+        doc = np.concatenate([a, b])
+        sh = np.concatenate([shard, shard])
+        # batch-local dedupe: a doc's pairs within one shard need its
+        # grams once (the bucket join dedupes cross-batch repeats)
+        uniq = np.unique(np.stack([doc, sh], axis=1), axis=0)
+        doc, sh = uniq[:, 0], uniq[:, 1].astype(np.int32)
+        bucket = (_hash64(doc.view(np.uint64))
+                  % np.uint64(_nb)).astype(np.int32)
+        return pa.table({
+            "dbucket": pa.array(bucket),
+            "role": pa.array(["n"] * len(doc), pa.string()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "shard": pa.array(sh),
+            "text": pa.nulls(len(doc), pa.large_string()),
+        })
+
+    def doc_rows(batch: pa.Table, _nb=n_buckets) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = (_hash64(ids.view(np.uint64))
+                  % np.uint64(_nb)).astype(np.int32)
+        return pa.table({
+            "dbucket": pa.array(bucket),
+            "role": pa.array(["d"] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(np.full(len(ids), -1, np.int32)),
+            "text": batch["text"].cast(pa.large_string()),
+        })
+
+    bucketed = pairs.map_batches(need_rows, batch_format="pyarrow") \
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+
+    def gram_bucket(g: pd.DataFrame, _gram=gram) -> pa.Table:
+        needs = g[g["role"] == "n"]
+        if needs.empty:
+            return _EMPTY_GRAM_ROWS
+        # doc → sorted unique shard list (the distributed need map)
+        need_map = {
+            int(d): np.unique(sub.to_numpy())
+            for d, sub in needs.groupby("doc_id")["shard"]}
+        dpart = g[g["role"] == "d"]
+        dsel = dpart[dpart["doc_id"].isin(need_map.keys())]
+        out_shard: list[int] = []
+        out_doc: list[int] = []
+        out_grams: list[np.ndarray] = []
+        for d, t in zip(dsel["doc_id"], dsel["text"]):
             hashes = np.sort(hash_shingle_array(list(_gram(t or ""))))
-            for sh in targets:
-                out_shard.append(sh)
+            for sh in need_map[int(d)]:
+                out_shard.append(int(sh))
                 out_doc.append(int(d))
                 out_grams.append(hashes)
         n = len(out_doc)
-        # one flat buffer + offsets instead of a per-row Python list
-        # conversion (the gram column is the bulk of the shuffle)
-        lens = np.fromiter((len(x) for x in out_grams), dtype=np.int64,
-                           count=n)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        flat = np.concatenate(out_grams) if n else \
-            np.zeros(0, dtype=np.uint64)
-        gram_col = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), pa.int32()),
-            pa.array(flat, pa.uint64()))
         return pa.table({
             "shard": pa.array(out_shard, pa.int32()),
-            "pair_id": pa.array([-1] * n, pa.int64()),
             "role": pa.array(["t"] * n, pa.string()),
+            "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "doc_id": pa.array(out_doc, pa.int64()),
-            "grams": gram_col,
+            "grams": _gram_list_array(out_grams, n),
         })
 
-    unioned = rd.from_arrow(role_rows).union(
-        docs.map_batches(gram_rows, batch_format="pyarrow"))
+    grams_ds = bucketed.groupby("dbucket").map_groups(
+        gram_bucket, batch_format="pandas")
+    unioned = pairs.map_batches(roster, batch_format="pyarrow") \
+        .union(grams_ds)
 
     def verify_shard(g: pd.DataFrame, _t=threshold):
         texts_df = g[g["role"] == "t"][["doc_id", "grams"]]
@@ -441,9 +542,8 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
         grams_of = {int(d): np.asarray(v, dtype=np.uint64)
                     for d, v in zip(texts_df["doc_id"],
                                     texts_df["grams"])}
-        ga = g[g["role"] == "a"]
-        gb = dict(zip(g[g["role"] == "b"]["pair_id"].astype(int),
-                      g[g["role"] == "b"]["doc_id"].astype(int)))
+        # in-shard global dedup: the shard key is a pure pair function
+        gp = g[g["role"] == "p"].drop_duplicates(subset=["a", "b"])
         empty = np.zeros(0, dtype=np.uint64)
         av, bv = [], []
         # per-PAIR loop over numpy intersect of the two (sorted unique)
@@ -453,15 +553,7 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
         # (measured 8x slower at 16 concurrent tasks), while per-pair
         # intersects stay in L1/L2 (~17us/pair incl. Python dispatch;
         # shards bound the per-task pair count so tasks stay sub-second)
-        for pid, da in zip(ga["pair_id"].astype(int),
-                           ga["doc_id"].astype(int)):
-            db = gb.get(pid)
-            if db is None:
-                warnings.warn(
-                    f"verify shard missing side b for pair {pid}; "
-                    f"treating as non-duplicate (should not happen — "
-                    f"both sides share the shard key)")
-                continue
+        for da, db in zip(gp["a"].astype(int), gp["b"].astype(int)):
             sa = grams_of.get(da, empty)
             sb = grams_of.get(db, empty)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
@@ -478,7 +570,15 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float):
 
 def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
                         strict_caps: bool = False):
-    """(key_cols..., doc_id, ...) rows → candidate-pair DataFrame.
+    """(key_cols..., doc_id, ...) rows → candidate-pair DATASET (a, b).
+
+    The pair list never touches the driver: the result is a lazy Ray
+    Dataset that downstream stages consume in the object store. It MAY
+    contain duplicates (the same pair found in several buckets) — the
+    verify shard of ``_verified_pairs_ds`` drops them in-shard (its
+    shard key is a pure function of the pair, so duplicates co-locate),
+    and the union-find / min-label consumers are idempotent under
+    repeated edges, so no dedicated dedup exchange is spent anywhere.
 
     ONE shuffle: every banded row is routed to a coarse shard by a
     fused 64-bit key of the bucket columns (a whole bucket always lands
@@ -538,9 +638,8 @@ def _pairs_from_buckets(banded, key_cols: list[str], pair_fn=None,
         outs = [o for o in outs if len(o)]
         return pd.concat(outs, ignore_index=True) if outs else _empty
 
-    pairs_ds = banded.map_batches(add_shard, batch_format="pyarrow") \
+    return banded.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
-    return pairs_ds.to_pandas().drop_duplicates()
 
 
 def _cap_event(msg: str, strict: bool) -> None:
@@ -749,14 +848,16 @@ def minhash_lsh_dedup(docs, threshold: float = MINHASH_THRESHOLD,
     Pass ``labeler=`` to force either path (same candidate/verify
     pipeline — ONE definition, no copy to drift)."""
     banded = docs.map_batches(MinHashStage(), batch_format="pyarrow",
-                              batch_size=256)
+                              batch_size=256).materialize()
+    n_docs = max(1, banded.count() // BANDS)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"],
                                 strict_caps=strict_caps)
-    # the verified pair list stays a DATASET until the labeler decision:
-    # the adaptive swap must trigger BEFORE a huge pair list would be
+    # the CANDIDATE pair list stays a Dataset through verification and
+    # the VERIFIED list stays one until the labeler decision: the
+    # adaptive swap must trigger BEFORE a huge pair list would be
     # pulled to (and re-shipped from) the driver
-    verified_ds = _verified_pairs_ds(docs, pairs, "word",
-                                     threshold).materialize()
+    verified_ds = _verified_pairs_ds(docs, pairs, "word", threshold,
+                                     n_docs_hint=n_docs).materialize()
     if labeler is None and             verified_ds.count() > DISTRIBUTED_LABELER_PAIRS:
         labeler = cluster_pairs_distributed
     if labeler is not None:
@@ -915,24 +1016,28 @@ def simhash_dedup(docs, max_hamming: int = SIMHASH_MAX_HAMMING,
     Hamming ≤ 3 over 64 bits guarantees at least one of the four 16-bit
     bands matches exactly (pigeonhole) — each band is a groupby bucket.
     Hamming verification runs IN-BUCKET (signatures are group rows); the
-    driver union-find sees only verified pairs."""
+    pair list stays a Dataset (union of the four band runs — duplicate
+    edges across bands are harmless: the union-find and the min-label
+    propagation are both idempotent under repeated edges) and the
+    labeler is adaptive like ``minhash_lsh_dedup``'s."""
     import functools
-
-    import pandas as pd
 
     sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow",
                             batch_size=256).materialize()
     verify = functools.partial(_bucket_pairs_hamming,
                                max_hamming=max_hamming,
                                strict=strict_caps)
-    frames = [
+    per_band = [
         _pairs_from_buckets(
             sigs.select_columns([f"band{band}", "doc_id", "simhash"]),
             [f"band{band}"], pair_fn=verify)
         for band in range(4)
     ]
-    all_pairs = pd.concat(frames).drop_duplicates()
+    pairs_ds = per_band[0].union(*per_band[1:]).materialize()
+    if pairs_ds.count() > DISTRIBUTED_LABELER_PAIRS:
+        return cluster_pairs_distributed(docs, pairs_ds)
 
+    all_pairs = pairs_ds.to_pandas()     # small: below the swap bound
     uf = _UnionFind()
     for a, b in zip(all_pairs.get("a", []), all_pairs.get("b", [])):
         uf.union(int(a), int(b))
@@ -1116,13 +1221,21 @@ def ngram_jaccard_dedup(docs, threshold: float = NGRAM_THRESHOLD,
                         strict_caps: bool = False):
     """documents → (doc_id, cluster_id, keep): near-dup = character
     3-gram Jaccard ≥ threshold, candidates via char-gram MinHash bands,
-    verified with the exact ``ngram_jaccard`` kernel."""
+    verified with the exact gram-Jaccard kernel. Candidate pairs stay a
+    Dataset end-to-end; the labeler is adaptive like
+    ``minhash_lsh_dedup``'s."""
     banded = docs.map_batches(CharGramMinHashStage(),
-                              batch_format="pyarrow", batch_size=256)
+                              batch_format="pyarrow",
+                              batch_size=256).materialize()
+    n_docs = max(1, banded.count() // CHAR_BANDS)
     pairs = _pairs_from_buckets(banded, ["band_id", "band_hash"],
                                 strict_caps=strict_caps)
-    verified = _verified_pairs(docs, pairs, "char", threshold)
+    verified_ds = _verified_pairs_ds(docs, pairs, "char", threshold,
+                                     n_docs_hint=n_docs).materialize()
+    if verified_ds.count() > DISTRIBUTED_LABELER_PAIRS:
+        return cluster_pairs_distributed(docs, verified_ds)
 
+    verified = verified_ds.to_pandas()   # small: below the swap bound
     uf = _UnionFind()
     for a, b in zip(verified.get("a", []), verified.get("b", [])):
         uf.union(int(a), int(b))
