@@ -111,6 +111,14 @@ def _q_kg_quads(sf_dir: str):
     return build_quads(sf_dir)
 
 
+# scratch dirs mkdtemp'd by the connector queries below, in creation
+# order. Callers that fully consume the returned (lazy) datasets may
+# rmtree exactly these (bench.py does) — deleting by /tmp glob could
+# hit a CONCURRENT process's live scratch, and would miss dirs when
+# TMPDIR points elsewhere (tempfile.mkdtemp honors TMPDIR).
+SCRATCH_DIRS: list[str] = []
+
+
 def _q_kg_quads_jsonl(sf_dir: str):
     """Flagship toRDF over the reference's NATIVE document format:
     assemble the per-conversation JSON-LD documents, write them as
@@ -129,6 +137,7 @@ def _q_kg_quads_jsonl(sf_dir: str):
     # let a second call rmtree shards a previous call's still-lazy
     # read plan references (tiny at oracle scale, so no cleanup)
     out = tempfile.mkdtemp(prefix="jsonld_lines_")
+    SCRATCH_DIRS.append(out)
     write_docs_jsonld_lines(assemble_docs(sf_dir), out)
     return build_quads_from_jsonld_lines(out)
 
@@ -144,6 +153,7 @@ def _q_kg_quads_nq_file(sf_dir: str):
     from jsonld_js_ray.sources.nquads_io import read_nquads, write_nquads
 
     out = tempfile.mkdtemp(prefix="nq_file_")
+    SCRATCH_DIRS.append(out)
     # conv_id rides along unserialized (the codec writes only the
     # seven wire columns) — no drop pass needed
     write_nquads(build_quads(sf_dir), out)

@@ -105,7 +105,6 @@ def run_bench() -> dict:
 
     # flagship pipeline over the reference's native document format:
     # assemble → write sharded JSON-LD lines → read back → ToRdf
-    import glob as _glob
     import shutil as _sh
 
     import __ray_entry__ as _entry0
@@ -113,10 +112,13 @@ def run_bench() -> dict:
     _entry0.queries()["kg_quads_jsonl"](SF_DIR).count()
     queries["kg_quads_jsonl"] = round(time.perf_counter() - t0, 3)
     # the connector queries mkdtemp per invocation (no fixed path to
-    # race on); the count above fully consumed the lazy read, so the
-    # scratch dirs are reclaimed here rather than accreting per run
-    for d in _glob.glob("/tmp/jsonld_lines_*") + _glob.glob("/tmp/nq_file_*"):
+    # race on) and record their paths in SCRATCH_DIRS; the count above
+    # fully consumed the lazy read, so exactly THOSE dirs are reclaimed
+    # here (a /tmp glob could delete a concurrent process's live
+    # scratch, and would miss dirs when TMPDIR is not /tmp)
+    for d in _entry0.SCRATCH_DIRS:
         _sh.rmtree(d, ignore_errors=True)
+    _entry0.SCRATCH_DIRS.clear()
 
     t0 = time.perf_counter()
     surface_stats(detect_mentions(read_transcripts(SF_DIR))).count()

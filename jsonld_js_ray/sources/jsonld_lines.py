@@ -70,8 +70,10 @@ def write_docs_jsonld_lines(docs_ds, out_dir: str):
     return write_line_shards(lines, out_dir, "jsonl", "docs", 4096)
 
 
-def _conv_id_of(doc: dict, line: str) -> str:
-    node_id = doc.get("@id")
+def _conv_id_of(doc, line: str) -> str:
+    # a top-level JSON-LD document may be an array (or, degenerately,
+    # a scalar) — those have no @id and take the fingerprint fallback
+    node_id = doc.get("@id") if isinstance(doc, dict) else None
     if isinstance(node_id, str) and node_id.startswith(CONV_ID_NS):
         return node_id[len(CONV_ID_NS):]
     return "doc-" + hashlib.sha1(line.encode("utf-8")).hexdigest()[:16]

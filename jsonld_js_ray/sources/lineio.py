@@ -54,8 +54,13 @@ class _LineShardDatasink(Datasink):
         # a previous run with more write tasks left part files this
         # run's name set won't overwrite — clear them so glob readers
         # see exactly this write's output
+        # ...and orphaned .tmp files from tasks killed mid-write in a
+        # prior run: readers already skip them by extension, but they
+        # would otherwise accumulate forever in a reused directory
         for stale in glob.glob(
-                os.path.join(self.out_dir, f"part-*.{self.ext}")):
+                os.path.join(self.out_dir, f"part-*.{self.ext}")) \
+                + glob.glob(os.path.join(
+                    self.out_dir, f"part-*.{self.ext}.*.tmp")):
             os.remove(stale)
 
     def write(self, blocks, ctx) -> list[tuple[str, int]]:

@@ -11,6 +11,7 @@ import pyarrow as pa
 
 from ..core import nquads as _nq
 from ..core.constants import XSD_STRING
+from ..core.errors import JsonLdError
 
 _QUAD_COLUMNS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
                  "obj_lang", "graph"]
@@ -204,8 +205,13 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     if esc_mask.any():
         slow_pos = np.nonzero(esc_mask)[0]
         for p in slow_pos:
-            # one quad per line (the core parse raises on malformed)
-            q = _nq.parse(work[int(p)].as_py())
+            # one quad per line; a malformed escaped line falls back
+            # to the joined core parse so the error carries the real
+            # batch-relative line number instead of "line 1"
+            try:
+                q = _nq.parse(work[int(p)].as_py())
+            except JsonLdError:
+                return parse_batch_rows(batch)
             slow_rows.append(
                 terms_to_rows(q).append_column(
                     "_pos", pa.array([int(p)], pa.int64())))

@@ -81,6 +81,24 @@ def test_foreign_doc_fallback_id():
     assert cid == _conv_id_of(doc, line)
 
 
+def test_top_level_array_line(ray_session, tmp_path):
+    # a standard JSON-LD document whose top level is an ARRAY (or a
+    # scalar) has no @id: the reader must take the sha1 fallback, not
+    # crash the read task on doc.get
+    arr_doc = [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}]
+    line = json.dumps(arr_doc, separators=(",", ":"))
+    p = tmp_path / "part-000000-0000.jsonl"
+    p.write_text(line + "\n" + json.dumps({"@id": "http://e/y"}) + "\n")
+    out = read_docs_jsonld_lines(str(tmp_path)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert len(out) == 2
+    fallback = [c for c in out["conv_id"] if c.startswith("doc-")]
+    assert len(fallback) == 2 and all(len(c) == 20 for c in fallback)
+    # deterministic: same line → same id
+    assert _conv_id_of(arr_doc, line) == _conv_id_of(arr_doc, line)
+    assert _conv_id_of("scalar", '"scalar"').startswith("doc-")
+
+
 def test_multiline_doc_json_guard():
     # a foreign doc_json value with a literal newline must still land
     # on one physical line
@@ -172,6 +190,36 @@ def test_nq_parse_escape_and_comment_fall_back():
     a, b = _parse_both(lines)
     assert a.equals(b) and len(a) == 2
     assert a["obj_value"].iloc[0] == 'a\nb"c'
+
+
+def test_nq_parse_escaped_error_reports_real_line():
+    # a malformed ESCAPED line takes the per-line slow path; on failure
+    # the batch falls back to the joined core parse so the error
+    # carries the batch-relative position, not "line 1"
+    from jsonld_js_ray.core.errors import JsonLdError
+    from jsonld_js_ray.sources.nquads_io import parse_batch
+
+    lines = ['<http://e/s> <http://e/p> "ok" .',
+             '<http://e/s> <http://e/p> "a\\" junk']
+    with pytest.raises(JsonLdError) as ei:
+        parse_batch(pa.table({"text": pa.array(lines)}))
+    assert "line 2" in str(ei.value)
+
+
+def test_line_sink_clears_orphan_tmp(tmp_path):
+    # a .tmp orphan from a task killed mid-write must be removed by the
+    # next write into the same directory, not accrete forever
+    from jsonld_js_ray.sources.lineio import _LineShardDatasink
+
+    d = str(tmp_path)
+    orphan = os.path.join(d, "part-000099-0000.jsonl.1234.tmp")
+    stale = os.path.join(d, "part-000001-0000.jsonl")
+    for p in (orphan, stale):
+        with open(p, "w") as f:
+            f.write("old")
+    sink = _LineShardDatasink(d, "jsonl", "docs")
+    sink.on_write_start()
+    assert not os.path.exists(orphan) and not os.path.exists(stale)
 
 
 def test_nq_parse_vectorized_matches_rows_corpus(roundtrip, ray_session):
