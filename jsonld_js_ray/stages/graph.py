@@ -1242,17 +1242,25 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN, und=None):
         nb = np.concatenate([v, u])
         n = len(key)
         # hub neighbors repeat deg times: hash each DISTINCT (t, nb)
-        # once and gather, so the md5 loop is vocabulary-bounded
+        # once and gather, so the md5 work is vocabulary-bounded. All
+        # walk_len × |vocab| salts go through ONE flat pass — each
+        # neighbor string is encoded once (not re-formatted per step),
+        # and md5 stays the digest because the SQL oracle recomputes
+        # it bit-exactly (md5(concat(t, '|', nb)))
         nb_uniq, nb_inv = np.unique(nb, return_inverse=True)
+        _md5 = hashlib.md5
+        encs = [str(x).encode() for x in nb_uniq]
+        hx_all = np.array(
+            [_md5(b"%d|" % t + e).hexdigest()
+             for t in range(1, walk_len + 1) for e in encs],
+            object).reshape(walk_len, len(encs))
         keys_out, nbs_out, ts_out, hs_out = [], [], [], []
         for t in range(1, walk_len + 1):
             keys_out.append(key)
             nbs_out.append(nb)
             ts_out.append(np.full(n, t, np.int64))
-            hx = np.array(
-                [hashlib.md5(f"{t}|{x}".encode()).hexdigest()
-                 for x in nb_uniq], object)
-            hs_out.append(hx[nb_inv] if len(nb_uniq) else hx)
+            hx = hx_all[t - 1]
+            hs_out.append(hx[nb_inv] if len(encs) else hx)
         key_all = np.concatenate(keys_out)
         return pa.table({
             "a": pa.array(key_all, pa.string()),

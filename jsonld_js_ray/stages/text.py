@@ -741,12 +741,16 @@ def bench_snippet_batch(batch: pa.Table) -> pa.Table:
 # PROBE) to the rolling-hash multi-pattern matcher below (one pass per
 # DISTINCT probe byte-length, independent of probe count — the
 # Aho-Corasick role, in the repo's vectorized-numpy idiom rather than
-# a per-char Python automaton walk). Measured at sf0.1 (52 probes,
-# 5000 docs): vec 0.87s vs loop 0.94s — the crossover is already below
-# a handful, so the default is low enough that both the sf0.01 oracle
-# gate (~6 probes) and bench exercise the SCALE path; the loop stays
-# for degenerate 1-3 probe sets where per-probe passes are free
-DECONTAM_VEC_MIN_PROBES = 4
+# a per-char Python automaton walk). MEASURED crossover (round 5,
+# 5000 sf0.1 docs per batch, real 64-char probes): loop/vec seconds =
+# 0.23/0.29 at 64 probes, 0.76/0.26 at 256, 2.9/0.54 at 1024,
+# 27.4/0.72 at 10^4 — the rolling hash pays a fixed prefix/cumprod
+# cost over the batch bytes and then is probe-count-free, so the loop
+# wins until ~10^2 probes and loses 4-40x beyond. 128 puts the
+# ~52-probe sf0.1 bench on the loop and any real benchmark suite
+# (10^3-10^5 probes) on the scale path; path equivalence is pinned by
+# tests/test_decontam_scale.py either way.
+DECONTAM_VEC_MIN_PROBES = 128
 
 # odd 64-bit polynomial base → invertible mod 2^64, so window hashes
 # normalize via one multiply (same wraparound contract as the MinHash

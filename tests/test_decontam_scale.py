@@ -83,8 +83,9 @@ def test_marker_switches_paths_identically(ray_session):
 
 def test_decontaminate_query_unchanged(ray_session):
     """End-to-end: the decontaminate row still matches its SQL oracle
-    at sf0.001 (the probe set there is >= the vec threshold, so the
-    NEW path is what's being compared)."""
+    at sf0.001. Since the crossover re-measure (round 5) the small
+    probe set there takes the loop path; the rolling-hash path's
+    equivalence to it is pinned by the tests above on 10^4 probes."""
     import duckdb
     import pandas as pd
 
