@@ -79,6 +79,26 @@ def _conv_id_of(doc, line: str) -> str:
     return "doc-" + hashlib.sha1(line.encode("utf-8")).hexdigest()[:16]
 
 
+def _scan_lines(lines):
+    """Raw lines → (conv_id, parsed doc, line) triples; blank lines
+    dropped. ONE json.loads per line — every consumer derives both
+    identity and content from the same parse."""
+    for line in lines:
+        if line is None or not line.strip():
+            continue
+        doc = json.loads(line)
+        yield _conv_id_of(doc, line), doc, line
+
+
+def _read_lines(paths, file_extensions):
+    import ray.data as rd
+
+    return rd.read_text(
+        paths,
+        file_extensions=(list(file_extensions)
+                         if file_extensions is not None else None))
+
+
 def read_docs_jsonld_lines(paths, file_extensions=("jsonl", "ndjson",
                                                    "json")):
     """Files of raw JSON-LD lines → (conv_id, doc_json) Dataset (the
@@ -87,39 +107,51 @@ def read_docs_jsonld_lines(paths, file_extensions=("jsonl", "ndjson",
     particular an orphaned ``.tmp`` shard from a crashed write task —
     is skipped; pass ``file_extensions=None`` to ingest arbitrary
     file names (only safe for inputs this engine did not write)."""
-    import ray.data as rd
-
     def to_rows(batch: pa.Table) -> pa.Table:
         ids, docs = [], []
-        for line in batch["text"].to_pylist():
-            if line is None or not line.strip():
-                continue
-            doc = json.loads(line)
-            ids.append(_conv_id_of(doc, line))
+        for cid, _doc, line in _scan_lines(batch["text"].to_pylist()):
+            ids.append(cid)
             docs.append(line)
         return pa.table({
             "conv_id": pa.array(ids, pa.string()),
             "doc_json": pa.array(docs, pa.large_string()),
         })
 
-    return rd.read_text(
-        paths,
-        file_extensions=(list(file_extensions)
-                         if file_extensions is not None else None),
-    ).map_batches(to_rows, batch_format="pyarrow", batch_size=4096)
+    # batch_size 256 mirrors the ToRdf stage: Ray sizes fused map TASKS
+    # by the requested batch rows, and a large value here would bundle
+    # a whole shard's lines into one task (measured 7x wall on the
+    # flagship jsonl pipeline — parallelism collapse, not parse cost)
+    return _read_lines(paths, file_extensions).map_batches(
+        to_rows, batch_format="pyarrow", batch_size=256)
 
 
 def build_quads_from_jsonld_lines(paths, batch_size: int = 256,
                                   canonicalize: bool = True,
-                                  skip_errors: bool = False):
+                                  skip_errors: bool = False,
+                                  file_extensions=("jsonl", "ndjson",
+                                                   "json")):
     """JSON-LD line shards → canonical quad Dataset — the flagship
     toRDF pipeline over the reference's native document format
-    instead of the events parquet."""
-    import functools
+    instead of the events parquet.
 
-    from ..stages.to_rdf_stage import to_rdf_task_fn
+    FUSED single-parse path: one map_batches does line→doc parse,
+    conv_id derivation AND ToRdf, so each document's JSON is parsed
+    once (the unfused read_docs→to_rdf chain parses twice and, worse,
+    bundles per the reader's batch size — see read_docs_jsonld_lines).
+    A malformed JSON line raises regardless of ``skip_errors`` (parity
+    with the unfused reader, where the identity parse precedes the
+    ToRdf try-block); ``skip_errors`` quarantines JSON-LD-level
+    failures exactly as in to_rdf_task_fn."""
+    from ..stages.to_rdf_stage import rows_from_parsed_task_fn
 
-    fn = functools.partial(to_rdf_task_fn, canonicalize=canonicalize,
-                           skip_errors=skip_errors)
-    return read_docs_jsonld_lines(paths).map_batches(
-        fn, batch_format="pyarrow", batch_size=batch_size)
+    def fused(batch: pa.Table, _c=canonicalize,
+              _s=skip_errors) -> pa.Table:
+        ids, docs = [], []
+        for cid, doc, _line in _scan_lines(batch["text"].to_pylist()):
+            ids.append(cid)
+            docs.append(doc)
+        return rows_from_parsed_task_fn(ids, docs, canonicalize=_c,
+                                        skip_errors=_s)
+
+    return _read_lines(paths, file_extensions).map_batches(
+        fused, batch_format="pyarrow", batch_size=batch_size)

@@ -50,13 +50,28 @@ def to_rdf_task_fn(batch: pa.Table, canonicalize: bool = True,
     Measured on sf0.1/32cpus: tasks 4.4s vs autoscaling actor pool
     9-13s. Actor mode (``build_quads(compute='actors')``) remains for
     genuinely expensive per-worker state (real linker models)."""
+    return _worker_actor(canonicalize, skip_errors)(batch)
+
+
+def _worker_actor(canonicalize: bool, skip_errors: bool) -> "ToRdfActor":
     global _WORKER_SINGLETON
     if _WORKER_SINGLETON is None or \
             _WORKER_SINGLETON.canonicalize != canonicalize or \
             _WORKER_SINGLETON.skip_errors != skip_errors:
         _WORKER_SINGLETON = ToRdfActor(canonicalize=canonicalize,
                                        skip_errors=skip_errors)
-    return _WORKER_SINGLETON(batch)
+    return _WORKER_SINGLETON
+
+
+def rows_from_parsed_task_fn(conv_ids: list, docs: list,
+                             canonicalize: bool = True,
+                             skip_errors: bool = False) -> pa.Table:
+    """Task-pool ToRdf over ALREADY-PARSED documents (the fused
+    line-connector path: the reader derives conv_id from the parsed
+    line and hands the object straight in, so each document's JSON
+    parses exactly once end-to-end)."""
+    return _worker_actor(canonicalize, skip_errors).rows_from_docs(
+        conv_ids, docs, parsed=True)
 
 
 def conv_fingerprint(conv_id: str) -> str:
@@ -119,9 +134,16 @@ class ToRdfActor:
         return quads
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids = batch["conv_id"].to_pylist()
-        docs = batch["doc_json"].to_pylist()
+        return self.rows_from_docs(batch["conv_id"].to_pylist(),
+                                   batch["doc_json"].to_pylist(),
+                                   parsed=False)
 
+    def rows_from_docs(self, conv_ids: list, docs: list,
+                       parsed: bool) -> pa.Table:
+        """(conv_id, doc) pairs → quad-table batch. ``parsed=False``
+        takes JSON strings (the standard column contract);
+        ``parsed=True`` takes already-loaded objects (fused line
+        reader — no second json.loads)."""
         subj: list[str] = []
         pred: list[str] = []
         obj_kind: list[str] = []
@@ -133,7 +155,7 @@ class ToRdfActor:
 
         for conv_id, doc_json in zip(conv_ids, docs):
             try:
-                doc = json.loads(doc_json)
+                doc = doc_json if parsed else json.loads(doc_json)
                 quads = self.doc_to_quads(doc, conv_id)
             except Exception as e:
                 if not self.skip_errors:

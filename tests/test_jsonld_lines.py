@@ -192,6 +192,27 @@ def test_nq_parse_escape_and_comment_fall_back():
     assert a["obj_value"].iloc[0] == 'a\nb"c'
 
 
+def test_fused_reader_error_semantics(ray_session, tmp_path):
+    # malformed JSON raises regardless of skip_errors (identity parse
+    # precedes the ToRdf try-block, as in the unfused reader); a
+    # JSON-LD-level failure is quarantined under skip_errors=True
+    bad_jsonld = json.dumps({"@id": "http://e/x", "@context": 5})
+    good = json.dumps({"@id": "http://e/y",
+                       "http://e/p": [{"@value": "v"}]})
+    p = tmp_path / "part-000000-0000.jsonl"
+    p.write_text(good + "\n" + bad_jsonld + "\n")
+    out = build_quads_from_jsonld_lines(
+        str(tmp_path), skip_errors=True).to_pandas()
+    assert set(out["subj"]) == {"http://e/y"}
+    with pytest.raises(Exception):
+        build_quads_from_jsonld_lines(
+            str(tmp_path), skip_errors=False).to_pandas()
+    p.write_text(good + "\n" + "{not json\n")
+    with pytest.raises(Exception):
+        build_quads_from_jsonld_lines(
+            str(tmp_path), skip_errors=True).to_pandas()
+
+
 def test_nq_parse_escaped_error_reports_real_line():
     # a malformed ESCAPED line takes the per-line slow path; on failure
     # the batch falls back to the joined core parse so the error
