@@ -59,15 +59,20 @@ def docs_to_lines(batch: pa.Table) -> pa.Table:
     return pa.table({"line": pa.array(lines, pa.large_string())})
 
 
-def write_docs_jsonld_lines(docs_ds, out_dir: str):
+def write_docs_jsonld_lines(docs_ds, out_dir: str,
+                            inputs: list[str] | None = None):
     """Document Dataset → directory of ``part-*.jsonl`` files via the
     shared tmp+rename shard writer (sources/lineio.py); manifest
-    (path, docs) returned as a pandas DataFrame."""
+    (path, docs) returned as a pandas DataFrame. Pass ``inputs=`` (the
+    source files the docs derive from) to make the write resumable: a
+    completed prior write of the same input fingerprint is skipped
+    (lineio lineage contract)."""
     from .lineio import write_line_shards
 
     lines = docs_ds.map_batches(docs_to_lines, batch_format="pyarrow",
                                 batch_size=4096)
-    return write_line_shards(lines, out_dir, "jsonl", "docs", 4096)
+    return write_line_shards(lines, out_dir, "jsonl", "docs", 4096,
+                             inputs=inputs)
 
 
 def _conv_id_of(doc, line: str) -> str:

@@ -287,15 +287,20 @@ def _quad_rows_table(out) -> pa.Table:
     })
 
 
-def write_nquads(quads_ds, out_dir: str):
+def write_nquads(quads_ds, out_dir: str,
+                 inputs: list[str] | None = None):
     """Quad Dataset → directory of .nq part files via the shared
     tmp+rename shard writer (sources/lineio.py); manifest (path,
-    rows) returned as a pandas DataFrame."""
+    rows) returned as a pandas DataFrame. Pass ``inputs=`` (the source
+    files the quads derive from) to make the write resumable: a
+    completed prior write of the same input fingerprint is skipped
+    (lineio lineage contract)."""
     from .lineio import write_line_shards
 
     lines = quads_ds.map_batches(serialize_batch, batch_format="pyarrow",
                                  batch_size=65536)
-    return write_line_shards(lines, out_dir, "nq", "rows", 65536)
+    return write_line_shards(lines, out_dir, "nq", "rows", 65536,
+                             inputs=inputs)
 
 
 def read_nquads(paths,
