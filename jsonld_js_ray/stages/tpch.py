@@ -33,6 +33,16 @@ Q5_REGION = "ASIA"
 Q5_YEAR_LO = "1996-01-01"
 Q5_YEAR_HI = "1997-01-01"
 Q5_BUCKETS = 32
+# fact-side map task bundling: Ray schedules one map task per input
+# block unless batch_size asks for more rows, and the parquet read
+# splits even a 10 MB toy table into 64 blocks — ~500 sub-20ms tasks
+# across the star join made scheduling 6x the remote wall (SCALE.md).
+# 64k keyed int rows ≈ 2 MB per task keeps toy scale at a handful of
+# tasks while leaving real-scale parallelism untouched (large inputs
+# have >=64k-row blocks already, so bundling is a no-op there). The
+# sort barriers shrink the same way: their partition count follows
+# the upstream block count.
+Q5_FACT_BATCH = 65536
 
 
 def _read(sf_dir: str, table: str, columns, filter=None):
@@ -116,12 +126,14 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
     hi = np.datetime64(Q5_YEAR_HI).astype("datetime64[us]")
     hop1 = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey"]) \
-        .map_batches(cust_rows, batch_format="pyarrow") \
+        .map_batches(cust_rows, batch_format="pyarrow",
+                     batch_size=Q5_FACT_BATCH) \
         .union(_read(
             sf_dir, "orders", ["o_orderkey", "o_custkey"],
             filter=(pads.field("o_orderdate") >= pads.scalar(lo))
             & (pads.field("o_orderdate") < pads.scalar(hi)))
-            .map_batches(order_rows, batch_format="pyarrow"))
+            .map_batches(order_rows, batch_format="pyarrow",
+                         batch_size=Q5_FACT_BATCH))
 
     def join_custkey(g: pd.DataFrame) -> pa.Table:
         is_o = (g["side"] == 1).to_numpy()
@@ -184,7 +196,8 @@ def local_supplier_revenue(sf_dir: str, region: str = Q5_REGION):
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice",
                "l_discount"])
-        .map_batches(li_partials, batch_format="pyarrow"))
+        .map_batches(li_partials, batch_format="pyarrow",
+                     batch_size=Q5_FACT_BATCH))
 
     def join_orderkey(g: pd.DataFrame) -> pa.Table:
         is_l = (g["side"] == 1).to_numpy()
