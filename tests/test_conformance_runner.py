@@ -49,11 +49,15 @@ def test_w3c_shaped_fixture_suite():
         extra_mounts={"https://mounted.test/":
                       os.path.join(here, "mounted") + os.sep})
     assert rep["fail"] == 0, rep["failures"]
-    # 15 evaluated (incl. one negative error code, one mounted-remote
-    # context, one expandContext option, both rdfn: canonization
-    # types, one no-checks PositiveSyntaxTest, and one entry inside an
-    # INLINE sub-manifest), 1 skipped by the 1.0-errata class
-    assert rep["pass"] == 15
+    # 22 evaluated (incl. three negative error codes, one
+    # mounted-remote context, expandContext + rdfDirection +
+    # processingMode options, @included, both @propagate polarities,
+    # an @json/JCS literal, both rdfn: canonization types, one
+    # no-checks PositiveSyntaxTest, and one entry inside an INLINE
+    # sub-manifest), 1 skipped by the 1.0-errata class. Every
+    # round-5 fixture's expected output was cross-checked against
+    # the reference implementation before being pinned.
+    assert rep["pass"] == 22
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
