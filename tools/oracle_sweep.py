@@ -50,21 +50,18 @@ def _to_pandas(res):
 
 
 def _canon(df):
-    """Columns sorted by name, rows sorted by every column, floats
-    rounded — the driver-shaped canonical form."""
-    import numpy as np
+    """Columns sorted by name, rows sorted by every column — the
+    driver-shaped canonical form. Floats are canonicalized at hash
+    time by the CSV writer's ``%.10g`` (10 significant digits), and
+    float columns are cast to float64 here so engine/oracle dtype
+    width differences can't change the formatting."""
     import pandas as pd
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            with np.errstate(all="ignore"):
-                mag = np.floor(np.log10(np.abs(s.to_numpy(
-                    dtype="float64", na_value=np.nan))))
-            mag = np.where(np.isfinite(mag), mag, 0)
-            df[c] = np.round(s.to_numpy(dtype="float64", na_value=np.nan),
-                             (9 - mag).astype(int).clip(-20, 20))
+            df[c] = s.astype("float64")
         elif pd.api.types.is_bool_dtype(s) or s.dtype == object:
             # normalize arrow-backed bools/None for stable repr
             df[c] = s.map(lambda v: None if v is None or v is pd.NA
