@@ -29,7 +29,8 @@ deterministically upstream.
 **Lineage + resume** (the parquet sink's ``state/checkpoint.py``
 contract, applied at directory granularity — one line write owns one
 directory): when the caller passes ``inputs=`` (the source files the
-written lines derive from), a ``_manifest/write.json`` records
+written lines derive from), a ``_manifest/write.manifest`` (JSON
+content; see _write_manifest_path for why not ``.json``) records
 ``{inputs, input_fingerprint, parts: [(name, rows, bytes)], rows,
 wall_ms}`` after the write completes, installed atomically
 (tmp+rename). A re-run with the SAME input fingerprint whose recorded
@@ -81,14 +82,14 @@ def _parts_intact(out_dir: str, manifest: dict) -> bool:
 
 class _LineShardDatasink(Datasink):
     """Writes the ``line`` column of each incoming block to
-    ``part-{task_idx}-{block_idx}.{ext}``; collects a (path, count)
-    manifest on the driver in ``on_write_complete``."""
+    ``part-{task_idx}-{block_idx}.{ext}``; collects a (path, rows,
+    bytes) manifest on the driver in ``on_write_complete``."""
 
     def __init__(self, out_dir: str, ext: str, count_col: str) -> None:
         self.out_dir = out_dir
         self.ext = ext
         self.count_col = count_col
-        self.manifest_rows: list[tuple[str, int]] = []
+        self.manifest_rows: list[tuple[str, int, int]] = []
 
     def on_write_start(self) -> None:
         import glob
@@ -113,8 +114,8 @@ class _LineShardDatasink(Datasink):
                     self.out_dir, f"part-*.{self.ext}.*.tmp")):
             os.remove(stale)
 
-    def write(self, blocks, ctx) -> list[tuple[str, int]]:
-        out: list[tuple[str, int]] = []
+    def write(self, blocks, ctx) -> list[tuple[str, int, int]]:
+        out: list[tuple[str, int, int]] = []
         for i, block in enumerate(blocks):
             if isinstance(block, pa.Table):
                 lines = block["line"].to_pylist()

@@ -364,6 +364,33 @@ def _pair_hash64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _hash64(_hash64(ua) ^ ub)
 
 
+def _dedupe_pairs_ds(pairs_ds, num_shards: int = 64):
+    """Distributed global pair dedup: route by the pure pair hash
+    (duplicates co-locate), per-shard pandas drop_duplicates. One
+    exchange over id pairs only — spent ONLY where a consumer needs a
+    true unique count/list (e.g. the simhash labeler decision when the
+    raw multi-band count crosses the swap bound)."""
+    import pandas as pd
+
+    def add_shard(t: pa.Table, _n=num_shards) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (_pair_hash64(a, b) % np.uint64(_n)).astype(np.int32)
+        # batch-local pre-dedupe cuts the exchange volume
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "_pshard": pa.array(shard),
+        }).group_by(["a", "b", "_pshard"]).aggregate([]).select(
+            ["a", "b", "_pshard"])
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    return pairs_ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_pshard").map_groups(drop_dups, batch_format="pandas")
+
+
 # gram-join doc buckets: one bucket's task materializes its docs' texts,
 # so the bucket count scales with the doc count (callers pass
 # n_docs_hint when they know it — the dedup pipelines do)
@@ -376,20 +403,25 @@ _EMPTY_GRAM_ROWS = pa.table({
     "a": pa.array([], pa.int64()),
     "b": pa.array([], pa.int64()),
     "doc_id": pa.array([], pa.int64()),
-    "grams": pa.array([], pa.list_(pa.uint64())),
+    "grams": pa.array([], pa.large_list(pa.uint64())),
 })
 
 
-def _gram_list_array(arrays: list, n: int) -> pa.ListArray:
+def _gram_list_array(arrays: list, n: int) -> pa.LargeListArray:
     # one flat buffer + offsets instead of a per-row Python list
-    # conversion (the gram column is the bulk of the shuffle)
+    # conversion (the gram column is the bulk of the shuffle).
+    # LARGE list: a doc-bucket group holds up to DOCS_PER_GRAM_BUCKET
+    # docs' gram arrays, each replicated once per shard that needs it,
+    # so the flat element count can exceed int32 offsets on dup-heavy
+    # corpora — int32 would wrap (crash, or silent truncation past
+    # 2^32 → wrong Jaccard verdicts)
     lens = np.fromiter((len(x) for x in arrays), dtype=np.int64,
                        count=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     flat = np.concatenate(arrays) if n else np.zeros(0, dtype=np.uint64)
-    return pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32), pa.int32()),
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()),
         pa.array(flat, pa.uint64()))
 
 
@@ -463,7 +495,7 @@ def _verified_pairs_ds(docs, pairs, kind: str, threshold: float,
             "a": pa.array(a, pa.int64()),
             "b": pa.array(b, pa.int64()),
             "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
-            "grams": pa.nulls(n, pa.list_(pa.uint64())),
+            "grams": pa.nulls(n, pa.large_list(pa.uint64())),
         })
 
     def need_rows(batch: pa.Table, _n=nsh, _nb=n_buckets) -> pa.Table:
@@ -1034,6 +1066,12 @@ def simhash_dedup(docs, max_hamming: int = SIMHASH_MAX_HAMMING,
         for band in range(4)
     ]
     pairs_ds = per_band[0].union(*per_band[1:]).materialize()
+    if pairs_ds.count() > DISTRIBUTED_LABELER_PAIRS:
+        # the raw count includes cross-band duplicates (a pair can be
+        # re-found in up to 4 bands), so it overstates the UNIQUE pair
+        # count the swap bound is calibrated for: dedupe (one id-pair
+        # exchange, spent only in this regime) and re-decide
+        pairs_ds = _dedupe_pairs_ds(pairs_ds).materialize()
     if pairs_ds.count() > DISTRIBUTED_LABELER_PAIRS:
         return cluster_pairs_distributed(docs, pairs_ds)
 

@@ -102,6 +102,13 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo must not make the gate false-pass with 0 queries
+            print(f"unknown query names in --only: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
 
     con = duckdb.connect()
     for t in TABLES:
