@@ -226,16 +226,39 @@ def _bucketed(ds, col: str, num_buckets: int):
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def _pin(ds):
+# block-coalescing target for _pin: downstream map stages schedule one
+# task per block (~8 ms dispatch each), so a toy-scale artifact carrying
+# the read's 64-way split costs ~0.5 s of pure scheduling PER consuming
+# stage (and per superstep round). Coalescing is applied only when it
+# at least halves the block count, so real-scale datasets (blocks
+# already >= the target) pass through untouched — scale-neutral.
+_PIN_TARGET_ROWS = 65536
+
+
+def _pin(ds, coalesce: bool = True):
     """Execute ``ds`` and rebuild a FRESH dataset from the executed
     block refs — a hard lineage cut. ``materialize()`` alone is not
     enough inside an iterative loop: deriving new plans (union/groupby)
     from a MaterializedDataset can re-plan from its ORIGINAL logical
     plan, so each round re-executes all previous rounds (~3× slower per
-    round, measured; 10 rounds ≈ minutes)."""
+    round, measured; 10 rounds ≈ minutes).
+
+    Tiny blocks are COALESCED toward ~_PIN_TARGET_ROWS rows per block
+    (split/merge repartition — no hash exchange, and only on data small
+    enough for the move to be free) so pinned artifacts and per-round
+    frontier datasets don't impose a 64-tiny-task schedule on every
+    consuming stage."""
     import ray.data as rd
 
-    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+    m = ds.materialize()
+    refs = m.to_arrow_refs()
+    if coalesce and len(refs) > 1:
+        target = max(1, min(len(refs),
+                            -(-m.count() // _PIN_TARGET_ROWS)))
+        if target <= len(refs) // 2:
+            m = m.repartition(target).materialize()
+            refs = m.to_arrow_refs()
+    return rd.from_arrow_refs(refs)
 
 
 def _label_checksum(labels) -> int:
