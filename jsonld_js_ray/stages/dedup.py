@@ -1347,7 +1347,9 @@ def _doc_unique_interleave(text: str, doc_id: int) -> str:
     # so cross-doc gram collisions stay impossible
     u = chr(0x4E00 + (doc_id % 20000)) + \
         chr(0xAC00 + ((doc_id // 20000) % 11000))
-    return "".join(ch + u for ch in text)
+    # C-level join instead of a per-char genexp (identical output:
+    # u.join interleaves BETWEEN chars, + u restores the trailing pair)
+    return u.join(text) + u if text else ""
 
 
 def planted_documents(docs, include_suffix: bool = True):
@@ -1383,19 +1385,25 @@ def planted_documents(docs, include_suffix: bool = True):
 
 def minhash_lsh_dedup_planted(docs):
     # strict: the construction-based oracle must FAIL, not under-merge,
-    # if a cap ever truncates candidates
-    return minhash_lsh_dedup(planted_documents(docs), threshold=0.7,
-                             strict_caps=True)
+    # if a cap ever truncates candidates. The planted corpus is
+    # materialized once: the dedup pipeline consumes its docs three
+    # times (banding, gram join, labeling) and the interleave transform
+    # is the expensive part — a correctness-fixture corpus is small by
+    # construction, so pinning it is free (production inputs go through
+    # the unwrapped pipelines, which stay streaming).
+    return minhash_lsh_dedup(planted_documents(docs).materialize(),
+                             threshold=0.7, strict_caps=True)
 
 
 def ngram_jaccard_dedup_planted(docs):
-    return ngram_jaccard_dedup(planted_documents(docs), threshold=0.8,
-                               strict_caps=True)
+    return ngram_jaccard_dedup(planted_documents(docs).materialize(),
+                               threshold=0.8, strict_caps=True)
 
 
 def simhash_dedup_planted(docs):
-    return simhash_dedup(planted_documents(docs, include_suffix=False),
-                         strict_caps=True)
+    return simhash_dedup(
+        planted_documents(docs, include_suffix=False).materialize(),
+        strict_caps=True)
 
 
 _PLANTED_BASE_SQL = r"""
