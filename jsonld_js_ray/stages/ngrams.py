@@ -330,17 +330,50 @@ SUB_GRAM_BUCKETS = 128
 SUB_DOC_BUCKETS = 64
 
 
+def _distinct_doc_window_hashes(batch: pa.Table, n: int):
+    """(doc_id, text) → DISTINCT (window_hash, doc_id) pairs for
+    n-token windows WITHOUT materializing the window strings: each
+    token hashes once (siphash), windows chain-combine the token
+    hashes with n vectorized splitmix passes. The substring-dedup
+    consumer only needs window IDENTITY, so shipping 8-byte hashes
+    instead of ~100-byte window strings cuts the exchange ~12× and
+    replaces the n-1 np.char.add string-building passes. Two windows
+    colliding in 64 bits could link two unrelated docs (2^-64 per
+    distinct-window pair — the same negligible-collision contract as
+    the gram-hash Jaccard verify in stages/dedup.py)."""
+    import pandas as pd
+
+    from .sketches import _hash64
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
+    m = len(flat) - n + 1
+    if m <= 0:
+        return None
+    same = parents[:m] == parents[n - 1:]
+    gp = parents[:m][same]
+    if not len(gp):
+        return None
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    h = np.full(m, np.uint64(0x5B5D_5EED), np.uint64)
+    for j in range(n):
+        h = _hash64(h ^ th[j:m + j])
+    uniq = np.unique(np.stack(
+        [ids[gp], h[same].view(np.int64)], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1].view(np.uint64)
+
+
 def _sub_window_rows(batch: pa.Table) -> pa.Table:
-    out = _distinct_doc_grams(batch, SUB_K)
+    out = _distinct_doc_window_hashes(batch, SUB_K)
     if out is None:
         return pa.table({
-            "gram": pa.array([], pa.string()),
+            "gram_h": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "bucket": pa.array([], pa.int32()),
         })
-    grams, ids, h = out
+    ids, h = out
     return pa.table({
-        "gram": pa.array(grams, pa.string()),
+        "gram_h": pa.array(h.view(np.int64), pa.int64()),
         "doc_id": pa.array(ids, pa.int64()),
         "bucket": pa.array((h % SUB_GRAM_BUCKETS).astype(np.int32)),
     })
@@ -352,7 +385,7 @@ def _sub_fmin_in_bucket(g) -> pa.Table:
     itself — equal contributes nothing)."""
     from .groupkit import run_starts
 
-    grams = g["gram"].to_numpy()
+    grams = g["gram_h"].to_numpy().astype(np.int64)
     ids = g["doc_id"].to_numpy().astype(np.int64)
     order = np.lexsort((ids, grams))
     grams, ids = grams[order], ids[order]
