@@ -7,10 +7,13 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): eight fresh-seed ranges covering
-seeds 50000..332200 — 280,000 docs / 560,000 ops total, 0
-divergences (66 null-quad op skips total, the known reference
-list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). All on top of the
+Recorded runs (2026-08-18/19): nine fresh-seed ranges covering
+seeds 50000..382200 — 330,000 docs / 660,000 ops total, 0
+divergences (75 null-quad op skips total, the known reference
+list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). The ninth range
+(332200..382200, 50k docs / 100k ops / 99,991 compared, 9 null-quad
+skips) ran at round-5 HEAD — i.e. against the fused single-parse
+line reader and all round-5 core-adjacent changes. All on top of the
 committed 250-doc test corpus and the earlier cumulative 10k-doc
 round-3 sweep.
 """
