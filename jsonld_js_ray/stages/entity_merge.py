@@ -235,6 +235,34 @@ def _bucketed(ds, col: str, num_buckets: int):
 _PIN_TARGET_ROWS = 65536
 
 
+def _concat_blocks(*tables):
+    import pyarrow as pa
+
+    # a dataset can carry empty blocks whose schema is EMPTY (Ray
+    # warns "RefBundle with a different schema"); zero-row tables add
+    # nothing and would fail the schema-equality concat precondition
+    real = [t for t in tables if t.num_rows]
+    if not real:
+        return tables[0]
+    if len(real) == 1:
+        return real[0]
+    return pa.concat_tables(real, promote_options="default")
+
+
+# decorated lazily so importing this module never requires a live Ray
+# context; resolved once per process
+_concat_blocks_remote = None
+
+
+def _get_concat_remote():
+    global _concat_blocks_remote
+    if _concat_blocks_remote is None:
+        import ray
+
+        _concat_blocks_remote = ray.remote(num_cpus=0.5)(_concat_blocks)
+    return _concat_blocks_remote
+
+
 def _pin(ds, coalesce: bool = True):
     """Execute ``ds`` and rebuild a FRESH dataset from the executed
     block refs — a hard lineage cut. ``materialize()`` alone is not
@@ -255,9 +283,23 @@ def _pin(ds, coalesce: bool = True):
     if coalesce and len(refs) > 1:
         target = max(1, min(len(refs),
                             -(-m.count() // _PIN_TARGET_ROWS)))
-        if target <= len(refs) // 2:
-            m = m.repartition(target).materialize()
-            refs = m.to_arrow_refs()
+        # coalesce only when it meaningfully cuts the task count: a
+        # 2→1 move saves one dispatch but costs a concat wave, and
+        # callers with an IN-PLAN repartition (walks' per-round
+        # frontier) must pass through untouched
+        if target <= len(refs) // 2 and len(refs) - target >= 4:
+            # one concat-task wave over the block refs — NOT a
+            # Dataset.repartition: that would be a second full dataset
+            # job per pin (measured +0.3-0.5 s per superstep round),
+            # and deriving it from the MaterializedDataset is the
+            # re-plan hazard documented above. Raw tasks are justified
+            # here: the Dataset API cannot express "merge these
+            # already-executed blocks without a new job".
+            import numpy as _np
+            remote_fn = _get_concat_remote()
+            groups = _np.array_split(_np.arange(len(refs)), target)
+            refs = [remote_fn.remote(*(refs[int(i)] for i in g))
+                    for g in groups if len(g)]
     return rd.from_arrow_refs(refs)
 
 

@@ -1290,7 +1290,10 @@ def random_walks_quads(quads, walk_len: int = WALK_LEN, und=None):
     # the static successor table: ONE row per (node, step).
     # Coalesced to few blocks: every walk round re-scans it, and the
     # per-round join's fixed cost is task dispatch over block count,
-    # not row volume (measured: 64+64 blocks ≈ 4s/round on tiny rows)
+    # not row volume (measured: 64+64 blocks ≈ 4s/round on tiny
+    # rows). The repartition is IN-PLAN (fused into the build job —
+    # free), so _pin's after-the-fact coalesce wave never triggers on
+    # it (its block delta is below the coalesce threshold).
     nxt = _pin(und.map_batches(salted_rows, batch_format="pyarrow")
                .groupby("bucket").map_groups(argmin_in_bucket,
                                              batch_format="pandas")

@@ -145,6 +145,26 @@ def _empty_gram_rows() -> pa.Table:
     })
 
 
+def _window_spans(batch: pa.Table, n: int):
+    """Shared preamble for the token-window operators: (doc_id, text)
+    → (ids, flat token array, per-window doc index ``gp``, window
+    count ``m``, within-one-doc mask ``same``), or None when no doc
+    yields a window. ONE definition so the doc-boundary invariant
+    (``parents`` non-decreasing ⇒ equal endpoints mean the whole
+    window belongs to one doc) cannot drift between the string and
+    hash paths."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parents = _flat_tokens(_token_lists(batch["text"]))
+    m = len(flat) - n + 1
+    if m <= 0:
+        return None
+    same = parents[:m] == parents[n - 1:]
+    gp = parents[:m][same]
+    if not len(gp):
+        return None
+    return ids, flat, gp, m, same
+
+
 def _distinct_doc_grams(batch: pa.Table, n: int):
     """(doc_id, text) → DISTINCT (gram, doc_id) pairs for token
     n-grams, fully vectorized (n-1 concat passes over the flattened
@@ -152,17 +172,10 @@ def _distinct_doc_grams(batch: pa.Table, n: int):
     is global dedup. Returns (grams, ids, hashes) numpy arrays."""
     import pandas as pd
 
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    flat, parents = _flat_tokens(_token_lists(batch["text"]))
-    m = len(flat) - n + 1
-    if m <= 0:
+    spans = _window_spans(batch, n)
+    if spans is None:
         return None
-    # parents is non-decreasing, so equal endpoints ⇒ whole window
-    # belongs to one doc
-    same = parents[:m] == parents[n - 1:]
-    gp = parents[:m][same]
-    if not len(gp):
-        return None
+    ids, flat, gp, m, same = spans
     uflat = np.asarray(flat, dtype=str)
     gram = uflat[:m][same]
     for j in range(1, n):
@@ -309,19 +322,24 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 # "Deduplicating Training Data Makes Language Models Better": a doc is
 # a substring-duplicate if it shares one EXACT window of SUB_K
 # consecutive tokens with an earlier (lower-id) doc. Unlike the
-# MinHash/SimHash families this is not probabilistic — the contract is
-# pure set arithmetic over window strings, so it carries a direct SQL
-# oracle on the raw corpus (no planted twin needed).
+# MinHash/SimHash families there is no banding/recall step — candidate
+# generation is exhaustive over windows. Window IDENTITY rides on a
+# 64-bit chained token hash (round 5; previously the window strings
+# themselves), so the direct SQL oracle is exact up to a 2^-64
+# per-distinct-window-pair collision — the same negligible-collision
+# contract as the gram-hash Jaccard verify in stages/dedup.py. When
+# triaging an oracle divergence here, hash collision IS a (vanishingly
+# unlikely) candidate cause.
 #
 # Shape (two hash shuffles, nothing driver-side):
-#   1. docs → DISTINCT (window, doc) rows, bucketed by hash(window);
-#      in-bucket: per window, first_doc = min(doc); each (window, doc)
-#      row collapses to a per-doc PARTIAL min of first_doc.
+#   1. docs → DISTINCT (window_hash, doc) rows, bucketed by the hash;
+#      in-bucket: per window, first_doc = min(doc); each row collapses
+#      to a per-doc PARTIAL min of first_doc.
 #   2. partials ∪ per-doc identity rows (fmin = own id), bucketed by
 #      hash(doc); in-bucket min ⇒ first_doc per doc; is_dup =
 #      first_doc < doc_id.
-# Window strings never leave stage 1 — stage 2 moves only (doc, int)
-# rows, bounded by docs × buckets-touched.
+# Window strings never materialize at all — both stages move only
+# (int, int) rows.
 
 SUB_K = 16                  # window width in tokens (real pipelines
                             # use ~50 BPE tokens; the synthetic docs
@@ -345,15 +363,10 @@ def _distinct_doc_window_hashes(batch: pa.Table, n: int):
 
     from .sketches import _hash64
 
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    flat, parents = _flat_tokens(_token_lists(batch["text"]))
-    m = len(flat) - n + 1
-    if m <= 0:
+    spans = _window_spans(batch, n)
+    if spans is None:
         return None
-    same = parents[:m] == parents[n - 1:]
-    gp = parents[:m][same]
-    if not len(gp):
-        return None
+    ids, flat, gp, m, same = spans
     th = pd.util.hash_array(np.asarray(flat, dtype=object))
     h = np.full(m, np.uint64(0x5B5D_5EED), np.uint64)
     for j in range(n):

@@ -4,7 +4,6 @@ dedup, and the large-offset gram list array."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pytest
 
 
 def test_pin_coalesces_tiny_blocks(ray_session):
