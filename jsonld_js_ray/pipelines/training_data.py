@@ -22,10 +22,14 @@ def _docs(sf_dir: str):
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
+    # batch_size bundles the toy-scale read's 64-way block split into
+    # a few real tasks (the embedding stages' own batch size is 4096,
+    # so no downstream task ever wants finer input; at real scale
+    # blocks exceed this and bundling is a no-op)
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True)
+                  zero_copy_batch=True, batch_size=4096)
 
 
 def q_dedup_exact(sf_dir: str):
