@@ -13,10 +13,15 @@ from ..rayutil import strip_meta as _strip_meta
 def _docs(sf_dir: str):
     import ray.data as rd
 
+    # bundle the toy read's 64-way tiny-block split into 256-row map
+    # tasks — 256 is the MINIMUM batch size any downstream doc stage
+    # requests, so no consumer's task granularity collapses (a larger
+    # bundle would serialize the batch_size=256 banding stages); maps
+    # requesting more re-bundle these blocks upward for free
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True)
+                  zero_copy_batch=True, batch_size=256)
 
 
 def _embeddings(sf_dir: str):
@@ -157,7 +162,7 @@ def q_stratified_sample(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True)
+                  zero_copy_batch=True, batch_size=256)
     return stratified_sample(docs)
 
 
@@ -170,7 +175,7 @@ def q_mix_sources(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "source"],
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True)
+                  zero_copy_batch=True, batch_size=256)
     return mix_sources(docs)
 
 
