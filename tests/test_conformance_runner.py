@@ -57,7 +57,11 @@ def test_w3c_shaped_fixture_suite():
     # sub-manifest), 1 skipped by the 1.0-errata class. Every
     # round-5 fixture's expected output was cross-checked against
     # the reference implementation before being pinned.
-    assert rep["pass"] == 22
+    # ...plus the second round-5 wave: compact @reverse / @index and
+    # @language containers / @nest, frame @requireAll, fromRdf
+    # rdfDirection + useNativeTypes options, flatten-with-context —
+    # also reference-cross-checked before pinning. 30 evaluated.
+    assert rep["pass"] == 30
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
