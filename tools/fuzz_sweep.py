@@ -7,15 +7,15 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): nine fresh-seed ranges covering
-seeds 50000..382200 — 330,000 docs / 660,000 ops total, 0
-divergences (75 null-quad op skips total, the known reference
-list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). The ninth range
-(332200..382200, 50k docs / 100k ops / 99,991 compared, 9 null-quad
-skips) ran at round-5 HEAD — i.e. against the fused single-parse
-line reader and all round-5 core-adjacent changes. All on top of the
-committed 250-doc test corpus and the earlier cumulative 10k-doc
-round-3 sweep.
+Recorded runs (2026-08-18/19): twelve fresh-seed ranges covering
+seeds 50000..572200 — 520,000 docs / 1,040,000 ops total (>1M
+compared operations), 0 divergences (103 null-quad op skips total,
+the known reference list-tail quirk; 0 ref-raw-crash, 0 ref-no-code).
+The last four ranges (332200..572200, 240k docs / 480k ops) ran at
+round-5 HEADs — i.e. against the fused single-parse line reader and
+all round-5 core-adjacent changes. All on top of the committed
+250-doc test corpus and the earlier cumulative 10k-doc round-3
+sweep.
 """
 import json
 import os
