@@ -13,28 +13,32 @@ from ..rayutil import strip_meta as _strip_meta
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    # bundle the toy read's 64-way tiny-block split into 256-row map
-    # tasks — 256 is the MINIMUM batch size any downstream doc stage
-    # requests, so no consumer's task granularity collapses (a larger
-    # bundle would serialize the batch_size=256 banding stages); maps
-    # requesting more re-bundle these blocks upward for free
+    # NO batch_size here, deliberately: it would also be a SLICING
+    # target at real scale (Ray cuts large blocks into batch_size-row
+    # UDF calls and re-assembles chunked output blocks), and the safe
+    # bundling floor for docs is only 256 (the banding stages' batch
+    # size) — measured toy-scale gain at that floor was marginal, so
+    # the default whole-block pass wins on both ends
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True, batch_size=256)
+                  zero_copy_batch=True)
 
 
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
     # batch_size bundles the toy-scale read's 64-way block split into
-    # a few real tasks (the embedding stages' own batch size is 4096,
-    # so no downstream task ever wants finer input; at real scale
-    # blocks exceed this and bundling is a no-op)
+    # a few real tasks (measured 1.5x on the embedding dedup family).
+    # 2048 = the MINIMUM batch size any embedding consumer requests
+    # (the cluster stages), so no consumer's task granularity
+    # collapses. At real scale batch_size is ALSO a slicing target
+    # (2048 embedding rows ≈ 6 MB zero-copy UDF batches for the
+    # metadata strip — an acceptable batch shape either way).
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True, batch_size=4096)
+                  zero_copy_batch=True, batch_size=2048)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -162,7 +166,7 @@ def q_stratified_sample(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True, batch_size=256)
+                  zero_copy_batch=True)
     return stratified_sample(docs)
 
 
@@ -175,7 +179,7 @@ def q_mix_sources(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "source"],
     ).map_batches(_strip_meta, batch_format="pyarrow",
-                  zero_copy_batch=True, batch_size=256)
+                  zero_copy_batch=True)
     return mix_sources(docs)
 
 
