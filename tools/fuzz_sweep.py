@@ -7,11 +7,11 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): fourteen fresh-seed ranges covering
-seeds 50000..752200 — 700,000 docs / 1,400,000 ops total (1.4M
-compared operations), 0 divergences (152 null-quad op skips total,
+Recorded runs (2026-08-18/19): fifteen fresh-seed ranges covering
+seeds 50000..852200 — 800,000 docs / 1,600,000 ops total (1.6M
+compared operations), 0 divergences (169 null-quad op skips total,
 the known reference list-tail quirk; 0 ref-raw-crash, 0 ref-no-code).
-The last six ranges (332200..752200, 420k docs / 840k ops) ran at
+The last seven ranges (332200..852200, 520k docs / 1.04M ops) ran at
 round-5 HEADs — i.e. against the fused single-parse line reader and
 all round-5 core-adjacent changes. All on top of the committed
 250-doc test corpus and the earlier cumulative 10k-doc round-3
