@@ -186,8 +186,29 @@ def relabel_dataset(dataset: list[tuple],
                     algorithm: str = "URDNA2015") -> list[tuple]:
     """Return dataset with blank nodes relabeled to canonical _:c14nN ids
     (null-object quads dropped — see _CanonState). Raises JsonLdError
-    code='complexity limit exceeded' past ``max_work`` units."""
-    state = _CanonState(dataset, max_work=max_work, algorithm=algorithm)
+    code='complexity limit exceeded' past ``max_work`` units.
+
+    The input is treated as a SET (an RDF dataset is a set of quads —
+    RDF 1.1 Concepts §4): duplicate quads are dropped keep-first
+    BEFORE hashing, since a duplicate would otherwise perturb the
+    first-degree hashes and change every label. rdf-canonize gets this
+    for free (its N-Quads parse dedupes); a caller handing us an
+    in-memory multiset (e.g. the reference fork emits a duplicate
+    value-quad in its broken @type-container+@list path, fuzz seed
+    864917) must see identical labels either way."""
+    seen: set = set()
+    deduped = []
+    for q in dataset:
+        try:
+            key = q
+            fresh = key not in seen
+        except TypeError:     # unhashable term (list-typed datatype)
+            key = repr(q)
+            fresh = key not in seen
+        if fresh:
+            seen.add(key)
+            deduped.append(q)
+    state = _CanonState(deduped, max_work=max_work, algorithm=algorithm)
 
     # 1) issue canonical ids for unique first-degree hashes
     hash_to_bnodes: dict[str, list[str]] = {}

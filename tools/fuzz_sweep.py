@@ -7,15 +7,22 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): fifteen fresh-seed ranges covering
-seeds 50000..852200 — 800,000 docs / 1,600,000 ops total (1.6M
-compared operations), 0 divergences (169 null-quad op skips total,
-the known reference list-tail quirk; 0 ref-raw-crash, 0 ref-no-code).
-The last seven ranges (332200..852200, 520k docs / 1.04M ops) ran at
-round-5 HEADs — i.e. against the fused single-parse line reader and
-all round-5 core-adjacent changes. All on top of the committed
-250-doc test corpus and the earlier cumulative 10k-doc round-3
-sweep.
+Recorded runs (2026-08-18/19): sixteen fresh-seed ranges covering
+seeds 50000..952200 — 900,000 docs / 1,800,000 ops total (1.8M
+compared operations). Seed 864917 in range sixteen surfaced the ONE
+finding of the whole campaign — not an engine bug but a comparison-
+semantics gap: the reference fork emits a DUPLICATE value-quad
+through its broken @type-container+@list path, and canonizing the
+in-memory multiset (instead of the set rdf-canonize sees after its
+deduping N-Quads parse) perturbed the labels. Fixed by treating the
+canonicalization input as a set (core/canonize.relabel_dataset, per
+RDF 1.1 Concepts §4; regression-pinned in tests/test_review_r5.py);
+the range re-runs clean at the fixed HEAD. All other counts: 0
+divergences (188 null-quad op skips total, the known reference
+list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). The last eight
+ranges (332200..952200, 620k docs / 1.24M ops) ran at round-5 HEADs.
+All on top of the committed 250-doc test corpus and the earlier
+cumulative 10k-doc round-3 sweep.
 """
 import json
 import os
