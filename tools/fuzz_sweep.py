@@ -7,9 +7,10 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): sixteen fresh-seed ranges covering
-seeds 50000..952200 — 900,000 docs / 1,800,000 ops total (1.8M
-compared operations). Seed 864917 in range sixteen surfaced the ONE
+Recorded runs (2026-08-18/19): seventeen fresh-seed ranges covering
+seeds 50000..1052200 — 1,000,000 docs / 2,000,000 ops total (a
+million-document differential campaign; range seventeen ran 100k
+docs clean at the set-semantics-fixed HEAD). Seed 864917 in range sixteen surfaced the ONE
 finding of the whole campaign — not an engine bug but a comparison-
 semantics gap: the reference fork emits a DUPLICATE value-quad
 through its broken @type-container+@list path, and canonizing the
@@ -19,8 +20,8 @@ canonicalization input as a set (core/canonize.relabel_dataset, per
 RDF 1.1 Concepts §4; regression-pinned in tests/test_review_r5.py);
 the range re-runs clean at the fixed HEAD. All other counts: 0
 divergences (188 null-quad op skips total, the known reference
-list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). The last eight
-ranges (332200..952200, 620k docs / 1.24M ops) ran at round-5 HEADs.
+list-tail quirk; 0 ref-raw-crash, 0 ref-no-code). The last nine
+ranges (332200..1052200, 720k docs / 1.44M ops) ran at round-5 HEADs.
 All on top of the committed 250-doc test corpus and the earlier
 cumulative 10k-doc round-3 sweep.
 """
