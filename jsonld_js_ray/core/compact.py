@@ -337,6 +337,15 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
                     add_value(nest_result, item_active_property,
                               compacted_item, property_is_array=is_array)
 
+        if isinstance(link, dict):
+            # evict the re-entrancy guard entry now that this element's
+            # compaction is COMPLETE: the guard must only short-circuit
+            # true cycles (re-entrant visits), not act as an identity
+            # cache — the reference re-compacts a shared (pruned-@id)
+            # framed node at each position, and the per-position results
+            # genuinely differ when an @index/@id/@type container
+            # consumes a property of one copy (fuzz seed 3201777)
+            options.get("_compactInProgress", {}).pop(id(element), None)
         return rval
 
     return element

@@ -240,6 +240,34 @@ def _js_truthy(v: Any) -> bool:
     return True
 
 
+def _js_link_key(id_: Any) -> str:
+    """JS object-key coercion (``String(id)``) for the link maps in
+    cleanupNull / cleanupPreserve (frame.js:345,309: ``link[id]``).
+
+    ``input['@id']`` is not always a string here: an @index container
+    whose index key is literally "@id" compacts to a dict with an
+    ARRAY (or scalar) in @id position — an index-map entry, not a node
+    id. JS silently coerces it to a property key; replicate the
+    relevant ToString forms (array: comma-join with null/undefined ->
+    '', object: '[object Object]', booleans/null lowercased, integral
+    numbers without the .0)."""
+    if isinstance(id_, str):
+        return id_
+    if isinstance(id_, list):
+        return ",".join("" if x is None else _js_link_key(x) for x in id_)
+    if isinstance(id_, dict):
+        return "[object Object]"
+    if id_ is True:
+        return "true"
+    if id_ is False:
+        return "false"
+    if id_ is None:
+        return "null"
+    if isinstance(id_, float) and id_.is_integer():
+        return str(int(id_))
+    return str(id_)
+
+
 def cleanup_null(input_: Any, options: dict) -> Any:
     """Replace @null with null, filtering JS-falsy array entries
     (frame.js:333-367)."""
@@ -255,7 +283,7 @@ def cleanup_null(input_: Any, options: dict) -> Any:
             return input_
         in_progress.add(id(input_))
         if "@id" in input_:
-            id_ = input_["@id"]
+            id_ = _js_link_key(input_["@id"])
             link = options.setdefault("link", {})
             if id_ in link:
                 for existing in link[id_]:
@@ -483,7 +511,7 @@ def _cleanup_preserve_dict(input_: dict, options: dict) -> Any:
         input_["@list"] = _cleanup_preserve(input_["@list"], options)
         return input_
     if "@id" in input_:
-        id_ = input_["@id"]
+        id_ = _js_link_key(input_["@id"])
         link = options.setdefault("link", {})
         if id_ in link:
             for existing in link[id_]:

@@ -68,22 +68,32 @@ def create_node_map(
             if isinstance(type_, str) and type_.startswith("_:"):
                 issuer.get_id(type_)
 
+    js_undefined = False
     if name is None:
         name = issuer.get_id(input_.get("@id")) if is_blank_node(input_) \
             else input_.get("@id")
         if name is None:
             # a non-node object in node position (e.g. a bare @list inside
             # @graph): the reference indexes it under the stringified JS
-            # `undefined` key (nodeMap.js:97-99 via subjects[name]), which
-            # toRDF later drops as a relative IRI — replicate exactly
+            # `undefined` key (nodeMap.js:97-99 via subjects[name]) but
+            # assigns subject['@id'] = undefined, which JSON.stringify
+            # DROPS from flatten/merge output (and toRDF drops the
+            # relative-IRI key). Model the undefined-valued @id as an
+            # ABSENT key under the same "undefined" map key (fuzz seed
+            # 3001834: the visible "@id": "undefined" string diverged).
             name = "undefined"
+            js_undefined = True
 
     if list_ is not None:
         list_.append({"@id": name})
 
     subjects = graphs[graph]
     subject = subjects.setdefault(name, {})
-    subject["@id"] = name
+    if js_undefined:
+        # mirror the JS last-assignment-wins overwrite with undefined
+        subject.pop("@id", None)
+    else:
+        subject["@id"] = name
     for prop in sorted(input_.keys()):
         if prop == "@id":
             continue
@@ -179,6 +189,13 @@ def merge_node_map_graphs(graphs: dict[str, dict]) -> dict:
                         add_value(merged_node, prop, deep_clone(value),
                                   property_is_array=True,
                                   allow_duplicate=False)
+            if "@id" not in node:
+                # the source node carries a JS-undefined @id (bare @list
+                # under the "undefined" key): the reference's keyword
+                # copy overwrites the seeded {'@id': id} with
+                # clone(undefined), so the merged node's @id vanishes
+                # from JSON output too (nodeMap.js:244-247)
+                merged_node.pop("@id", None)
     return merged
 
 

@@ -1,0 +1,124 @@
+"""Regressions for the three findings of the round-5 flatten/frame
+differential sweeps (tools/fuzz_flatten_sweep.py /
+tools/fuzz_frame_sweep.py). Expected outputs are PINNED literals,
+cross-checked against the reference via the node harness before
+committing (ref_run.js ops flatten / merge / frameDecycled), so these
+run without node.
+
+1. A bare @list in node position (a @graph container value) gets the
+   JS `undefined` map key in createNodeMap (nodeMap.js:97-99) and an
+   undefined @id that JSON.stringify DROPS from flatten/merge output.
+   The engine emitted a visible "@id": "undefined" string instead
+   (fuzz seeds 3001834, 3002138, 3003576, 3007668, 3011192, 3015714).
+2. The compact re-entrancy guard acted as an identity cache: a shared
+   (pruned-@id) framed node compacted at two positions returned ONE
+   mutated dict, losing @index at the standalone position after an
+   @index-container map consumed it (fuzz seed 3201777).
+3. cleanup_null / _cleanup_preserve crashed with TypeError on a
+   compacted dict whose "@id" key holds an index-map ARRAY (an @index
+   container whose index key is literally "@id"); the reference
+   silently coerces it to a JS property key (frame.js:345).
+"""
+
+import json
+
+from jsonld_js_ray import api
+from jsonld_js_ray.core.nodemap import merge_node_map_graphs
+
+
+def _decycle(node, path):
+    if isinstance(node, list):
+        return [_decycle(x, path) for x in node]
+    if isinstance(node, dict):
+        nid = id(node)
+        if nid in path:
+            return {"@cycle": node.get("@id", True)}
+        path.add(nid)
+        out = {k: _decycle(v, path) for k, v in node.items()}
+        path.discard(nid)
+        return out
+    return node
+
+
+BARE_LIST_DOC = {
+    "@context": {"t": {"@id": "http://e.x/p", "@container": "@graph"}},
+    "t": {"@list": [1]},
+}
+# reference flatten/merge output: the graph-content list node carries
+# NO @id (JS undefined is dropped at serialization)
+BARE_LIST_FLAT = [
+    {"@id": "_:b0", "http://e.x/p": [{"@id": "_:b1"}]},
+    {"@id": "_:b1", "@graph": [{"@list": [{"@value": 1}]}]},
+]
+
+
+def test_flatten_bare_list_in_graph_has_no_undefined_id():
+    got = api.flatten(json.loads(json.dumps(BARE_LIST_DOC)))
+    assert json.loads(json.dumps(got)) == BARE_LIST_FLAT
+
+
+def test_merge_bare_list_in_graph_has_no_undefined_id():
+    got = api.merge([json.loads(json.dumps(BARE_LIST_DOC))])
+    assert json.loads(json.dumps(got)) == BARE_LIST_FLAT
+
+
+def test_tordf_still_drops_the_undefined_keyed_subject():
+    got = api.to_rdf(json.loads(json.dumps(BARE_LIST_DOC)))
+    assert got == [(("BlankNode", "_:b0"),
+                    ("NamedNode", "http://e.x/p"),
+                    ("BlankNode", "_:b1"),
+                    ("DefaultGraph", ""))]
+
+
+def test_merge_node_map_graphs_mirrors_undefined_id_overwrite():
+    # a source node WITHOUT @id under the "undefined" key must strip
+    # the seeded {'@id': id} (the reference's keyword copy overwrites
+    # it with clone(undefined), nodeMap.js:244-247)
+    graphs = {"@default": {
+        "undefined": {"@list": [{"@value": 1}]},
+        "http://e.x/n": {"@id": "http://e.x/n"},
+    }}
+    merged = merge_node_map_graphs(graphs)
+    assert "@id" not in merged["undefined"]
+    assert merged["http://e.x/n"]["@id"] == "http://e.x/n"
+
+
+def test_linked_frame_recompacts_shared_node_per_position():
+    # seed 3201777 shape: with @embed @link the framed bnode appears
+    # embedded (under an @index container map, which consumes @index)
+    # AND standalone (which must KEEP @index). A completed compaction
+    # must not be replayed from the re-entrancy guard.
+    doc = {"@context": {"t": {"@id": "http://e.x/p",
+                              "@container": "@index"}},
+           "t": {"idx": {"http://e.x/q": 2.5}}}
+    frame = {"@context": {"t": {"@id": "http://e.x/p",
+                                "@container": "@index"}},
+             "@embed": "@link"}
+    got = _decycle(api.frame(doc, frame), set())
+    assert json.loads(json.dumps(got)) == {
+        "@context": {"t": {"@id": "http://e.x/p",
+                           "@container": "@index"}},
+        "@graph": [
+            {"t": {"idx": {"http://e.x/q": 2.5}}},
+            {"@index": "idx", "http://e.x/q": 2.5},
+        ],
+    }
+
+
+def test_frame_link_map_coerces_nonstring_id_key():
+    # an @index container whose index key is literally "@id" compacts
+    # to {"@id": [<value object>]} — cleanup_null must JS-coerce the
+    # array for its link-map key instead of raising TypeError
+    doc = {"@context": {"@language": "fr",
+                        "t": {"@id": "http://e.x/p",
+                              "@container": "@index"}},
+           "t": {"@id": "val"}}
+    frame = {"@context": {"t": {"@id": "http://e.x/p",
+                                "@container": ["@index", "@set"]}},
+             "@embed": "@link"}
+    got = _decycle(api.frame(doc, frame), set())
+    assert json.loads(json.dumps(got)) == {
+        "@context": {"t": {"@id": "http://e.x/p",
+                           "@container": ["@index", "@set"]}},
+        "t": {"@id": [{"@language": "fr", "@value": "val"}]},
+    }

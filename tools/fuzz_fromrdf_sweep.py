@@ -33,6 +33,9 @@ n_total = 0
 n_div = 0
 n_nocode = 0
 n_tordf_skip = 0  # engine toRdf raised: no quad set to compare
+n_nullq = 0       # known reference quirk: null-object quad for a
+                  # relative-IRI list tail (same skip class as
+                  # tools/fuzz_sweep.py) — no well-formed quad set
 
 
 def _term_array(t):
@@ -54,6 +57,9 @@ for base in range(lo, hi, chunk):
             quads = api.to_rdf(doc)
         except JsonLdError:
             n_tordf_skip += 1
+            continue
+        if any(t is None for q in quads for t in q):
+            n_nullq += 1
             continue
         opts = {"useNativeTypes": s % 2 == 1, "useRdfType": s % 4 >= 2}
         cases.append((s, quads, opts))
@@ -94,7 +100,9 @@ for base in range(lo, hi, chunk):
                 n_nocode += 1
     print(f"chunk {base}..{seeds[-1]}: cumulative {n_total} docs, "
           f"{n_div} divergences, {n_tordf_skip} toRdf-error / "
-          f"{n_nocode} both-errored-no-code skips", flush=True)
+          f"{n_nullq} null-quad / {n_nocode} both-errored-no-code "
+          f"skips", flush=True)
 print(f"DONE {n_total} docs, {n_div} divergences, {n_tordf_skip} "
-      f"toRdf-error / {n_nocode} both-errored-no-code skips")
+      f"toRdf-error / {n_nullq} null-quad / {n_nocode} "
+      f"both-errored-no-code skips")
 sys.exit(1 if n_div else 0)
