@@ -69,13 +69,21 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
                 if entry["expanded"] is element:
                     return entry["compacted"]
         if isinstance(link, dict):
-            # identity guard beyond the reference's @id-keyed link map:
-            # @embed:@link output can be cyclic through nodes whose @ids
-            # were pruned as single-use bnodes; re-entrant elements return
-            # their (in-construction) compacted dict instead of recursing
+            # termination guard beyond the reference's @id-keyed link
+            # map: @embed:@link output can be cyclic through nodes whose
+            # @ids were pruned as single-use bnodes. The reference
+            # RE-COMPACTS an id-less re-entrant element (a fresh copy
+            # per visit) and only closes the cycle when it reaches an
+            # @id-bearing node whose in-construction link entry hits
+            # (compact.js:117-125,185-191) — so allow ONE re-entrant
+            # recompaction (exact parity when an @id node is on the
+            # cycle, fuzz seed 3200865) and short-circuit at depth 2,
+            # where the reference dies in a native stack overflow (the
+            # documented known-crash skip class; this engine terminates)
             in_progress = options.setdefault("_compactInProgress", {})
-            if id(element) in in_progress:
-                return in_progress[id(element)]
+            stack = in_progress.get(id(element))
+            if stack and len(stack) >= 2:
+                return stack[-1]
 
         if is_value(element) or is_subject_reference(element):
             rval = compact_value(active_ctx, active_property, element,
@@ -95,7 +103,8 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
         inside_reverse = active_property == "@reverse"
         rval: dict[str, Any] = {}
         if isinstance(link, dict):
-            options.setdefault("_compactInProgress", {})[id(element)] = rval
+            options.setdefault("_compactInProgress", {}) \
+                .setdefault(id(element), []).append(rval)
 
         input_ctx = active_ctx
         if not is_value(element) and not is_subject_reference(element):
@@ -338,14 +347,19 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
                               compacted_item, property_is_array=is_array)
 
         if isinstance(link, dict):
-            # evict the re-entrancy guard entry now that this element's
-            # compaction is COMPLETE: the guard must only short-circuit
-            # true cycles (re-entrant visits), not act as an identity
+            # pop the re-entrancy guard frame now that this element's
+            # compaction is COMPLETE: the guard must only bound true
+            # cycles (re-entrant visits), not act as an identity
             # cache — the reference re-compacts a shared (pruned-@id)
             # framed node at each position, and the per-position results
             # genuinely differ when an @index/@id/@type container
             # consumes a property of one copy (fuzz seed 3201777)
-            options.get("_compactInProgress", {}).pop(id(element), None)
+            in_prog = options.get("_compactInProgress", {})
+            frames = in_prog.get(id(element))
+            if frames:
+                frames.pop()
+                if not frames:
+                    del in_prog[id(element)]
         return rval
 
     return element

@@ -122,3 +122,26 @@ def test_frame_link_map_coerces_nonstring_id_key():
                            "@container": ["@index", "@set"]}},
         "t": {"@id": [{"@language": "fr", "@value": "val"}]},
     }
+
+
+def test_linked_frame_reentrant_idless_node_recompacts():
+    """Fuzz seed 3200865: a pruned-@id node on a cycle THROUGH an
+    @id-bearing node must be re-compacted on re-entry (a fresh copy
+    per visit, closing the cycle at the @id node's in-construction
+    link entry, compact.js:117-125) — the guard may only short-circuit
+    at re-entrancy depth 2, where the reference natively overflows.
+    Expected output pinned from the reference via frameDecycled."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_frame_link_parity as flp
+    import test_fuzz_parity as fz
+
+    s = 3200865
+    doc = fz._gen_doc(s)
+    frame = flp._gen_frame(s * 41 + 13)
+    got = _decycle(api.frame(json.loads(json.dumps(doc)),
+                             json.loads(json.dumps(frame))), set())
+    expected = json.loads('{"@context": {"ex": "http://fz.example/", "t0": {"@id": "http://fz.example/p0", "@language": "en"}, "t1": {"@reverse": "http://fz.example/rev1"}, "t2": {"@id": "http://fz.example/p2", "@type": "@id"}, "t3": "http://fz.example/p3"}, "@graph": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@id": "ex:s2", "@type": ["ex:T1", "ex:T2"], "ex:absolute": {"@none": {"@index": "i", "@value": "x"}}, "ex:vocab/t2": {"@cycle": "ex:s2"}, "ex:vocab/t4": [{"@index": "i", "@value": "x"}, 7], "ex:vocab/unmapped": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@cycle": "ex:s2"}}]}}, {"ex:raw": -17, "ex:vocab/inner": "plain"}, {"@none": {"@index": "i", "@value": "x"}}, {"@id": "ex:s2", "@type": ["ex:T1", "ex:T2"], "ex:absolute": {"@none": {"@index": "i", "@value": "x"}}, "ex:vocab/t2": {"@cycle": "ex:s2"}, "ex:vocab/t4": [{"@index": "i", "@value": "x"}, 7], "ex:vocab/unmapped": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@cycle": "ex:s2"}}]}]}')
+    assert json.loads(json.dumps(got)) == expected
