@@ -10,7 +10,11 @@ Recorded runs (2026-08-19, round 5): seeds 2000000..2040000 —
 compactIri calls .startsWith on non-string ids and dies with a raw
 JS TypeError — same known-bug skip class as tools/fuzz_sweep.py), 0
 both-errored-no-code — on top of the earlier rounds' ad-hoc compact
-sweeps (3,800 docs r1, 1,200 r2 noted in BASELINE.md).
+sweeps (3,800 docs r1, 1,200 r2 noted in BASELINE.md). That first
+range ran default options; the tool has since gained a per-seed
+option matrix (compactArrays x graph), so later ranges also cover
+the singleton-preserving and @graph-wrapping paths (see BASELINE.md
+round-5 section for the recorded option-matrix ranges).
 """
 import json
 import os
@@ -50,8 +54,12 @@ for base in range(lo, hi, chunk):
     seeds = range(base, min(base + chunk, hi))
     docs = [_gen_doc(s) for s in seeds]
     ctxs = [_gen_context(random.Random(s * 31 + 7)) for s in seeds]
-    reqs = [{"op": "compact", "input": d, "ctx": c}
-            for d, c in zip(docs, ctxs)]
+    # option matrix (defaults: compactArrays=True, graph=False) —
+    # exercises the singleton-preserving and @graph-wrapping paths
+    optses = [{"compactArrays": s % 3 != 0, "graph": s % 5 == 0}
+              for s in seeds]
+    reqs = [{"op": "compact", "input": d, "ctx": c, "options": o}
+            for d, c, o in zip(docs, ctxs, optses)]
     lines = "\n".join(json.dumps(r) for r in reqs)
     proc = subprocess.run(
         ["node", os.path.join(HARNESS_DIR, "ref_run.js")],
@@ -67,7 +75,8 @@ for base in range(lo, hi, chunk):
         ref = results[i]
         try:
             mine = api.compact(json.loads(json.dumps(doc)),
-                               json.loads(json.dumps(ctx)))
+                               json.loads(json.dumps(ctx)),
+                               dict(optses[i]))
             if _ref_raw_crash(ref):
                 n_refcrash += 1
             elif not ref["ok"]:
