@@ -41,6 +41,32 @@ def _ref_raw_crash(ref) -> bool:
                  or "Cannot read" in ref.get("error", "")
                  or "of undefined" in ref.get("error", "")))
 
+
+def _ref_per_doc_codes(a, b) -> set:
+    """Expand each doc individually in the reference and collect the
+    error codes. The reference's merge expands ALL docs via
+    Promise.all (jsonld.js:788-794), so when SEVERAL docs are invalid
+    the surfaced rejection is whichever expansion rejects first in
+    microtask order — not array order like this engine's sequential
+    expand loop. A code mismatch is only a real divergence if the
+    engine's code matches NO individual doc's reference error
+    (seed 3309338: ref surfaced doc B's 'invalid language map value',
+    engine doc A's 'invalid value object'; both legitimate)."""
+    reqs = [{"op": "expand", "input": a}, {"op": "expand", "input": b}]
+    proc = subprocess.run(
+        ["node", os.path.join(HARNESS_DIR, "ref_run.js")],
+        input="\n".join(json.dumps(r) for r in reqs),
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ,
+             "NODE_PATH": os.path.join(HARNESS_DIR, "node_modules")},
+    )
+    if proc.returncode != 0:
+        return set()
+    return {r.get("code")
+            for r in (json.loads(x)
+                      for x in proc.stdout.strip().split("\n"))
+            if not r["ok"] and r.get("code")}
+
 for base in range(lo, hi, chunk):
     seeds = range(base, min(base + chunk, hi))
     pairs = [(_gen_doc(s), _gen_doc(s * 29 + 101)) for s in seeds]
@@ -80,8 +106,11 @@ for base in range(lo, hi, chunk):
                 n_div += 1
                 print("DIV merge engine-error-ref-ok", s, e.code)
             elif ref.get("code") and e.code != ref["code"]:
-                n_div += 1
-                print("DIV merge code", s, e.code, ref["code"])
+                if e.code in _ref_per_doc_codes(a, b):
+                    pass  # Promise.all rejection-order race, not parity
+                else:
+                    n_div += 1
+                    print("DIV merge code", s, e.code, ref["code"])
             elif not ref.get("code"):
                 n_nocode += 1
     print(f"chunk {base}..{seeds[-1]}: cumulative {n_total} pairs, "
