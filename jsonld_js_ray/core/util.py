@@ -67,11 +67,32 @@ def deep_clone(v: Any) -> Any:
     return v
 
 
+_MISSING = object()
+
+
+def _js_strict_eq(a: Any, b: Any) -> bool:
+    """JS ``===`` on JSON values: dicts/lists compare by IDENTITY,
+    primitives by value with type discrimination (true !== 1;
+    undefined !== null is handled by the _MISSING defaults at the
+    call sites)."""
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        return a is b
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+
 def compare_values(v1: Any, v2: Any) -> bool:
     """JSON-LD value equality (util.js:385-409).
 
-    True iff: both are identical primitives; both @value objects with equal
-    @value/@type/@language/@index; or both objects with equal @id.
+    True iff: both are identical primitives; both @value objects with
+    STRICTLY equal @value/@type/@language/@index; or both objects with
+    strictly equal @id. Each component compares with JS ``===``
+    semantics — a non-scalar component (an @json @value, or the fork's
+    broken array-valued @type) matches only by object identity, so two
+    structurally equal but distinct such value objects are NOT
+    duplicates (flatten fuzz seed 3031914: the reference keeps both
+    copies where a deep comparison would merge them).
     """
     if v1 is v2:
         return True
@@ -83,11 +104,9 @@ def compare_values(v1: Any, v2: Any) -> bool:
     ):
         return True
     if _t.is_value(v1) and _t.is_value(v2):
-        return (
-            v1.get("@value") == v2.get("@value")
-            and v1.get("@type") == v2.get("@type")
-            and v1.get("@language") == v2.get("@language")
-            and v1.get("@index") == v2.get("@index")
+        return all(
+            _js_strict_eq(v1.get(k, _MISSING), v2.get(k, _MISSING))
+            for k in ("@value", "@type", "@language", "@index")
         )
     if (
         isinstance(v1, dict)
@@ -95,7 +114,7 @@ def compare_values(v1: Any, v2: Any) -> bool:
         and isinstance(v2, dict)
         and "@id" in v2
     ):
-        return v1["@id"] == v2["@id"]
+        return _js_strict_eq(v1["@id"], v2["@id"])
     return False
 
 

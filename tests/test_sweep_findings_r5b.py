@@ -145,3 +145,35 @@ def test_linked_frame_reentrant_idless_node_recompacts():
                              json.loads(json.dumps(frame))), set())
     expected = json.loads('{"@context": {"ex": "http://fz.example/", "t0": {"@id": "http://fz.example/p0", "@language": "en"}, "t1": {"@reverse": "http://fz.example/rev1"}, "t2": {"@id": "http://fz.example/p2", "@type": "@id"}, "t3": "http://fz.example/p3"}, "@graph": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@id": "ex:s2", "@type": ["ex:T1", "ex:T2"], "ex:absolute": {"@none": {"@index": "i", "@value": "x"}}, "ex:vocab/t2": {"@cycle": "ex:s2"}, "ex:vocab/t4": [{"@index": "i", "@value": "x"}, 7], "ex:vocab/unmapped": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@cycle": "ex:s2"}}]}}, {"ex:raw": -17, "ex:vocab/inner": "plain"}, {"@none": {"@index": "i", "@value": "x"}}, {"@id": "ex:s2", "@type": ["ex:T1", "ex:T2"], "ex:absolute": {"@none": {"@index": "i", "@value": "x"}}, "ex:vocab/t2": {"@cycle": "ex:s2"}, "ex:vocab/t4": [{"@index": "i", "@value": "x"}, 7], "ex:vocab/unmapped": [{"@none": -17}, {"ex:absolute": 7, "ex:vocab/tq": {"@cycle": "ex:s2"}}]}]}')
     assert json.loads(json.dumps(got)) == expected
+
+
+def test_compare_values_uses_js_strict_semantics():
+    """Fuzz seed 3031914 (flatten sweep): util.js compareValues uses
+    === per component, so value objects whose @value/@type carry a
+    NON-scalar compare by identity — structurally equal but distinct
+    @json literals (and the fork's broken array-@type shapes) are NOT
+    duplicates and flatten keeps both copies."""
+    from jsonld_js_ray.core.util import compare_values
+
+    a = {"@value": {"a": [1]}, "@type": "@json"}
+    b = {"@value": {"a": [1]}, "@type": "@json"}
+    assert not compare_values(a, b)          # distinct @value objects
+    assert compare_values(a, a)              # identity
+    shared = {"a": [1]}
+    assert compare_values({"@value": shared, "@type": "@json"},
+                          {"@value": shared, "@type": "@json"})
+    # scalar components still compare by value, with bool/number split
+    assert compare_values({"@value": 1}, {"@value": 1.0})
+    assert not compare_values({"@value": True}, {"@value": 1})
+    # undefined !== null: one side missing, other explicit None
+    assert not compare_values({"@value": 1, "@language": None},
+                              {"@value": 1})
+
+    got = api.flatten([{"@id": "http://e.x/s", "http://e.x/p": [
+        {"@value": {"a": [1]}, "@type": "@json"},
+        {"@value": {"a": [1]}, "@type": "@json"}]}])
+    # reference-verified: both @json copies survive flattening
+    assert json.loads(json.dumps(got)) == [
+        {"@id": "http://e.x/s", "http://e.x/p": [
+            {"@type": "@json", "@value": {"a": [1]}},
+            {"@type": "@json", "@value": {"a": [1]}}]}]
