@@ -16,7 +16,9 @@ from .types import (
     is_blank_node, is_keyword, is_list, is_subject, is_subject_reference,
     is_value,
 )
-from .util import IdentifierIssuer, add_value, deep_clone
+from .util import (
+    _MISSING, IdentifierIssuer, _js_strict_eq, add_value, deep_clone,
+)
 
 
 def create_merged_node_map(input_: Any,
@@ -123,11 +125,17 @@ def create_node_map(
             continue
 
         if prop != "@type" and is_keyword(prop):
+            # the conflict test is JS !== on the raw values plus their
+            # ['@id'] members (nodeMap.js:156-158): strings compare by
+            # value, dict/list @index values by IDENTITY (a['@id'] on a
+            # non-object is undefined in JS -> the _MISSING default)
+            a, b = input_[prop], subject.get(prop)
+            aid = a.get("@id", _MISSING) if isinstance(a, dict) \
+                else _MISSING
+            bid = b.get("@id", _MISSING) if isinstance(b, dict) \
+                else _MISSING
             if prop == "@index" and prop in subject and (
-                input_[prop] != subject[prop]
-                or (isinstance(input_[prop], dict)
-                    and input_[prop].get("@id")
-                    != subject[prop].get("@id"))
+                not _js_strict_eq(a, b) or not _js_strict_eq(aid, bid)
             ):
                 raise JsonLdError(
                     "conflicting @index property detected.",
