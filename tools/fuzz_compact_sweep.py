@@ -13,8 +13,9 @@ both-errored-no-code — on top of the earlier rounds' ad-hoc compact
 sweeps (3,800 docs r1, 1,200 r2 noted in BASELINE.md). That first
 range ran default options; the tool has since gained a per-seed
 option matrix (compactArrays x graph), so later ranges also cover
-the singleton-preserving and @graph-wrapping paths (see BASELINE.md
-round-5 section for the recorded option-matrix ranges).
+the singleton-preserving and @graph-wrapping paths. Option-matrix
+ranges recorded 2026-08-19 (round-5 second sitting): seeds
+2040000..2081000 — 41,000 docs, 0 divergences.
 """
 import json
 import os

@@ -6,7 +6,16 @@ reference's flatten (lib/jsonld.js:369-405, lib/flatten.js:24-38).
 
 Usage: python tools/fuzz_flatten_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Recorded runs: see BASELINE.md round-5 section.
+Recorded runs (2026-08-19, round-5 second sitting): seeds
+3000000..3060500 — 60,500 docs clean at fixed HEADs (plus the two
+finding passes). The axis found TWO engine bugs on its first pass:
+seeds 3001834/3002138/3003576/3007668/3011192/3015714 exposed the
+visible "@id": "undefined" string on bare-@list graph content (fixed
+in core/nodemap.py — JS-undefined @id modeled as an absent key), and
+seed 3031914 exposed deep-equality dedup where util.js compareValues
+uses === per component (fixed in core/util.py). Both ranges re-ran
+clean at the fixed HEADs; regressions in
+tests/test_sweep_findings_r5b.py.
 """
 import json
 import os

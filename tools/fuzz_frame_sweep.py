@@ -17,7 +17,17 @@ Skip classes (counted, never parity):
 
 Usage: python tools/fuzz_frame_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Recorded runs: see BASELINE.md round-5 section.
+Recorded runs (2026-08-19, round-5 second sitting): seeds
+3200000..3260500 — 60,500 docs clean at fixed HEADs (plus the
+finding pass). The axis found TWO engine bugs on its first pass:
+seed 3201777 crashed cleanup_null on an index-map entry keyed "@id"
+(fixed — JS String() link-key coercion in core/frame.py) and, with
+seeds 3200865 etc. (12 total), exposed the compact re-entrancy guard
+acting as an identity cache / closing cycles one node early (fixed —
+per-element frame stack in core/compact.py, one re-entrant
+recompaction like the reference, short-circuit at depth 2 where the
+reference natively overflows). Ranges re-ran clean at the fixed
+HEADs; regressions in tests/test_sweep_findings_r5b.py.
 """
 import json
 import os

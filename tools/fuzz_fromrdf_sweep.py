@@ -11,7 +11,9 @@ Options vary by seed to cover the decode matrix:
 
 Usage: python tools/fuzz_fromrdf_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Recorded runs: see BASELINE.md round-5 section.
+Recorded runs (2026-08-19, round-5 second sitting): seeds
+3100000..3160500 — 60,500 docs, 0 divergences (1,060/60,500
+toRdf-error + 12 null-quad op skips across the ranges).
 """
 import json
 import os

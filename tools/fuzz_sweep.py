@@ -7,10 +7,11 @@ Skips are counted per OP (each doc runs two ops, expand and toRdf),
 so the reported compared-op count reconciles exactly with the
 skip totals.
 
-Recorded runs (2026-08-18/19): seventeen fresh-seed ranges covering
-seeds 50000..1052200 — 1,000,000 docs / 2,000,000 ops total (a
+Recorded runs (2026-08-18/19): eighteen fresh-seed ranges covering
+seeds 50000..1102200 — 1,050,000 docs / 2,100,000 ops total (a
 million-document differential campaign; range seventeen ran 100k
-docs clean at the set-semantics-fixed HEAD). Seed 864917 in range sixteen surfaced the ONE
+docs clean at the set-semantics-fixed HEAD; range eighteen 50k docs
+clean, 16 null-quad op skips, in the round-5 second sitting). Seed 864917 in range sixteen surfaced the ONE
 finding of the whole campaign — not an engine bug but a comparison-
 semantics gap: the reference fork emits a DUPLICATE value-quad
 through its broken @type-container+@list path, and canonizing the
