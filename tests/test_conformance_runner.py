@@ -61,7 +61,13 @@ def test_w3c_shaped_fixture_suite():
     # @language containers / @nest, frame @requireAll, fromRdf
     # rdfDirection + useNativeTypes options, flatten-with-context —
     # also reference-cross-checked before pinning. 30 evaluated.
-    assert rep["pass"] == 30
+    # ...plus the third wave (round-5 second sitting): expand @nest,
+    # @import via the mounted loader (+ its negative code), nested
+    # @list toRdf, fromRdf useRdfType, compact compactArrays=false,
+    # frame @default/@null, and the default bnode-predicate drop —
+    # every expected output generated from the reference via
+    # ref_run.js before pinning. 38 evaluated.
+    assert rep["pass"] == 38
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
