@@ -1,6 +1,8 @@
 """Out-of-band differential MERGE fuzz vs the (crash-guarded)
 reference: each seed merges TWO independently generated docs (odd
-seeds also pass mergeNodes=False, the only merge option) and compares
+seeds also pass mergeNodes=False, the only merge option; seeds with
+s % 4 >= 2 additionally pass a generated compaction context, driving
+merge's compact tail) and compares
 deep-equality with the harness's ``mergeGuarded`` op — the fork's
 nodeMap @reverse path calls util.addValue with an undefined subject
 for ~27% of random pairs and dies in a native TypeError; the guard
@@ -27,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-from test_fuzz_parity import HARNESS_DIR, _gen_doc  # noqa: E402
+import random  # noqa: E402
+
+from test_fuzz_parity import (HARNESS_DIR, _gen_context,  # noqa: E402
+                              _gen_doc)
 
 from jsonld_js_ray import api  # noqa: E402
 from jsonld_js_ray.core.errors import JsonLdError  # noqa: E402
@@ -77,9 +82,11 @@ def _ref_per_doc_codes(a, b) -> set:
 for base in range(lo, hi, chunk):
     seeds = range(base, min(base + chunk, hi))
     pairs = [(_gen_doc(s), _gen_doc(s * 29 + 101)) for s in seeds]
-    reqs = [{"op": "mergeGuarded", "input": [a, b], "ctx": None,
+    ctxs = [(_gen_context(random.Random(s * 53 + 29))
+             if s % 4 >= 2 else None) for s in seeds]
+    reqs = [{"op": "mergeGuarded", "input": [a, b], "ctx": c,
              "options": ({"mergeNodes": False} if s % 2 else {})}
-            for s, (a, b) in zip(seeds, pairs)]
+            for s, (a, b), c in zip(seeds, pairs, ctxs)]
     lines = "\n".join(json.dumps(r) for r in reqs)
     proc = subprocess.run(
         ["node", os.path.join(HARNESS_DIR, "ref_run.js")],
@@ -90,12 +97,13 @@ for base in range(lo, hi, chunk):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     results = [json.loads(x) for x in proc.stdout.strip().split("\n")]
-    for s, (a, b), ref in zip(seeds, pairs, results):
+    for s, (a, b), c, ref in zip(seeds, pairs, ctxs, results):
         n_total += 1
         opts = {"mergeNodes": False} if s % 2 else {}
         try:
             mine = api.merge([json.loads(json.dumps(a)),
-                              json.loads(json.dumps(b))], None,
+                              json.loads(json.dumps(b))],
+                             json.loads(json.dumps(c)),
                              dict(opts))
             if _ref_raw_crash(ref):
                 n_refcrash += 1
