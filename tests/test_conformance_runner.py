@@ -74,7 +74,11 @@ def test_w3c_shaped_fixture_suite():
     # default-mode toRdf, frame @explicit, and fromRdf @list
     # reassembly — all reference-cross-checked before pinning.
     # 46 evaluated.
-    assert rep["pass"] == 46
+    # ...plus the fifth wave: @container @type / @id maps, top-level
+    # @reverse, @type @vocab-vs-@id coercion, @base null, list of
+    # lists compaction, frame @omitDefault, and fromRdf rdf:JSON —
+    # all reference-cross-checked before pinning. 54 evaluated.
+    assert rep["pass"] == 54
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
