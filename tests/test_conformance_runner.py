@@ -78,7 +78,12 @@ def test_w3c_shaped_fixture_suite():
     # @reverse, @type @vocab-vs-@id coercion, @base null, list of
     # lists compaction, frame @omitDefault, and fromRdf rdf:JSON —
     # all reference-cross-checked before pinning. 54 evaluated.
-    assert rep["pass"] == 54
+    # ...plus the sixth wave: @language / @index containers (expand
+    # side), property- and type-scoped contexts, colliding-keywords
+    # negative, blank-node graph names in BOTH RDF directions, and
+    # flatten blank-node relabeling — all reference-cross-checked
+    # before pinning. 62 evaluated.
+    assert rep["pass"] == 62
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
