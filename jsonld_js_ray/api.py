@@ -93,6 +93,17 @@ def _setup_options(options: dict | None) -> dict:
     return opts
 
 
+def _with_default_base(options: dict | None, input_: Any) -> dict:
+    """The reference _setDefaults' base leg (lib/jsonld.js:142,382,432,
+    570,677,733): an explicit caller base — even None, JS null — wins;
+    otherwise a string input doubles as the base ('' for object input).
+    Key-PRESENCE decides, not truthiness ('base' in options)."""
+    opts = dict(options or {})
+    if "base" not in opts:
+        opts["base"] = input_ if isinstance(input_, str) else ""
+    return opts
+
+
 def _initial_ctx(options: dict) -> _ctx.ActiveContext:
     return _ctx.ActiveContext(options)
 
@@ -102,12 +113,15 @@ def expand(input_: Any, options: dict | None = None) -> list:
 
     String input is a URL: dereferenced via options['documents'] /
     options['documentLoader'] (jsonld.js:301-316), with the document URL
-    becoming the base when none was given."""
+    becoming the base ONLY when the caller set no base at all —
+    jsonld.js:319-321 checks `!('base' in options)`, so an explicit
+    null/'' base keeps relative IRIs relative."""
+    caller_set_base = isinstance(options, dict) and "base" in options
     options = _setup_options(options)
     if isinstance(input_, str):
         remote = load_document(input_, options)
         doc = deep_clone(remote["document"])
-        if not options.get("base"):
+        if not caller_set_base:
             options = {**options,
                        "base": remote.get("documentUrl") or input_}
     else:
@@ -132,7 +146,7 @@ def expand(input_: Any, options: dict | None = None) -> list:
 
 def compact(input_: Any, ctx: Any, options: dict | None = None) -> dict:
     """Compact a JSON-LD document with a context (lib/jsonld.js:122-248)."""
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     options.setdefault("compactArrays", True)
     options.setdefault("compactToRelative", True)
     options.setdefault("graph", False)
@@ -141,10 +155,12 @@ def compact(input_: Any, ctx: Any, options: dict | None = None) -> dict:
     if options.get("link"):
         options["skipExpansion"] = True
     if not options["compactToRelative"]:
-        # reference deletes options.base BEFORE expansion
-        # (lib/jsonld.js:158-160): IRIs stay absolute; an explicit @base
-        # in the compaction context still relativizes (compact.js:948)
-        options["base"] = ""
+        # reference DELETES options.base BEFORE expansion
+        # (lib/jsonld.js:158-160) — even an explicit null — so the inner
+        # expand re-defaults to the documentUrl for URL input; an
+        # explicit @base in the compaction context still relativizes
+        # (compact.js:948)
+        options.pop("base", None)
     if ctx is None:
         raise JsonLdError(
             "The compaction context must not be null.",
@@ -204,7 +220,7 @@ def compact(input_: Any, ctx: Any, options: dict | None = None) -> dict:
 
 def flatten(input_: Any, ctx: Any = None, options: dict | None = None) -> Any:
     """Flatten a document (lib/jsonld.js:369-405, lib/flatten.js:24-38)."""
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     expanded = expand(input_, options)
     flattened = _flatten_mod.flatten(expanded)
     if ctx is None:
@@ -217,7 +233,7 @@ def flatten(input_: Any, ctx: Any = None, options: dict | None = None) -> Any:
 
 def frame(input_: Any, frame_doc: Any, options: dict | None = None) -> Any:
     """Frame a document (lib/jsonld.js:425-511)."""
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     return _frame_mod.frame_document(input_, frame_doc, options)
 
 
@@ -236,7 +252,7 @@ def to_rdf(input_: Any, options: dict | None = None) -> list[tuple]:
     Returns quads in the engine tuple form; pass format=
     'application/n-quads' for an N-Quads string.
     """
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     if options.get("skipExpansion"):
         expanded = input_
     else:
@@ -285,7 +301,7 @@ def canonize(input_: Any, options: dict | None = None) -> str:
     'URGNA2012'; ``inputFormat`` / ``format`` — 'application/n-quads'
     (the output is always the canonical N-Quads string, like
     rdf-canonize; an unknown ``format`` value raises)."""
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     algorithm = options.get("algorithm", "URDNA2015")
     out_fmt = options.get("format")
     if out_fmt not in (None, "application/n-quads", "application/nquads"):
@@ -309,7 +325,7 @@ def canonize(input_: Any, options: dict | None = None) -> str:
 
 def create_node_map(input_: Any, options: dict | None = None) -> dict:
     """Merged node map of a document (lib/jsonld.js:726-743)."""
-    options = _setup_options(options)
+    options = _setup_options(_with_default_base(options, input_))
     expanded = expand(input_, options)
     return _nodemap.create_merged_node_map(expanded)
 
@@ -318,10 +334,18 @@ def merge(docs: list, ctx: Any = None, options: dict | None = None) -> Any:
     """Merge N documents into one flattened doc (lib/jsonld.js:766-856)."""
     if not isinstance(docs, list):
         raise TypeError("Could not merge, 'docs' must be an array.")
+    # reference merge sets NO base default (lib/jsonld.js:780-793): each
+    # per-doc expand sees the caller's options verbatim, so a URL doc
+    # gets its own documentUrl as base unless the caller passed one
+    caller_set_base = isinstance(options, dict) and "base" in options
     options = _setup_options(options)
     merge_nodes = options.get("mergeNodes", True)
 
-    expanded_docs = [expand(doc, options) for doc in docs]
+    if caller_set_base:
+        expand_opts = options
+    else:
+        expand_opts = {k: v for k, v in options.items() if k != "base"}
+    expanded_docs = [expand(doc, expand_opts) for doc in docs]
 
     # single pass (jsonld.js:803-830): each doc's bnodes get a doc-scoped
     # namespace, then its node map merges into the accumulator; with

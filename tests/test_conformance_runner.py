@@ -91,7 +91,14 @@ def test_w3c_shaped_fixture_suite():
     # determinism-checked), and frame @embed @never — the
     # reference-comparable rows cross-checked before pinning.
     # 70 evaluated.
-    assert rep["pass"] == 70
+    # ...plus the eighth wave: @type+@language value-object negative,
+    # list-of-lists expansion, @reverse-term / language-map / type-
+    # coercion compaction, toRdf under an explicit base null (relative
+    # IRIs stay relative and drop — the fix that keyed the
+    # key-presence base semantics in api.py), a doubly-referenced
+    # rdf list that must NOT collapse to @list, and frame @explicit —
+    # all eight reference-cross-checked before pinning. 78 evaluated.
+    assert rep["pass"] == 78
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
