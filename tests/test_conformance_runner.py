@@ -98,7 +98,14 @@ def test_w3c_shaped_fixture_suite():
     # key-presence base semantics in api.py), a doubly-referenced
     # rdf list that must NOT collapse to @list, and frame @explicit —
     # all eight reference-cross-checked before pinning. 78 evaluated.
-    assert rep["pass"] == 78
+    # ...plus the ninth wave: [@graph,@index] container expansion AND
+    # compaction, @version-1.1-under-1.0 processing mode conflict,
+    # invalid context @direction negative, empty-@vocab-resolves-
+    # against-@base, native number/boolean canonical RDF literals
+    # (incl. JS -0.0 -> "0"^^xsd:integer), a non-nil-terminated rdf
+    # list staying plain properties, and frame @embed @always — all
+    # reference-cross-checked before pinning. 86 evaluated.
+    assert rep["pass"] == 86
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]

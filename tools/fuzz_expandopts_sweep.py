@@ -1,15 +1,23 @@
 """Out-of-band differential EXPAND fuzz under an API-options matrix
 the main campaign never varied:
 
-  seed % 4 == 0  ->  {expandContext: <generated context>}
-  seed % 4 == 1  ->  {base: 'http://optbase.example/dir/doc'}
-  seed % 4 == 2  ->  both
-  seed % 4 == 3  ->  {base: ''}   (explicit empty base, a 1.1 corner)
+  seed % 8 == 0  ->  {expandContext: <generated context>}
+  seed % 8 == 1  ->  {base: 'http://optbase.example/dir/doc'}
+  seed % 8 == 2  ->  both
+  seed % 8 == 3  ->  {base: ''}   (explicit empty base, a 1.1 corner)
+  seed % 8 == 4  ->  URL input, base absent  (documentUrl default)
+  seed % 8 == 5  ->  URL input, base null    (key-presence corner)
+  seed % 8 == 6  ->  URL input, base ''      (key-presence corner)
+  seed % 8 == 7  ->  URL input, base set     (caller base wins)
 
 expandContext drives the merge-an-external-context-first path
 (jsonld.js expand: options.expandContext processed before the doc's
 own @context); base drives relative-IRI resolution against an
-API-supplied base instead of the document location.
+API-supplied base instead of the document location. Legs 4-7 feed the
+doc through the document loader (a URL string + preloaded documents
+map) — the axis that exposed the key-presence base bug (jsonld.js:
+319-321 checks `'base' in options`, NOT truthiness; fixed in api.py,
+pinned in tests/test_base_option_semantics.py).
 
 Usage: python tools/fuzz_expandopts_sweep.py <seed_lo> <seed_hi> [chunk]
 
@@ -39,16 +47,25 @@ n_nocode = 0
 n_refcrash = 0
 
 
+DOC_URL = "https://fuzz.test/dir/doc.jsonld"
+
+
 def _opts_for(s: int) -> dict:
-    which = s % 4
+    which = s % 8
     opts: dict = {}
     if which in (0, 2):
         opts["expandContext"] = _gen_context(random.Random(s * 43 + 17))
-    if which in (1, 2):
+    if which in (1, 2, 7):
         opts["base"] = "http://optbase.example/dir/doc"
-    if which == 3:
+    if which in (3, 6):
         opts["base"] = ""
+    if which == 5:
+        opts["base"] = None
     return opts
+
+
+def _url_input(s: int) -> bool:
+    return s % 8 >= 4
 
 
 def _ref_raw_crash(ref) -> bool:
@@ -61,8 +78,10 @@ for base in range(lo, hi, chunk):
     seeds = range(base, min(base + chunk, hi))
     docs = [_gen_doc(s) for s in seeds]
     optses = [_opts_for(s) for s in seeds]
-    reqs = [{"op": "expand", "input": d, "options": o}
-            for d, o in zip(docs, optses)]
+    reqs = [{"op": "expand", "input": DOC_URL if _url_input(s) else d,
+             "options": o,
+             **({"documents": {DOC_URL: d}} if _url_input(s) else {})}
+            for s, d, o in zip(seeds, docs, optses)]
     lines = "\n".join(json.dumps(r) for r in reqs)
     proc = subprocess.run(
         ["node", os.path.join(HARNESS_DIR, "ref_run.js")],
@@ -76,8 +95,14 @@ for base in range(lo, hi, chunk):
     for (s, doc, opts), ref in zip(zip(seeds, docs, optses), results):
         n_total += 1
         try:
-            mine = api.expand(json.loads(json.dumps(doc)),
-                              json.loads(json.dumps(opts)))
+            eng_opts = json.loads(json.dumps(opts))
+            if _url_input(s):
+                eng_opts["documents"] = {
+                    DOC_URL: json.loads(json.dumps(doc))}
+                mine = api.expand(DOC_URL, eng_opts)
+            else:
+                mine = api.expand(json.loads(json.dumps(doc)),
+                                  eng_opts)
             if _ref_raw_crash(ref):
                 n_refcrash += 1
             elif not ref["ok"]:
