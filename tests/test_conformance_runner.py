@@ -105,7 +105,12 @@ def test_w3c_shaped_fixture_suite():
     # (incl. JS -0.0 -> "0"^^xsd:integer), a non-nil-terminated rdf
     # list staying plain properties, and frame @embed @always — all
     # reference-cross-checked before pinning. 86 evaluated.
-    assert rep["pass"] == 86
+    # ...plus the tenth wave: legacy @embed true/false aliases
+    # (@once/@never), unknown-@embed negative, keyword-redefinition /
+    # @prefix-boolean / empty-term negatives, and the fork's
+    # tolerated non-boolean @protected — all reference-cross-checked
+    # before pinning. 93 evaluated.
+    assert rep["pass"] == 93
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
