@@ -309,14 +309,17 @@ def canonize(input_: Any, options: dict | None = None) -> str:
             f"Unknown output format: {out_fmt}",
             "jsonld.UnknownFormat", code="unknown format",
             details={"format": out_fmt})
-    in_fmt = options.get("inputFormat")
-    if in_fmt in ("application/n-quads", "application/nquads"):
+    # key-PRESENCE, like the reference (lib/jsonld.js:577-585): an
+    # explicit inputFormat — even null — selects the N-Quads branch
+    # and anything but the two N-Quads media types raises there
+    if "inputFormat" in options:
+        in_fmt = options["inputFormat"]
+        if in_fmt not in ("application/n-quads", "application/nquads"):
+            raise JsonLdError(
+                "Unknown canonicalization input format.",
+                "jsonld.CanonizeError", code="unknown format",
+                details={"format": in_fmt})
         dataset = _nq.parse(input_)
-    elif in_fmt:
-        raise JsonLdError(
-            "Unknown canonicalization input format.",
-            "jsonld.CanonizeError", code="unknown format",
-            details={"format": in_fmt})
     else:
         dataset = to_rdf(input_, {**options, "format": None,
                                   "produceGeneralizedRdf": False})

@@ -83,6 +83,19 @@ def test_compact_no_relative_deletes_base_even_null():
         assert out["ex:p"]["@id"] == ABS2
 
 
+def test_canonize_input_format_key_presence():
+    # ref lib/jsonld.js:577-585: an explicit inputFormat — even null —
+    # selects the N-Quads branch, and any non-N-Quads value throws
+    # jsonld.CanonizeError (reference-verified 2026-08-19)
+    with pytest.raises(api.JsonLdError) as ei:
+        api.canonize({"@id": "http://e/x", "http://e/p": "v"},
+                     {"inputFormat": None})
+    assert "Unknown canonicalization input format" in str(ei.value)
+    # absent inputFormat converts JSON-LD to RDF first
+    out = api.canonize({"@id": "http://e/x", "http://e/p": "v"})
+    assert out == '<http://e/x> <http://e/p> "v" .\n'
+
+
 def _merged_ids(merged):
     nodes = merged["@graph"] if isinstance(merged, dict) else merged
     return {n.get("@id") for n in nodes}
