@@ -110,7 +110,12 @@ def test_w3c_shaped_fixture_suite():
     # @prefix-boolean / empty-term negatives, and the fork's
     # tolerated non-boolean @protected — all reference-cross-checked
     # before pinning. 93 evaluated.
-    assert rep["pass"] == 93
+    # ...plus the eleventh wave: @value-beside-@id / numeric-@type /
+    # @list+@set-container negatives, bare-@index passthrough, @set
+    # container flattening, graph-object @index without a container,
+    # and the omitGraph option in both polarities — all
+    # reference-cross-checked before pinning. 101 evaluated.
+    assert rep["pass"] == 101
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
