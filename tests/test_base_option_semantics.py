@@ -83,6 +83,20 @@ def test_compact_no_relative_deletes_base_even_null():
         assert out["ex:p"]["@id"] == ABS2
 
 
+def test_produce_generalized_rdf_keeps_bnode_predicates():
+    # reference-verified 2026-08-19: produceGeneralizedRdf=true keeps
+    # the blank-node predicate quad (toRdf.js drops it otherwise).
+    # Pinned here rather than in the W3C-shaped manifest because
+    # generalized RDF is not serializable N-Quads — the manifest's
+    # canonize-compare (like the reference's test-common) cannot
+    # parse a bnode-predicate line.
+    doc = {"@id": "http://e/s", "_:bp": {"@id": "http://e/o"}}
+    quads = api.to_rdf(doc, {"produceGeneralizedRdf": True})
+    assert [(q[0][1], q[1][0], q[1][1], q[2][1]) for q in quads] == \
+        [("http://e/s", "BlankNode", "_:b0", "http://e/o")]
+    assert api.to_rdf(doc) == []
+
+
 def test_canonize_input_format_key_presence():
     # ref lib/jsonld.js:577-585: an explicit inputFormat — even null —
     # selects the N-Quads branch, and any non-N-Quads value throws
