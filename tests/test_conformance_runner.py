@@ -123,7 +123,13 @@ def test_w3c_shaped_fixture_suite():
     # tests/test_base_option_semantics.py: generalized RDF is not
     # N-Quads-serializable, so the manifest compare can't host it).
     # 108 evaluated.
-    assert rep["pass"] == 108
+    # ...plus the thirteenth wave: @included-value negative,
+    # property-based @index container, term-scoped @context null,
+    # null mid-chain context reset, term-level @language+@direction,
+    # @graph keyword alias compaction, and language+direction value
+    # compaction — all reference-cross-checked before pinning.
+    # 115 evaluated.
+    assert rep["pass"] == 115
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
