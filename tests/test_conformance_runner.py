@@ -129,7 +129,12 @@ def test_w3c_shaped_fixture_suite():
     # @graph keyword alias compaction, and language+direction value
     # compaction — all reference-cross-checked before pinning.
     # 115 evaluated.
-    assert rep["pass"] == 115
+    # ...plus the fourteenth wave: array-@id negative, language-tag
+    # lowercasing (expand + toRdf), @json raw-value retention,
+    # keyword-like property drop, frame @reverse, wildcard-property
+    # null filler, and @index-preserving value compaction — all
+    # reference-cross-checked before pinning. 123 evaluated.
+    assert rep["pass"] == 123
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
