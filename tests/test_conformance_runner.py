@@ -134,7 +134,12 @@ def test_w3c_shaped_fixture_suite():
     # keyword-like property drop, frame @reverse, wildcard-property
     # null filler, and @index-preserving value compaction — all
     # reference-cross-checked before pinning. 123 evaluated.
-    assert rep["pass"] == 123
+    # ...plus the fifteenth wave: @propagate-boolean negative, named-
+    # graph quads under an IRI @id, relative-predicate quad drop,
+    # [@language,@set] container, @none in language maps (expand AND
+    # compact), @none in index maps, and [@graph,@id] container — all
+    # reference-cross-checked before pinning. 131 evaluated.
+    assert rep["pass"] == 131
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
