@@ -139,7 +139,12 @@ def test_w3c_shaped_fixture_suite():
     # [@language,@set] container, @none in language maps (expand AND
     # compact), @none in index maps, and [@graph,@id] container — all
     # reference-cross-checked before pinning. 131 evaluated.
-    assert rep["pass"] == 131
+    # ...plus the sixteenth wave: @nest-value negative, @nest-to-non-
+    # nest fork tolerance, @nest compaction hoisting, @graph alias
+    # term, @type-@id CURIE coercion, relative @vocab chaining,
+    # uppercase keyword-like drop, and longest-CURIE-prefix selection
+    # — all reference-cross-checked before pinning. 139 evaluated.
+    assert rep["pass"] == 139
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
