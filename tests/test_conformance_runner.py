@@ -201,3 +201,22 @@ def test_official_suites(suite, manifest):
     total = rep["pass"] + rep["fail"] + rep["skip"]
     print(f"{suite}: {rep['pass']}/{total} pass, {rep['skip']} skip")
     assert rep["fail"] == 0, rep["failures"][:10]
+
+
+def test_fixture_corpus_matches_reference():
+    """Mechanical proof of the corpus's 'reference-cross-checked'
+    claim: replay every replayable manifest case through the node
+    reference harness and compare against the committed expected
+    outputs (tools/crosscheck_w3c_fixtures.py). The 6 skips are the
+    engine-pinned canonize rows (the fork's canonize is gutted), the
+    specVersion-1.0 row, and the PositiveSyntaxTest no-checks row."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(here, "tools", "crosscheck_w3c_fixtures.py")],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-500:]
+    assert " 0 mismatch" in proc.stdout
