@@ -144,7 +144,14 @@ def test_w3c_shaped_fixture_suite():
     # term, @type-@id CURIE coercion, relative @vocab chaining,
     # uppercase keyword-like drop, and longest-CURIE-prefix selection
     # — all reference-cross-checked before pinning. 139 evaluated.
-    assert rep["pass"] == 139
+    # ...plus the seventeenth wave: @type alias with @container @set
+    # (expand + compact), singleton-@type string compaction, numeric-
+    # looking index keys, @index on @list objects, rdf:first/rest/nil
+    # list serialization, null-@value node drop, and the fork's
+    # empty-array property retention — all verified by the batched
+    # crosscheck (test_fixture_corpus_matches_reference) against the
+    # reference before pinning. 147 evaluated.
+    assert rep["pass"] == 147
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
