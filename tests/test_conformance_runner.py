@@ -151,7 +151,14 @@ def test_w3c_shaped_fixture_suite():
     # empty-array property retention — all verified by the batched
     # crosscheck (test_fixture_corpus_matches_reference) against the
     # reference before pinning. 147 evaluated.
-    assert rep["pass"] == 147
+    # ...plus the eighteenth wave: empty-string @id resolving to
+    # @base, relative-@base chaining, vocab-equal IRI keeping its
+    # absolute form, lone top-level @graph unwrap, term @language
+    # null over default language, @reverse+@set container, @json JCS
+    # float canonicalization (0.1, 1e+30), and a blank node naming
+    # its own graph — all verified by the batched reference
+    # crosscheck before pinning. 155 evaluated.
+    assert rep["pass"] == 155
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
