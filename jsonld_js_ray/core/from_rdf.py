@@ -168,9 +168,17 @@ def _rdf_to_object(o: tuple, use_native_types: bool,
             if type_ == XSD_INTEGER:
                 try:
                     i = int(v, 10)
-                    if str(i) == v:
+                    # JS roundtrip check is DOUBLE-precision
+                    # (fromRdf.js:318-321: parseInt yields a float64,
+                    # toFixed(0) must reproduce the lexical form):
+                    # above 2^53 parseInt loses digits, and toFixed
+                    # goes exponential at |x| >= 1e21 — both keep the
+                    # value a string. Python's int() is arbitrary-
+                    # precision, so mirror the float64 gate explicitly.
+                    f = float(i)
+                    if abs(f) < 1e21 and int(f) == i and str(i) == v:
                         rval["@value"] = i
-                except ValueError:
+                except (ValueError, OverflowError):
                     pass
             elif type_ == XSD_DOUBLE:
                 rval["@value"] = float(v)

@@ -83,6 +83,24 @@ def test_compact_no_relative_deletes_base_even_null():
         assert out["ex:p"]["@id"] == ABS2
 
 
+@pytest.mark.parametrize("lex,want", [
+    ("9007199254740993", "9007199254740993"),   # 2^53+1: JS parseInt
+    ("9007199254740992", 9007199254740992),     # 2^53: exact in float64
+    ("1000000000000000000000", "1000000000000000000000"),  # toFixed
+    ("123", 123),                               # goes exponential >=1e21
+    ("-0", "-0"), ("+5", "+5"),                 # lexical-form mismatches
+])
+def test_from_rdf_native_integer_double_precision_gate(lex, want):
+    # reference fromRdf.js:318-321 roundtrips through a FLOAT64
+    # (parseInt + toFixed(0)); integers that don't survive that trip
+    # stay strings (reference-verified 2026-08-19 on all six forms)
+    nq = (f'<http://e/s> <http://e/p> "{lex}"'
+          '^^<http://www.w3.org/2001/XMLSchema#integer> .')
+    out = api.from_rdf(nq, {"useNativeTypes": True,
+                            "format": "application/n-quads"})
+    assert out[0]["http://e/p"][0]["@value"] == want
+
+
 def test_produce_generalized_rdf_keeps_bnode_predicates():
     # reference-verified 2026-08-19: produceGeneralizedRdf=true keeps
     # the blank-node predicate quad (toRdf.js drops it otherwise).
