@@ -334,8 +334,17 @@ def compact(active_ctx: _ctx.ActiveContext, active_property: str | None,
                                 {"@id": expanded_item["@id"]}, options)
                     if not key:
                         key = compact_iri(active_ctx, "@none", vocab=True)
-                    add_value(map_object, key, compacted_item,
-                              property_is_array="@set" in container)
+                    if isinstance(map_object, dict):
+                        add_value(map_object, key, compacted_item,
+                                  property_is_array="@set" in container)
+                    # else: a non-@graph-container graph item landed
+                    # first and nestResult[prop] is the ARRAY its
+                    # wrapper was appended to (compact.js:515-541); the
+                    # reference then does _addValue(array, key, ...) —
+                    # a string-keyed property on a JS array, which
+                    # JSON.stringify silently DROPS. Mirror the
+                    # serialized behavior: the map entry never appears
+                    # (reference-verified, tests/test_review_r5d.py).
                 else:
                     is_array = (
                         not options.get("compactArrays")

@@ -1,0 +1,53 @@
+"""Fourth-sitting findings: crashes/divergences surfaced by the
+round-5 chains and dual probes, each reference-verified before
+pinning."""
+import json
+
+from jsonld_js_ray import api
+
+CTX = {"t1": {"@id": "http://e/p1", "@container": ["@index", "@set"]}}
+GRAPH_ITEM = {"@id": "_:b1",
+              "@graph": [{"http://e/t2": [{"@value": "x"}]}]}
+NODE_ITEM = {"@id": "_:b1", "http://e/raw": [{"@value": "y"}]}
+
+
+def _compact(items):
+    doc = [{"@id": "_:b2", "http://e/p1": items}]
+    return json.loads(json.dumps(api.compact(doc, CTX, {})))
+
+
+def test_graph_item_then_node_item_in_index_container():
+    # fuzz seed 10321550 (chain-7 compact range) crashed here with
+    # TypeError: the graph item lands in nestResult[prop] as an ARRAY
+    # (compact.js:515-541 non-@graph-container wrap), and the node
+    # item's index-map _addValue then writes a string-keyed property
+    # onto that JS array — which JSON.stringify silently drops. The
+    # reference output therefore contains ONLY the wrapped graph item
+    # (reference-verified 2026-08-19).
+    out = _compact([GRAPH_ITEM, NODE_ITEM])
+    assert out == {
+        "@context": CTX,
+        "@id": "_:b2",
+        "t1": [{"@graph": {"http://e/t2": "x"}, "@id": "_:b1"}],
+    }
+
+
+def test_node_item_then_graph_item_in_index_container():
+    # reverse order: the index map dict exists first, then the wrapped
+    # graph is appended beside it (util.js addValue array wrap)
+    out = _compact([NODE_ITEM, GRAPH_ITEM])
+    assert out["t1"] == [
+        {"@none": [{"@id": "_:b1", "http://e/raw": "y"}]},
+        {"@graph": {"http://e/t2": "x"}, "@id": "_:b1"},
+    ]
+
+
+def test_two_graph_items_in_index_container():
+    out = _compact([
+        {"@graph": [{"http://e/t2": [{"@value": "x"}]}]},
+        {"@graph": [{"http://e/t3": [{"@value": "z"}]}], "@index": "k"},
+    ])
+    assert out["t1"] == [
+        {"@graph": {"http://e/t2": "x"}},
+        {"@graph": {"http://e/t3": "z"}, "@index": "k"},
+    ]
