@@ -196,7 +196,13 @@ def _object_to_rdf(item: Any, issuer: IdentifierIssuer, dataset: list,
                 else:
                     lex = f"{value:.0f}"
             else:
-                lex = str(value)
+                # toRdf.js:245 value.toFixed(0) operates on a FLOAT64
+                # (a JS engine can't hold 2^53+1 exactly — JSON.parse
+                # already rounded it), so a Python bigint must round
+                # through float64 here for lexical parity; |v| < 1e21
+                # is guaranteed by the is_double gate above
+                f = float(value)
+                lex = str(value) if int(f) == value else f"{f:.0f}"
             return ("Literal", lex, datatype or XSD_INTEGER, None)
         if rdf_direction == "i18n-datatype" and "@direction" in item:
             dt = ("https://www.w3.org/ns/i18n#"

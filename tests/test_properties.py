@@ -220,6 +220,7 @@ def test_ntile_sizing_matches_sql_definition(n, t):
 
 @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
                 min_size=1, max_size=80))
+@settings(deadline=None)   # first-example numpy/stages import > 200 ms
 def test_mode_per_node_argmax_min_tiebreak(rows):
     import numpy as np
 

@@ -5,6 +5,27 @@ import json
 
 from jsonld_js_ray import api
 
+import pytest
+
+
+@pytest.mark.parametrize("v,lex", [
+    (9007199254740993, "9007199254740992"),   # 2^53+1 rounds in float64
+    (9007199254740992, "9007199254740992"),
+    (123, "123"),
+    (10**20, "100000000000000000000"),        # exact in float64
+    (10**20 + 1, "100000000000000000000"),    # rounds to the same
+    (-9007199254740995, "-9007199254740996"),
+])
+def test_to_rdf_integer_float64_lexical_parity(v, lex):
+    # toRdf.js:245 serializes the integer branch with toFixed(0) on a
+    # float64 (a JS engine can't hold 2^53+1 — JSON.parse rounds it),
+    # so Python bigints must round identically (reference-verified
+    # 2026-08-19 on all six values)
+    nq = api.to_rdf({"@id": "http://e/s", "http://e/p": v},
+                    {"format": "application/n-quads"})
+    assert f'"{lex}"' in nq
+
+
 CTX = {"t1": {"@id": "http://e/p1", "@container": ["@index", "@set"]}}
 GRAPH_ITEM = {"@id": "_:b1",
               "@graph": [{"http://e/t2": [{"@value": "x"}]}]}
