@@ -26,6 +26,29 @@ def test_to_rdf_integer_float64_lexical_parity(v, lex):
     assert f'"{lex}"' in nq
 
 
+@pytest.mark.parametrize("v,lex", [
+    (5e-324, "4.940656458412465E-324"),          # smallest denormal
+    (2.2250738585072014e-308, "2.225073858507201E-308"),
+    (1.7976931348623157e308, "1.797693134862316E308"),
+    (-0.0, "0.0E0"),                             # (-0).toExponential
+    (0.1 + 0.2, "3.0E-1"),
+    (1 / 3, "3.333333333333333E-1"),
+    (123456789.123456789, "1.234567891234568E8"),
+    (1e-7, "1.0E-7"),
+    (9.99999999999999e22, "9.999999999999991E22"),
+])
+def test_to_rdf_double_canonical_edges(v, lex):
+    # toRdf.js:242 toExponential(15) canonical form, reference-verified
+    # 2026-08-19 on all nine edge doubles (denormal, DBL_MIN/MAX, -0,
+    # repeating fractions, 17-digit rounding)
+    nq = api.to_rdf(
+        {"@id": "http://e/s",
+         "http://e/p": {"@value": v,
+                        "@type": "http://www.w3.org/2001/XMLSchema#double"}},
+        {"format": "application/n-quads"})
+    assert f'"{lex}"' in nq
+
+
 CTX = {"t1": {"@id": "http://e/p1", "@container": ["@index", "@set"]}}
 GRAPH_ITEM = {"@id": "_:b1",
               "@graph": [{"http://e/t2": [{"@value": "x"}]}]}
