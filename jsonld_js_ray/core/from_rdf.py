@@ -181,7 +181,12 @@ def _rdf_to_object(o: tuple, use_native_types: bool,
                 except (ValueError, OverflowError):
                     pass
             elif type_ == XSD_DOUBLE:
-                rval["@value"] = float(v)
+                # parseFloat, not Number: the longest numeric PREFIX
+                # ('0x10' -> 0.0 — isNumeric let it through via the
+                # Number() leg, fromRdf.js:322 then parseFloats it)
+                from .to_rdf import parse_float_js
+
+                rval["@value"] = parse_float_js(v)
         if type_ not in (XSD_BOOLEAN, XSD_INTEGER, XSD_DOUBLE, XSD_STRING):
             rval["@type"] = type_
     elif rdf_direction == "i18n-datatype" and \
@@ -205,9 +210,53 @@ def _rdf_to_object(o: tuple, use_native_types: bool,
 _NUMERIC_RE = re.compile(
     r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
 
+# the whitespace Number() trims (ES ToNumber: WhiteSpace +
+# LineTerminator: ASCII ws, NBSP, Ogham, the 2000-200A range,
+# LS/PS, NNBSP, MMSP, ideographic space, BOM)
+_JS_WS = ("\t\n\x0b\x0c\r \xa0\u1680"
+          "\u2000\u2001\u2002\u2003\u2004\u2005\u2006"
+          "\u2007\u2008\u2009\u200a\u2028\u2029\u202f"
+          "\u205f\u3000\ufeff")
+
+
+def _js_number(v: str) -> float | None:
+    """ES ``Number(v)`` string coercion; None models NaN. Accepts the
+    radix-prefixed forms ('0x1A', '0o17', '0b101' — unsigned only),
+    'Infinity', '' -> 0, and strict decimal; rejects trailing junk."""
+    s = v.strip(_JS_WS)
+    if s == "":
+        return 0.0
+    low = s.lower()
+    for pre, base in (("0x", 16), ("0o", 8), ("0b", 2)):
+        if low.startswith(pre):
+            try:
+                return float(int(s[2:], base))
+            except ValueError:
+                return None
+    if s in ("Infinity", "+Infinity"):
+        return float("inf")
+    if s == "-Infinity":
+        return float("-inf")
+    if _NUMERIC_RE.match(s):
+        return float(s)
+    return None
+
 
 def _is_numeric(v: str) -> bool:
-    """JS isNumeric (util: !isNaN(parseFloat(v)) && isFinite(v)):
-    Number() coercion of the WHOLE string must be finite — rejects
-    'NaN', 'Infinity', '1_0' (Python float() would accept all three)."""
-    return isinstance(v, str) and bool(_NUMERIC_RE.match(v.strip()))
+    """JS isNumeric (types.js:64: !isNaN(parseFloat(v)) && isFinite(v)).
+
+    BOTH legs matter: parseFloat takes the longest numeric PREFIX
+    (so '0x10' passes via its leading '0'), while isFinite coerces
+    the WHOLE string through Number() (so '5abc' fails, '0x10'
+    passes as 16, and overflow forms like '1e310' fail the finite
+    check and stay strings)."""
+    if not isinstance(v, str):
+        return False
+    from .to_rdf import parse_float_js
+
+    pf = parse_float_js(v)
+    if pf != pf:                      # parseFloat gave NaN
+        return False
+    num = _js_number(v)
+    return num is not None and num == num and \
+        num not in (float("inf"), float("-inf"))

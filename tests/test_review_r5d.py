@@ -26,6 +26,31 @@ def test_to_rdf_integer_float64_lexical_parity(v, lex):
     assert f'"{lex}"' in nq
 
 
+@pytest.mark.parametrize("lex,want", [
+    ("0x10", 0.0),        # Number('0x10')=16 finite -> parseFloat = 0
+    ("0b101", 0.0),
+    ("0o17", 0.0),
+    (" 0x10 ", 0.0),      # Number() trims whitespace first
+    ("1e310", "1e310"),   # overflow -> isFinite fails -> string
+    ("-1e310", "-1e310"),
+    ("1e3", 1000.0),
+    ("1.", 1.0),
+    ("5abc", "5abc"),     # Number('5abc') is NaN -> string
+    ("1_0", "1_0"),       # JS Number rejects numeric separators
+])
+def test_from_rdf_native_double_js_numeric_gate(lex, want):
+    # isNumeric (types.js:64) is !isNaN(parseFloat(v)) && isFinite(v):
+    # parseFloat takes the longest numeric PREFIX while isFinite
+    # coerces the WHOLE string through Number() — so radix-prefixed
+    # forms convert to parseFloat's 0, overflow forms stay strings
+    # (reference-verified 2026-08-19 on all ten forms + 12 more)
+    q = [(("NamedNode", "http://e/s"), ("NamedNode", "http://e/p"),
+          ("Literal", lex, "http://www.w3.org/2001/XMLSchema#double",
+           None), ("DefaultGraph", ""))]
+    out = api.from_rdf(q, {"useNativeTypes": True})
+    assert out[0]["http://e/p"][0]["@value"] == want
+
+
 @pytest.mark.parametrize("v,lex", [
     (5e-324, "4.940656458412465E-324"),          # smallest denormal
     (2.2250738585072014e-308, "2.225073858507201E-308"),
