@@ -227,12 +227,17 @@ def _js_number(v: str) -> float | None:
     if s == "":
         return 0.0
     low = s.lower()
-    for pre, base in (("0x", 16), ("0o", 8), ("0b", 2)):
+    for pre, base, digits in (("0x", 16, "0123456789abcdef"),
+                              ("0o", 8, "01234567"),
+                              ("0b", 2, "01")):
         if low.startswith(pre):
-            try:
-                return float(int(s[2:], base))
-            except ValueError:
-                return None
+            # the ES radix grammar allows ONLY bare digits after the
+            # prefix — no sign, no whitespace, no underscores (all of
+            # which Python's int(s, base) would tolerate)
+            body = low[2:]
+            if body and all(c in digits for c in body):
+                return float(int(body, base))
+            return None
     if s in ("Infinity", "+Infinity"):
         return float("inf")
     if s == "-Infinity":

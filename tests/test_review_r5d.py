@@ -37,6 +37,9 @@ def test_to_rdf_integer_float64_lexical_parity(v, lex):
     ("1.", 1.0),
     ("5abc", "5abc"),     # Number('5abc') is NaN -> string
     ("1_0", "1_0"),       # JS Number rejects numeric separators
+    ("0x-2f", "0x-2f"),   # ES radix grammar: bare digits only — no
+    ("0x2_f", "0x2_f"),   # sign/underscore (Python int(s,16) takes
+    ("0x", "0x"),         # both); empty body is NaN too
 ])
 def test_from_rdf_native_double_js_numeric_gate(lex, want):
     # isNumeric (types.js:64) is !isNaN(parseFloat(v)) && isFinite(v):
