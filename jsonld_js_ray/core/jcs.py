@@ -43,9 +43,15 @@ def es_number_to_string(v: float | int) -> str:
     round-trip decimal otherwise, exponent form without leading zeros.
     """
     if isinstance(v, int) and not isinstance(v, bool):
-        if abs(v) < 10**21:
+        # an ES Number IS a float64 — a Python bigint (2^53+1) must
+        # round through it first, like JSON.parse already did on the
+        # JS side (reference-verified: {"big":9007199254740993}
+        # canonicalizes to ...992)
+        if abs(v) < 10**21 and int(float(v)) == v:
             return str(v)
         v = float(v)
+        if v.is_integer() and abs(v) < 1e21:
+            return str(int(v))
     if v != v or math.isinf(v):
         raise ValueError("NaN/Infinity not allowed in JCS")
     if v == 0:

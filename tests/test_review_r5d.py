@@ -54,6 +54,22 @@ def test_from_rdf_native_double_js_numeric_gate(lex, want):
     assert out[0]["http://e/p"][0]["@value"] == want
 
 
+@pytest.mark.parametrize("v,want", [
+    (9007199254740993, "9007199254740992"),   # float64 rounds 2^53+1
+    (10**21, "1e+21"),                        # ES exponent threshold
+    (10**21 + 1, "1e+21"),
+    (-9007199254740995, "-9007199254740996"),
+    (10**25, "1e+25"),
+    (123, "123"),
+])
+def test_jcs_bigint_es_number_parity(v, want):
+    # RFC 8785 numbers are ES Number::toString — float64 by
+    # definition; a Python bigint must round through it (reference-
+    # verified 2026-08-19 on all six values via JSON.stringify)
+    from jsonld_js_ray.core.jcs import canonicalize
+    assert canonicalize(v) == want
+
+
 @pytest.mark.parametrize("v,lex", [
     (5e-324, "4.940656458412465E-324"),          # smallest denormal
     (2.2250738585072014e-308, "2.225073858507201E-308"),
