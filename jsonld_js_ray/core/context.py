@@ -262,6 +262,8 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
         rval.processing_mode = "json-ld-1.1"
 
     # @import
+    loop_ctx = ctx            # the term loop's view (incl. import keys)
+    _import_only: set = set()
     if "@import" in ctx:
         v = ctx["@import"]
         if _processing_mode(rval, 1.0):
@@ -284,10 +286,21 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
             raise JsonLdError(
                 "@import must not include @import entry.",
                 "jsonld.SyntaxError", code="invalid context entry")
-        merged = dict(imported)
-        merged.update(ctx)
-        merged.pop("@import", None)
-        ctx = merged
+        # fork-exact merge (context.js:347-352): import-only keys
+        # APPEND to ctx's key order, and the keyword handlers
+        # (@base..@propagate, context.js:174-301) already ran on the
+        # ORIGINAL ctx — so imported keyword entries are never
+        # applied; they fall through to the term loop, which rejects
+        # keywords outright ('keyword redefinition'). Reference-
+        # verified 2026-08-19 (an imported {'@base': ...} errors in
+        # the fork). We therefore do NOT fold the import into the ctx
+        # the handlers below read — only into the term loop's view.
+        _loop_ctx = dict(ctx)
+        for k, v2 in imported.items():
+            if k not in _loop_ctx:
+                _loop_ctx[k] = v2
+                _import_only.add(k)
+        loop_ctx = _loop_ctx
 
     # @base (context.js:199-216)
     if "@base" in ctx:
@@ -349,17 +362,35 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
         else:
             rval.direction = value
 
-    defined: dict[str, bool] = {"@protected": bool(ctx.get("@protected"))}
-    for key in ctx:
-        if key in ("@base", "@direction", "@import", "@language", "@propagate",
-                   "@protected", "@version", "@vocab"):
+    defined: dict[str, bool] = {
+        "@protected": bool(loop_ctx.get("@protected"))}
+    for key in loop_ctx:
+        if key == "@protected":
+            # fork quirk (context.js:367 + 446-455): the defined map
+            # seeds '@protected' with the ctx VALUE, so the loop sees
+            # a falsy value as an in-progress definition and raises
+            # the cyclic error; a truthy value short-circuits (which
+            # is also why a non-boolean like 'yes' is tolerated).
+            # Reference-verified 2026-08-19.
+            if not defined["@protected"]:
+                raise JsonLdError(
+                    "Cyclical context definition detected.",
+                    "jsonld.CyclicalContext", code="cyclic IRI mapping",
+                    details={"term": key})
+            continue
+        if key in ("@base", "@direction", "@import", "@language",
+                   "@propagate", "@version", "@vocab") and \
+                key not in _import_only:
+            # an IMPORTED keyword entry was never handled above and
+            # must reach create_term_definition, which rejects it
+            # (fork merge-order behavior — see the @import block)
             continue
         create_term_definition(
-            rval, ctx, key, defined, options,
+            rval, loop_ctx, key, defined, options,
             override_protected=override_protected)
 
         # scoped-context pre-validation (reference context.js:380-413)
-        v = ctx[key]
+        v = loop_ctx[key]
         if isinstance(v, dict) and "@context" in v:
             # validation is lazy in our engine: scoped contexts are
             # validated when applied (expand-time), like invalid nested

@@ -93,6 +93,69 @@ def test_to_rdf_double_canonical_edges(v, lex):
     assert f'"{lex}"' in nq
 
 
+def test_imported_keyword_entry_is_keyword_redefinition():
+    # fork merge order (context.js:174-352): the @base..@propagate
+    # handlers run BEFORE the @import merge, so an imported keyword
+    # entry is never applied — it falls through to the term loop,
+    # which rejects keywords (reference-verified 2026-08-19). A ctx's
+    # OWN keyword entry masks the imported one and works normally.
+    U = "https://ctx.test/"
+    docs = {U + "a": {"@context": {"@base": "http://b/",
+                                   "t": "http://e/t"}},
+            U + "c": {"@context": {"@import": U + "a"}},
+            U + "c2": {"@context": {"@import": U + "a",
+                                    "@base": "http://mine/"}}}
+    with pytest.raises(api.JsonLdError) as ei:
+        api.expand({"@context": U + "c", "t": "v"}, {"documents": docs})
+    assert ei.value.code == "keyword redefinition"
+    out = api.expand({"@context": U + "c2", "t": "v"},
+                     {"documents": docs})
+    assert out == [{"http://e/t": [{"@value": "v"}]}]
+
+
+def test_falsy_protected_is_cyclic_context_error():
+    # fork defined-map quirk (context.js:367 + 446-455): '@protected'
+    # is seeded with the ctx VALUE; a falsy value reads as an
+    # in-progress definition -> cyclic IRI mapping (truthy values,
+    # including non-boolean strings, pass) — reference-verified
+    with pytest.raises(api.JsonLdError) as ei:
+        api.expand({"@context": {"@protected": False,
+                                 "t": "http://e/t"}, "t": "v"})
+    assert ei.value.code == "cyclic IRI mapping"
+    out = api.expand({"@context": {"@protected": True,
+                                   "t": "http://e/t"}, "t": "v"})
+    assert out == [{"http://e/t": [{"@value": "v"}]}]
+
+
+def test_remote_context_resolution_is_order_independent():
+    # The fork's SHARED _resolvedContextCache is order-dependent:
+    # resolving https://ctx.test/a through one consuming document
+    # poisons its reuse by the next (observed 2026-08-19: 'rval.clone
+    # is not a function' in one order, a bogus 'invalid term
+    # definition' in the other — reference bug, triaged in
+    # BASELINE.md). The engine must give the same result in BOTH
+    # orders; each api call gets a fresh resolver by default.
+    U = "https://ctx.test/"
+    docs = {
+        U + "a": {"@context": {"t": "http://e/t"}},
+        U + "b": {"@context": [U + "a", {"u": "http://e/u"}]},
+        U + "c": {"@context": {"@import": U + "a", "v": "http://e/v"}},
+    }
+    chain_doc = {"@context": U + "b", "t": "1", "u": "2"}
+    import_doc = {"@context": U + "c", "v": "3", "t": "4"}
+    want_chain = [{"http://e/t": [{"@value": "1"}],
+                   "http://e/u": [{"@value": "2"}]}]
+    want_import = [{"http://e/t": [{"@value": "4"}],
+                    "http://e/v": [{"@value": "3"}]}]
+    for first, second in ((chain_doc, import_doc),
+                          (import_doc, chain_doc)):
+        a = api.expand(json.loads(json.dumps(first)), {"documents": docs})
+        b = api.expand(json.loads(json.dumps(second)),
+                       {"documents": docs})
+        got = {json.dumps(a), json.dumps(b)}
+        assert got == {json.dumps(want_chain), json.dumps(want_import)}
+
+
 CTX = {"t1": {"@id": "http://e/p1", "@container": ["@index", "@set"]}}
 GRAPH_ITEM = {"@id": "_:b1",
               "@graph": [{"http://e/t2": [{"@value": "x"}]}]}
