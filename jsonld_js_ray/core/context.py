@@ -216,7 +216,8 @@ def process_context(
 
         rval = _process_one(rval, ctx, options,
                             override_protected=override_protected,
-                            propagate=propagate, cycles=cycles)
+                            propagate=propagate, cycles=cycles,
+                            validate_scoped=validate_scoped)
 
     if cache_key is not None:
         cachemax = getattr(resolver, "max_cache", 256)
@@ -229,7 +230,8 @@ def process_context(
 
 def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
                  override_protected: bool, propagate: bool,
-                 cycles: frozenset) -> ActiveContext:
+                 cycles: frozenset,
+                 validate_scoped: bool = True) -> ActiveContext:
     rval = active_ctx.clone()
     rval._finalized = False
     rval._uid = next(_counter)
@@ -362,6 +364,7 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
         else:
             rval.direction = value
 
+    _seen_scoped: set = set(cycles)
     defined: dict[str, bool] = {
         "@protected": bool(loop_ctx.get("@protected"))}
     for key in loop_ctx:
@@ -389,13 +392,32 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
             rval, loop_ctx, key, defined, options,
             override_protected=override_protected)
 
-        # scoped-context pre-validation (reference context.js:380-413)
+        # scoped-context EAGER validation (context.js:380-413): the
+        # reference processes every term-scoped context against a
+        # clone at DEFINITION time and wraps any failure as 'invalid
+        # scoped context' — even when the term is never used. String
+        # (remote) scoped contexts get cycle-guarded by URL.
         v = loop_ctx[key]
-        if isinstance(v, dict) and "@context" in v:
-            # validation is lazy in our engine: scoped contexts are
-            # validated when applied (expand-time), like invalid nested
-            # contexts only erroring on use.
-            pass
+        if validate_scoped and isinstance(v, dict) and "@context" in v:
+            key_ctx = v["@context"]
+            do_process = True
+            if isinstance(key_ctx, str):
+                url = _url.prepend_base(options.get("base"), key_ctx)
+                if url in _seen_scoped:
+                    do_process = False
+                else:
+                    _seen_scoped.add(url)
+            if do_process:
+                try:
+                    process_context(
+                        rval.clone(), key_ctx, options,
+                        override_protected=True,
+                        cycles=cycles | frozenset(_seen_scoped))
+                except JsonLdError as e:
+                    raise JsonLdError(
+                        "Invalid scoped context.", "jsonld.SyntaxError",
+                        code="invalid scoped context",
+                        details={"term": key}) from e
 
     rval._inverse = None
     rval._iri_cache = {}

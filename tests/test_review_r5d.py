@@ -127,6 +127,26 @@ def test_falsy_protected_is_cyclic_context_error():
     assert out == [{"http://e/t": [{"@value": "v"}]}]
 
 
+def test_scoped_context_validated_eagerly():
+    # context.js:380-413: every term-scoped context is processed
+    # against a CLONE at definition time and any failure wraps as
+    # 'invalid scoped context' — even when the term is never used
+    # (reference-verified 2026-08-19 on both the used and unused
+    # forms). Replaces the engine's earlier lazy-on-use model.
+    bad = {"@context": {"@vocab": "http://e/",
+                        "s": {"@id": "http://e/s",
+                              "@context": {"@protected": False}}}}
+    for doc in ({**bad, "s": {"x": "v"}}, {**bad, "other": "v"}):
+        with pytest.raises(api.JsonLdError) as ei:
+            api.expand(json.loads(json.dumps(doc)))
+        assert ei.value.code == "invalid scoped context"
+    ok = api.expand({"@context": {"@vocab": "http://e/",
+                                  "s": {"@id": "http://e/s",
+                                        "@context": {"x": "http://e/x2"}}},
+                     "s": {"x": "v"}})
+    assert ok == [{"http://e/s": [{"http://e/x2": [{"@value": "v"}]}]}]
+
+
 def test_remote_context_resolution_is_order_independent():
     # The fork's SHARED _resolvedContextCache is order-dependent:
     # resolving https://ctx.test/a through one consuming document
