@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import itertools
 import re
+import warnings
 from typing import Any, Callable
 
 from . import url as _url
@@ -132,6 +133,7 @@ def process_context(
     propagate: bool = True,
     validate_scoped: bool = True,
     cycles: frozenset | None = None,
+    scoped_cycles: frozenset | None = None,
 ) -> ActiveContext:
     """Fold ``local_ctx`` into ``active_ctx`` → new active context.
 
@@ -139,6 +141,7 @@ def process_context(
     """
     options = options or {}
     cycles = cycles or frozenset()
+    scoped_cycles = scoped_cycles or frozenset()
     resolver: ContextResolver = options.setdefault(
         "contextResolver", ContextResolver())
 
@@ -161,13 +164,42 @@ def process_context(
         cache_key = None
 
     for ctx in ctxs:
-        # null → reset to initial context
+        # null → reset to initial context. The protected check runs on
+        # the ACCUMULATED context (context.js:95 reassigns activeCtx =
+        # rval each element), so `[{'@protected': true, ...}, null]`
+        # raises within ONE call; key PRESENCE decides (Object.keys),
+        # and protectedMode 'warn' falls back to a fresh initial
+        # context carrying over just the protected terms
+        # (context.js:98-141).
         if ctx is None:
-            if not override_protected and any(active_ctx.protected.values()):
-                raise JsonLdError(
-                    "Tried to nullify a context with protected terms outside "
-                    "of a term definition.", "jsonld.SyntaxError",
-                    code="invalid context nullification")
+            if not override_protected and rval.protected:
+                protected_mode = options.get("protectedMode") or "error"
+                if protected_mode == "error":
+                    raise JsonLdError(
+                        "Tried to nullify a context with protected "
+                        "terms outside of a term definition.",
+                        "jsonld.SyntaxError",
+                        code="invalid context nullification")
+                if protected_mode != "warn":
+                    raise JsonLdError(
+                        "Invalid protectedMode.", "jsonld.SyntaxError",
+                        code="invalid protected mode",
+                        details={"protectedMode": protected_mode})
+                warnings.warn("invalid context nullification")
+                old = rval
+                rval = ActiveContext(options)
+                rval.processing_mode = old.processing_mode
+                # the fork MEANS to carry protected term definitions
+                # over (context.js:125-131) but assigns object
+                # properties on a Map (`mappings[term] =` vs
+                # mappings.set), so the carryover is dead — lookups
+                # go through .get() and miss. Observable behavior:
+                # only the protected FLAGS survive (a plain object
+                # there), the mappings do not. Reference-verified
+                # 2026-08-19 (warn mode expands the nulled term to
+                # nothing).
+                rval.protected = dict(old.protected)
+                continue
             # the reference resets to a bare initial context and does
             # NOT record previousContext here, even under propagate:false
             # (context.js:141-143) — so a later type-scoped revert cannot
@@ -182,7 +214,7 @@ def process_context(
             rval = process_context(
                 rval, ctx, options, override_protected=override_protected,
                 propagate=propagate, validate_scoped=validate_scoped,
-                cycles=cycles)
+                cycles=cycles, scoped_cycles=scoped_cycles)
             continue
 
         # context URL string
@@ -206,7 +238,8 @@ def process_context(
                 rval, remote_ctx, sub_options,
                 override_protected=override_protected,
                 propagate=propagate, validate_scoped=validate_scoped,
-                cycles=cycles | {resolved_url})
+                cycles=cycles | {resolved_url},
+                scoped_cycles=scoped_cycles)
             continue
 
         if not isinstance(ctx, dict):
@@ -217,7 +250,8 @@ def process_context(
         rval = _process_one(rval, ctx, options,
                             override_protected=override_protected,
                             propagate=propagate, cycles=cycles,
-                            validate_scoped=validate_scoped)
+                            validate_scoped=validate_scoped,
+                            scoped_cycles=scoped_cycles)
 
     if cache_key is not None:
         cachemax = getattr(resolver, "max_cache", 256)
@@ -231,7 +265,8 @@ def process_context(
 def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
                  override_protected: bool, propagate: bool,
                  cycles: frozenset,
-                 validate_scoped: bool = True) -> ActiveContext:
+                 validate_scoped: bool = True,
+                 scoped_cycles: frozenset = frozenset()) -> ActiveContext:
     rval = active_ctx.clone()
     rval._finalized = False
     rval._uid = next(_counter)
@@ -364,7 +399,7 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
         else:
             rval.direction = value
 
-    _seen_scoped: set = set(cycles)
+    _seen_scoped: set = set(scoped_cycles)
     defined: dict[str, bool] = {
         "@protected": bool(loop_ctx.get("@protected"))}
     for key in loop_ctx:
@@ -412,7 +447,7 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
                     process_context(
                         rval.clone(), key_ctx, options,
                         override_protected=True,
-                        cycles=cycles | frozenset(_seen_scoped))
+                        scoped_cycles=frozenset(_seen_scoped))
                 except JsonLdError as e:
                     raise JsonLdError(
                         "Invalid scoped context.", "jsonld.SyntaxError",
@@ -509,11 +544,13 @@ def create_term_definition(
                 "jsonld.SyntaxError", code="invalid term definition",
                 details={"term": term})
 
-    # @protected
-    if value.get("@protected") or (
-            defined.get("@protected") and value.get("@protected") is not False):
-        active_ctx.protected[term] = True
-        mapping["protected"] = True
+    # NOTE: term protection is recorded ONCE, at the end of this
+    # function (the reference's single site, context.js:684-688),
+    # AFTER the keyword-like early returns — an early site here left
+    # phantom protected[] entries for IGNORED terms, which then made
+    # a later null context raise 'invalid context nullification'
+    # (caught by the parity corpus when the nullification check moved
+    # to the accumulated context).
 
     colon = term.find(":", 1)
     term_has_colon = colon > 0
@@ -623,9 +660,12 @@ def create_term_definition(
             mapping["@id"] = active_ctx.vocab + term
 
     # @protected (after the keyword-like early returns, context.js:684-688,
-    # so ignored terms never leave phantom protection entries)
-    if value.get("@protected") or (
-            defined.get("@protected") and value.get("@protected") is not False):
+    # so ignored terms never leave phantom protection entries). The
+    # reference compares STRICTLY (=== true), so a non-boolean
+    # @protected like 'yes' defines the term UNprotected.
+    if value.get("@protected") is True or (
+            defined.get("@protected") is True
+            and value.get("@protected") is not False):
         active_ctx.protected[term] = True
         mapping["protected"] = True
 

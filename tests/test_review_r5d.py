@@ -127,6 +127,41 @@ def test_falsy_protected_is_cyclic_context_error():
     assert out == [{"http://e/t": [{"@value": "v"}]}]
 
 
+def test_null_over_protected_terms_in_one_context_array():
+    # the protected check runs on the ACCUMULATED context
+    # (context.js:95 reassigns activeCtx = rval per element), so
+    # [{'@protected': true, ...}, null] raises within ONE call
+    # (reference-verified; the old code only checked the ENTRY ctx)
+    doc = {"@context": [{"@protected": True, "t": "http://e/t"}, None],
+           "t": "v"}
+    with pytest.raises(api.JsonLdError) as ei:
+        api.expand(json.loads(json.dumps(doc)))
+    assert ei.value.code == "invalid context nullification"
+    # unknown protectedMode values are rejected
+    with pytest.raises(api.JsonLdError) as ei:
+        api.expand(json.loads(json.dumps(doc)), {"protectedMode": "x"})
+    assert ei.value.code == "invalid protected mode"
+
+
+def test_null_over_protected_warn_mode_drops_mappings():
+    # protectedMode 'warn': the fork MEANS to carry protected term
+    # definitions into the fresh context but assigns object props on
+    # a Map (context.js:127 `mappings[term] =`), so only the
+    # protected FLAGS survive — the nulled term expands to nothing
+    # and a later redefinition succeeds (reference-verified)
+    import warnings as _w
+    base = [{"@protected": True, "t": "http://e/t"}, None]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out = api.expand({"@context": base, "t": "v"},
+                         {"protectedMode": "warn"})
+        assert out == []
+        out = api.expand(
+            {"@context": base + [{"t": "http://e/t2"}], "t": "v"},
+            {"protectedMode": "warn"})
+        assert out == [{"http://e/t2": [{"@value": "v"}]}]
+
+
 def test_scoped_context_validated_eagerly():
     # context.js:380-413: every term-scoped context is processed
     # against a CLONE at definition time and any failure wraps as
