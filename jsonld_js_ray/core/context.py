@@ -152,6 +152,35 @@ def process_context(
 
     rval = active_ctx
 
+    # override propagate from the FIRST resolved context only
+    # (context.js:72-77: `resolved[0].document['@propagate']` — the
+    # resolver flattens arrays and dereferences URLs up front, so the
+    # first ATOMIC context's boolean @propagate wins and any later
+    # element's @propagate is validated but IGNORED); previousContext
+    # is then recorded ONCE before the loop (context.js:85-89)
+    first = ctxs[0] if ctxs else None
+    for _ in range(MAX_CONTEXT_URLS):
+        if isinstance(first, dict) and "@context" in first:
+            first = first["@context"]      # remote-doc wrapper unwrap
+        elif isinstance(first, str):
+            try:
+                fetched = resolver.fetch(
+                    _url.prepend_base(options.get("base"), first))
+            except JsonLdError:
+                first = None    # in-loop deref reports the real error
+                break
+            first = fetched
+        elif isinstance(first, list):
+            first = first[0] if first else None
+        else:
+            break
+    if isinstance(first, dict) and \
+            isinstance(first.get("@propagate"), bool):
+        propagate = first["@propagate"]
+    if not propagate and rval.previous_context is None:
+        rval = rval.clone()
+        rval.previous_context = active_ctx
+
     # cache lookup on (active uid, frozen local ctx)
     cache_key = None
     try:
@@ -282,9 +311,11 @@ def _process_one(active_ctx: ActiveContext, ctx: dict, options: dict,
             raise JsonLdError(
                 "@propagate value must be a boolean.",
                 "jsonld.SyntaxError", code="invalid @propagate value")
-        propagate = v
-    if propagate is False and rval.previous_context is None:
-        rval.previous_context = active_ctx
+        # validation ONLY: the reference extracts @propagate from the
+        # FIRST resolved context before the loop (context.js:72-77)
+        # and records previousContext there (context.js:85-89) — a
+        # later element's @propagate has no effect (context.js:283
+        # comment: 'we've already extracted it')
 
     # @version
     if "@version" in ctx:

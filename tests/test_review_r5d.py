@@ -127,6 +127,32 @@ def test_falsy_protected_is_cyclic_context_error():
     assert out == [{"http://e/t": [{"@value": "v"}]}]
 
 
+def test_propagate_honored_from_first_context_element_only():
+    # context.js:72-77 extracts @propagate from resolved[0].document
+    # — the FIRST atomic context after the resolver flattens arrays
+    # and dereferences URLs; a later element's @propagate is
+    # validated but IGNORED (reference-verified on a 5-case matrix)
+    nested = {"x": {"x": "v"}}
+    # second-element @propagate ignored -> nested keeps the scoped map
+    out = api.expand({"@context": [{"@vocab": "http://e/"},
+                                   {"@propagate": False,
+                                    "x": "http://scoped/x"}], **nested})
+    assert out == [{"http://scoped/x":
+                    [{"http://scoped/x": [{"@value": "v"}]}]}]
+    # first-element @propagate applies -> nested reverts
+    out = api.expand({"@context": [{"@propagate": False,
+                                    "@vocab": "http://scoped/"},
+                                   {"y": "http://e/y"}], **nested})
+    assert out == [{"http://scoped/x": [{}]}]
+    # ...including through a URL first element
+    docs = {"https://p.test/a": {"@context": {
+        "@propagate": False, "@vocab": "http://scoped/"}}}
+    out = api.expand({"@context": ["https://p.test/a",
+                                   {"z": "http://e/z"}], **nested},
+                     {"documents": docs})
+    assert out == [{"http://scoped/x": [{}]}]
+
+
 def test_null_over_protected_terms_in_one_context_array():
     # the protected check runs on the ACCUMULATED context
     # (context.js:95 reassigns activeCtx = rval per element), so
