@@ -140,6 +140,24 @@ def _gen_doc(seed: int) -> dict:
     rng = random.Random(seed)
     doc = _gen_node(rng, 2)
     doc["@context"] = _gen_context(rng)
+    # v2 ranges (seed >= 16M, so every recorded seed keeps its exact
+    # document): CONTEXT ARRAYS with per-element keywords — the class
+    # the single-dict generator could never produce, where the
+    # round-5 fourth sitting found the first-element-only @propagate,
+    # accumulated-nullification and null-mid-chain behaviors
+    if seed >= 16_000_000 and rng.random() < 0.5:
+        extra = _gen_context(rng)
+        if rng.random() < 0.4:
+            extra["@propagate"] = rng.random() < 0.5
+        if rng.random() < 0.25:
+            extra["@version"] = 1.1
+        chain = [doc["@context"], extra]
+        if rng.random() < 0.4:
+            chain[0] = dict(chain[0])
+            chain[0]["@propagate"] = rng.random() < 0.5
+        if rng.random() < 0.3:
+            chain.insert(rng.randrange(len(chain) + 1), None)
+        doc["@context"] = chain
     return doc
 
 
