@@ -165,7 +165,12 @@ def test_w3c_shaped_fixture_suite():
     # constraint, graph-container @index drop, @reverse+@index map,
     # and an @included alias — all verified by the batched reference
     # crosscheck before pinning. 163 evaluated.
-    assert rep["pass"] == 163
+    # ...plus the twentieth wave: first-element-only @propagate (both
+    # polarities), null-after-protected nullification negative, falsy
+    # @protected cyclic negative, beyond-root dot-segment clamping,
+    # and query-only reference resolution — all verified by the
+    # batched reference crosscheck before pinning. 169 evaluated.
+    assert rep["pass"] == 169
     assert rep["skip"] == 1
     assert any("specVersion json-ld-1.0" in r for _, r in rep["skips"])
     assert "inline sub-manifest" in rep["suites"]
